@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers over the driver's test corpus (`/root/repo/TESTDATA.md`) and
+  * generic sources mirroring the reference's ingest surface
+  * (SURVEY §2.1 S1–S5): parquet, headered CSV, TSV with projection and
+  * null markers, JSON.
+  */
+object Tables {
+
+  /** S1 — vectorized parquet scan (`functions/dask_pipeline.py:19,23`). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy nanosAsLong) and
+    * surface a proper microsecond TimestampType column. The conf is set
+    * defensively here because driver-owned sessions don't go through
+    * [[graft.core.GraftSession]].
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns > 2^53 would lose bits in double math
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** S2 — headered CSV with schema inference
+    * (`functions/dask_pipeline.py:21,25`). Explicit schema preferred for
+    * determinism (SURVEY §1.3); pass one via `schemaDdl` when known.
+    */
+  def csv(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schemaDdl match {
+      case Some(ddl) => r.schema(ddl).csv(path)
+      case None      => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S3 — TSV scan with column projection and null markers
+    * (`data/lung_data/lung_data_prep.ipynb` cell-3: `usecols`,
+    * `na_values="'--"`, `dropna()`).
+    */
+  def tsv(spark: SparkSession, path: String, useCols: Seq[String],
+          nullValue: String = "'--"): DataFrame = {
+    val df = spark.read
+      .option("header", "true").option("sep", "\t")
+      .option("nullValue", nullValue).option("inferSchema", "true")
+      .csv(path)
+    df.select(useCols.map(df.col): _*).na.drop()
+  }
+
+  /** S4 — JSON scan (`brca_data_prep.ipynb` cell-5/6 metadata parse). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S6 — snappy parquet sink (`data/brca_undersample.py:24-27`). */
+  def writeParquet(df: DataFrame, path: String, numPartitions: Option[Int] = None): Unit = {
+    val out = numPartitions.map(df.repartition).getOrElse(df)
+    out.write.mode("overwrite").option("compression", "snappy").parquet(path)
+  }
+
+  /** S7 — headerful CSV sink (`data/brca_undersample.py:15-17`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -1,0 +1,24 @@
+package graft.queries
+
+import graft.util.Parity
+
+/** DuckDB-dialect oracle SQL fragments mirroring [[graft.util.Parity]]
+  * column expressions — the two must stay in lockstep for hash parity.
+  */
+object Sql {
+  /** Oracle twin of [[Parity.dsum]]. */
+  def dsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+  /** Oracle twin of [[Parity.dsum6]]. */
+  def dsum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+  /** Oracle twin of [[Parity.davg]]. */
+  def davg(e: String): String = s"${dsum(e)} / COUNT($e)"
+  /** Oracle twin of [[Parity.dvar]] — identical double-op shape. */
+  def dvar(e: String): String = {
+    val n  = s"CAST(COUNT($e) AS DOUBLE)"
+    val s1 = dsum(e)
+    val s2 = s"CAST(SUM(CAST(($e) * ($e) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"(($s2) - ($s1) * ($s1) / ($n)) / (($n) - 1.0)"
+  }
+  /** Oracle twin of [[Parity.keyHash]]. */
+  def keyHash(col: String): String = Parity.keyHashSql(col)
+}
