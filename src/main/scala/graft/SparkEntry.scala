@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** All packs, in registration order. Keys must be globally unique. */
   def packs: Seq[QueryPack] = Seq(
-    _root_.graft.queries.RelationalPack
+    _root_.graft.queries.RelationalPack,
+    _root_.graft.queries.MatrixPack,
+    _root_.graft.queries.MLPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.ml.classification.{GBTClassifier, LinearSVC, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Model zoo + parallel cross-validation (SURVEY §2.9 M7–M14).
+  *
+  * Mapping from the reference:
+  *  - XGB/LightGBM gradient boosting (`functions/dask_pipeline.py:79-104`,
+  *    `cluster_default_benchmark.py:137-143`) → MLlib `GBTClassifier` /
+  *    `GBTRegressor` ("distributed GBM" capability). GBTClassifier is
+  *    binary-only, so the multiclass default is `RandomForestClassifier`
+  *    (SURVEY §7.3).
+  *  - `SGDClassifier(hinge, l2)` (`functions/dask_pipeline.py:109`) →
+  *    `LinearSVC` (same hinge-loss linear-model family).
+  *  - Parallel delayed K-fold CV (`functions/dask_cv.py:41-68`) → fold jobs
+  *    submitted concurrently from Scala Futures against the shared
+  *    SparkSession (Spark's scheduler plays Dask's scheduler role).
+  *  - accuracy / R² (`:100,102`) → MLlib evaluators.
+  */
+object Models {
+  val Seed = 42L
+
+  def randomForest(labelCol: String, featuresCol: String, numTrees: Int = 50): RandomForestClassifier =
+    new RandomForestClassifier().setLabelCol(labelCol).setFeaturesCol(featuresCol)
+      .setNumTrees(numTrees).setSeed(Seed)
+
+  def gbtClassifier(labelCol: String, featuresCol: String): GBTClassifier =
+    new GBTClassifier().setLabelCol(labelCol).setFeaturesCol(featuresCol)
+      .setMaxIter(20).setSeed(Seed)
+
+  def gbtRegressor(labelCol: String, featuresCol: String): GBTRegressor =
+    new GBTRegressor().setLabelCol(labelCol).setFeaturesCol(featuresCol)
+      .setMaxIter(20).setSeed(Seed)
+
+  def rfRegressor(labelCol: String, featuresCol: String): RandomForestRegressor =
+    new RandomForestRegressor().setLabelCol(labelCol).setFeaturesCol(featuresCol)
+      .setNumTrees(50).setSeed(Seed)
+
+  def linearSvc(labelCol: String, featuresCol: String): LinearSVC =
+    new LinearSVC().setLabelCol(labelCol).setFeaturesCol(featuresCol).setMaxIter(50)
+
+  def logistic(labelCol: String, featuresCol: String): LogisticRegression =
+    new LogisticRegression().setLabelCol(labelCol).setFeaturesCol(featuresCol).setMaxIter(50)
+
+  def accuracy(labelCol: String, predictionCol: String = "prediction"): MulticlassClassificationEvaluator =
+    new MulticlassClassificationEvaluator().setLabelCol(labelCol)
+      .setPredictionCol(predictionCol).setMetricName("accuracy")
+
+  def r2(labelCol: String, predictionCol: String = "prediction"): RegressionEvaluator =
+    new RegressionEvaluator().setLabelCol(labelCol)
+      .setPredictionCol(predictionCol).setMetricName("r2")
+
+  /** M7 — K-fold cross-validation with folds trained concurrently.
+    *
+    * Fold membership is the deterministic key hash
+    * ([[DeterministicSplits.foldId]]) — disjoint, exhaustive, reproducible
+    * under repartitioning. All K fit jobs are submitted at once from a
+    * dedicated thread pool, reproducing the reference's single batched
+    * `dask.compute(*scores)` (`functions/dask_cv.py:62-68`): Spark
+    * interleaves the K jobs' stages across the cluster.
+    */
+  def kFoldCv(df: DataFrame, k: Int, keyCol: String,
+              train: DataFrame => DataFrame => DataFrame, // trainDF => (testDF => scoredDF)
+              score: DataFrame => Double): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    val withFold = df.withColumn("__fold", DeterministicSplits.foldId(col(keyCol), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withFold.count() // materialize once; every fold job reuses the cache
+    val pool = Executors.newFixedThreadPool(k)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until k).map { f =>
+        Future {
+          val tr = withFold.filter(col("__fold") =!= f).drop("__fold")
+          val te = withFold.filter(col("__fold") === f).drop("__fold")
+          score(train(tr)(te))
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally {
+      pool.shutdown()
+      withFold.unpersist()
+    }
+  }
+
+  /** M11 — seeded random hyperparameter search: sample `n` configs from the
+    * given grid with a fixed-seed RNG, evaluate each via `eval`, return
+    * (bestParams, bestScore, all). Mirrors `RandomizedSearchCV(n_iter,
+    * random_state=42)` (`functions/dask_pipeline.py:107-120`) at the
+    * semantics level. */
+  def randomSearch(grid: Map[String, Seq[Any]], n: Int, seed: Long = Seed)(
+      eval: Map[String, Any] => Double): (Map[String, Any], Double, Seq[(Map[String, Any], Double)]) = {
+    val rng = new scala.util.Random(seed)
+    val keys = grid.keys.toSeq.sorted
+    val configs = (0 until n).map { _ =>
+      keys.map(k => k -> grid(k)(rng.nextInt(grid(k).size))).toMap
+    }.distinct
+    val scored = configs.map(c => c -> eval(c))
+    val best = scored.maxBy(_._2)
+    (best._1, best._2, scored)
+  }
+}

@@ -1,0 +1,222 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.matrix.ArrayOps
+import graft.util.Parity
+
+/** Normalization estimators re-expressing the reference's custom
+  * sklearn-style transformers (SURVEY §2.9 M1/M2) over the array layout
+  * `(meta…, features: ArrayType(Double))`.
+  *
+  * Reference: `functions/feature_selection_and_normalization.py`
+  * (UpperQuartile `:8-31`, UpperQuartileDask `:34-58`, TMM `:61-115`;
+  * itself adapted from edgeR's calcNormFactors and verified against a
+  * published worked example — our unit tests replay the same algebra).
+  *
+  * fit/transform split follows MLlib convention: `fit` runs the stats jobs
+  * (column mask, geometric mean, pseudo-reference) and captures *scalars /
+  * small vectors* in the model; `transform` is a pure, single-pass,
+  * shuffle-free column expression — the shape that scales to 100 TB.
+  */
+object Normalization {
+
+  /** Mask an array column down to the given 0-based positions. */
+  def maskPositions(features: Column, kept: Seq[Int], width: Int): Column =
+    if (kept.size == width) features
+    else transform(lit(kept.toArray), i => element_at(features, i + 1))
+
+  /** Per-position (gene) means across all rows, via a single MLlib-style
+    * tree aggregation — no shuffle of row data. */
+  def positionMeans(df: DataFrame, featuresCol: String): Array[Double] = {
+    val n = df.count().toDouble
+    val width = df.select(size(col(featuresCol))).head().getInt(0)
+    val sums = df.select(col(featuresCol)).rdd
+      .treeAggregate(new Array[Double](width))(
+        seqOp = (acc, row) => {
+          val a = row.getSeq[Double](0); var i = 0
+          while (i < acc.length) { acc(i) += a(i); i += 1 }; acc
+        },
+        combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    sums.map(_ / n)
+  }
+
+  /** M1 — UpperQuartile normalization (`:8-31`).
+    *
+    * fit: drop all-zero genes (per-gene mean > 0, P2 mask); per-row norm
+    * factor = q75(row) / sum(row); symmetrize so factors multiply to 1 by
+    * dividing by their geometric mean (zeros replaced by 1 before log).
+    * transform: scale each row by its factor.
+    */
+  class UpperQuartile(val q: Double = 0.75, val featuresCol: String = "features") {
+
+    /** Per-row norm factor over already-masked features: q75(row)/sum(row). */
+    def normFactor(features: Column): Column =
+      ArrayOps.rowQuantile(features, q) / ArrayOps.rowSum(features)
+
+    def fit(df: DataFrame): UpperQuartileModel = {
+      val means = positionMeans(df, featuresCol)
+      val kept = means.indices.filter(i => means(i) > 0.0)
+      val masked = maskPositions(col(featuresCol), kept, means.length)
+      val nf = normFactor(masked)
+      // geometric mean via exact-decimal mean of logs (Parity-deterministic)
+      val lnNf = log(when(nf === 0.0, 1.0).otherwise(nf))
+      val gm = df
+        .select((Parity.dsum6(lnNf) / count(lit(1))).as("m"))
+        .head().getDouble(0)
+      new UpperQuartileModel(q, featuresCol, kept, means.length, math.exp(gm))
+    }
+  }
+
+  class UpperQuartileModel(val q: Double, val featuresCol: String,
+                           val kept: Seq[Int], val width: Int, val geoMean: Double) {
+    def masked: Column = maskPositions(col(featuresCol), kept, width)
+    def normFactor: Column = ArrayOps.rowQuantile(masked, q) / ArrayOps.rowSum(masked)
+    def scalingFactor: Column = normFactor / lit(geoMean)
+    /** Row-scale the (masked) feature array by the learned factor (F4). */
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(featuresCol, ArrayOps.scaleRow(masked, scalingFactor))
+  }
+
+  /** M2 — TMM normalization (`:61-115`): trimmed mean of the absolute
+    * expression values vs. a pseudo-reference sample.
+    *
+    * fit pipeline (faithful to the reference, including its quirks):
+    *  1. keep genes nonzero in ANY row (`:73`);
+    *  2. pseudoref per gene g = q75 of positive values of g / sum of g (`:74`);
+    *  3. per row r, gene g>0: log_ratio = (S−g)/(S·g) with S = Σ positives(r)
+    *     (`:96-100`); abs_expr = (log2(num)/log2(den))/2 over the
+    *     (g>0 ∨ ref>0) mask with 0→1 replacement (`:102-112`);
+    *     ±inf → NaN (`:85-86`);
+    *  4. GLOBAL trim thresholds: nanquantiles of the whole log_ratio matrix
+    *     at (t, 1−t), of abs_expr at (s, 1−s) (`:88-92`);
+    *  5. per-row factor = mean of abs_expr over genes strictly inside both
+    *     trims (`:94` — `(lr·ae)/lr ≡ ae` on the joint non-NaN mask);
+    *  6. symmetrize by geometric mean as in UQ (`:78`).
+    */
+  class TMM(val logRatioTrim: Double = 0.3, val absExprTrim: Double = 0.05,
+            val featuresCol: String = "features",
+            val exact: Boolean = true,
+            val percentileAccuracy: Int = 50000) {
+
+    /** Quantile mode. `exact=true` → Spark's interpolating `percentile`,
+      * bit-matching numpy's type-7 `nanquantile` (`:88-92`) — but it buffers
+      * and sorts every value, which is catastrophic on an exploded 100 TB
+      * matrix. `exact=false` → `approx_percentile` (mergeable single-pass GK
+      * sketch, rank error ≤ 1/accuracy, no interpolation): trim thresholds
+      * shift by at most a handful of borderline genes, factors move ~1e-6 —
+      * the scale mode. */
+    private def pctl(c: String, q: Double): Column =
+      if (exact) expr(s"percentile($c, $q)")
+      else expr(s"approx_percentile($c, $q, $percentileAccuracy)")
+
+    def fit(df: DataFrame): TMMModel = {
+      val width = df.select(size(col(featuresCol))).head().getInt(0)
+
+      // 1-2. per-position stats via one explode+agg (k·n rows, hash-agg'd)
+      val pos = df.select(posexplode(col(featuresCol)).as(Seq("pos", "x")))
+      val colStats = pos.groupBy("pos").agg(
+        sum(when(col("x") =!= 0.0, 1).otherwise(0)).as("nnz"),
+        pctl("CASE WHEN x > 0 THEN x END", 0.75).as("q75pos"),
+        sum(col("x")).as("colsum"))
+        .collect().map(r => r.getInt(0) -> r).toMap
+      val kept = (0 until width).filter(i => colStats(i).getLong(1) > 0)
+      val pseudoref = kept.map { i =>
+        val r = colStats(i)
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)) / r.getDouble(3)
+      }.toArray
+
+      val masked = maskPositions(col(featuresCol), kept, width)
+
+      // 3. materialize per-row log_ratio / abs_expr arrays ONCE (row scalars
+      // hoisted to columns so they're evaluated once per row, not per
+      // element; the whole fit then runs its stat jobs over this cache).
+      val mat = withRatioArrays(df, masked, pseudoref)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // 4. global nan-skipping quantiles over both exploded matrices (A6),
+      // fused into a single aggregation job.
+      val exploded = mat
+        .select(explode(col("__lr")).as("v"), lit("lr").as("w"))
+        .unionAll(mat.select(explode(col("__ae")).as("v"), lit("ae").as("w")))
+        .filter(col("v").isNotNull && !isnan(col("v")))
+      val rows = exploded.groupBy("w").agg(
+        pctl("v", logRatioTrim).as("lr_lo"), pctl("v", 1 - logRatioTrim).as("lr_hi"),
+        pctl("v", absExprTrim).as("ae_lo"), pctl("v", 1 - absExprTrim).as("ae_hi"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val (lrLo, lrHi) = (rows("lr").getDouble(1), rows("lr").getDouble(2))
+      val (aeLo, aeHi) = (rows("ae").getDouble(3), rows("ae").getDouble(4))
+
+      // 5-6. per-row trimmed mean + geometric-mean symmetrization
+      val factor = trimmedMean(col("__lr"), col("__ae"), lrLo, lrHi, aeLo, aeHi)
+      val lnNf = log(when(factor === 0.0, 1.0).otherwise(factor))
+      val gm = mat.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
+      mat.unpersist()
+      new TMMModel(featuresCol, kept, width, math.exp(gm), pseudoref, lrLo, lrHi, aeLo, aeHi,
+        logRatioTrim, absExprTrim)
+    }
+  }
+
+  /** Append `__lr` (log-ratio, `:96-100`) and `__ae` (absolute expression,
+    * `:102-112`) array columns for the masked features. Row-level scalars
+    * (positive sum, union-mask sums) are separate columns so each is
+    * computed once per row; the element lambdas are then single-layer.
+    * null = pandas "missing"; NaN preserved where the reference produces it. */
+  def withRatioArrays(df: DataFrame, masked: Column, pseudoref: Array[Double]): DataFrame = {
+    val ref = lit(pseudoref)
+    val inf = Double.PositiveInfinity
+    df.withColumn("__feat", masked)
+      .withColumn("__s", ArrayOps.rowSum(ArrayOps.positives(col("__feat"))))
+      .withColumn("__s2", ArrayOps.rowSum(zip_with(col("__feat"), ref,
+        (g, r) => when(g > 0 || r > 0, g).otherwise(0.0))))
+      .withColumn("__refS", ArrayOps.rowSum(zip_with(col("__feat"), ref,
+        (g, r) => when(g > 0 || r > 0, r).otherwise(0.0))))
+      .withColumn("__lr", transform(col("__feat"), g =>
+        when(g > 0, nanIfInf((col("__s") - g) / (col("__s") * g)))))
+      .withColumn("__ae", zip_with(col("__feat"), ref, (g, r) => {
+        val num = g / col("__s2")              // defined iff g > 0
+        val den = r / col("__refS")            // defined iff r > 0
+        val l2num = log2(when(num === 0.0, 1.0).otherwise(num))
+        val l2denRaw = log2(when(den === 0.0, 1.0).otherwise(den))
+        val l2den = when(l2denRaw === 0.0, 1.0).otherwise(l2denRaw)
+        when(g > 0 && r > 0, nanIfInf(l2num / l2den / lit(2.0)))
+      }))
+      .drop("__feat", "__s2", "__refS")
+  }
+
+  private def nanIfInf(c: Column): Column =
+    when(c === Double.PositiveInfinity || c === Double.NegativeInfinity, Double.NaN).otherwise(c)
+
+  /** Mean of `ae` over positions strictly inside both trim windows (`:94`). */
+  def trimmedMean(lr: Column, ae: Column,
+                              lrLo: Double, lrHi: Double, aeLo: Double, aeHi: Double): Column = {
+    val zipped = zip_with(lr, ae, (l, a) =>
+      when(l.isNotNull && !isnan(l) && l > lrLo && l < lrHi &&
+           a.isNotNull && !isnan(a) && a > aeLo && a < aeHi, a))
+    aggregate(
+      filter(zipped, _.isNotNull),
+      struct(lit(0.0).as("s"), lit(0L).as("n")),
+      (acc, x) => struct((acc("s") + x).as("s"), (acc("n") + 1L).as("n")),
+      acc => when(acc("n") > 0, acc("s") / acc("n").cast("double")))
+  }
+
+  class TMMModel(val featuresCol: String, val kept: Seq[Int], val width: Int,
+                 val geoMean: Double, val pseudoref: Array[Double],
+                 val lrLo: Double, val lrHi: Double, val aeLo: Double, val aeHi: Double,
+                 val logRatioTrim: Double, val absExprTrim: Double) {
+    def masked: Column = maskPositions(col(featuresCol), kept, width)
+    /** Score a dataframe with per-row (norm_factor, scaling_factor) columns —
+      * single pass over materialized ratio arrays. */
+    def withFactors(df: DataFrame, normCol: String = "norm_factor",
+                    scaleCol: String = "scaling_factor"): DataFrame = {
+      val mat = withRatioArrays(df, masked, pseudoref)
+      val nf = trimmedMean(col("__lr"), col("__ae"), lrLo, lrHi, aeLo, aeHi)
+      mat.withColumn(normCol, nf)
+        .withColumn(scaleCol, col(normCol) / lit(geoMean))
+        .drop("__s", "__lr", "__ae")
+    }
+    def transform(df: DataFrame): DataFrame =
+      withFactors(df).withColumn(featuresCol, ArrayOps.scaleRow(masked, col("scaling_factor")))
+        .drop("norm_factor", "scaling_factor")
+  }
+}
