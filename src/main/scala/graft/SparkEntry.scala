@@ -13,7 +13,13 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.RelationalPack,
     _root_.graft.queries.MatrixPack,
-    _root_.graft.queries.MLPack
+    _root_.graft.queries.MLPack,
+    _root_.graft.queries.DedupPack,
+    _root_.graft.queries.SimilarityPack,
+    _root_.graft.queries.TextPack,
+    _root_.graft.queries.StreamPack,
+    _root_.graft.queries.MultimodalPack,
+    _root_.graft.queries.SinkPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

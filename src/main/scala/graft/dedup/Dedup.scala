@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact (content
+  * hash), MinHash+LSH banding (near-dup candidate generation), SimHash,
+  * and exact n-gram Jaccard verification.
+  *
+  * Scale shape: signatures/sketches are computed as *projection
+  * expressions* (no shuffle, no UDF); the only shuffles are the final
+  * group-by on content hash / band signature — exactly the fan-in the
+  * problem requires. Candidate pairs come from band-bucket joins, never
+  * an all-pairs product.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(content), keep the smallest id as canonical
+    * (hash-groupBy — one shuffle of (hash, id), not documents). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash parameters: k = bands·rowsPerBand hash functions over a
+    * Mersenne-prime field; a_j, b_j derive deterministically from j so the
+    * DuckDB oracle can regenerate them. */
+  object MinHashParams {
+    val P = 2147483647L // 2^31 − 1
+    val bands = 4
+    val rowsPerBand = 4
+    val k: Int = bands * rowsPerBand
+    def a(j: Int): Long = (j * 2654435761L + 40503L) % P
+    def b(j: Int): Long = (j * 1103515245L + 101L) % P
+  }
+
+  /** k minhash values over a 32-bit shingle-hash array — k `array_min`
+    * projections, zero shuffle, any document length. */
+  def minhashes(shingleHashes: Column): Column = {
+    import MinHashParams._
+    array((0 until k).map { j =>
+      array_min(transform(shingleHashes,
+        h => pmod(lit(a(j)) * pmod(h, lit(P)) + lit(b(j)), lit(P))))
+    }: _*)
+  }
+
+  /** Band signature for one band β out of a minhash array: its rowsPerBand
+    * values joined with '_'; docs sharing any band signature are near-dup
+    * candidates (classic LSH banding). */
+  def bandSignature(mh: Column, band: Column): Column =
+    array_join(
+      transform(slice(mh, band * MinHashParams.rowsPerBand + 1, lit(MinHashParams.rowsPerBand)),
+        _.cast("string")), "_")
+
+  /** (id, band, sig) long table for a corpus: the LSH index.
+    *
+    * Plan shape matters: the minhash array is materialized in its own
+    * projection *below* the band explode. Referencing `minhashes(hs)` 16×
+    * from one projection would re-evaluate the whole (non-codegen'd HOF)
+    * minhash pipeline per reference — measured 16× slower at sf0.1. A
+    * Generate between the two projections blocks CollapseProject, so the
+    * array is computed exactly once per document. */
+  def bandTable(df: DataFrame, idCol: String, textCol: String, ngram: Int = 3): DataFrame = {
+    import MinHashParams._
+    val sh = TextOps.wordNgrams(TextOps.words(col(textCol)), ngram)
+    val hs = transform(sh, TextOps.hash32(_))
+    df.filter(size(TextOps.words(col(textCol))) >= ngram)
+      .select(col(idCol), minhashes(hs).as("mh"))
+      .select(col(idCol), col("mh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col(idCol), col("band").cast("long").as("band"),
+        bandSignature(col("mh"), col("band")).as("sig"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing at least one band signature.
+    * The band table is persisted: both sides of the self-join reuse one
+    * minhash computation instead of re-deriving signatures per side. */
+  def candidatePairs(bandTab: DataFrame, idCol: String): DataFrame = {
+    val bt = bandTab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = bt.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val r = bt.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 32-bit SimHash over token hashes: bit β of the signature is the sign
+    * of Σ_tokens (±1 by bit β of hash32(token)). One projection expression. */
+  def simhash32(tokenHashes: Column): Column =
+    (0 until 32).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
+    val uni = size(array_distinct(a)) + size(array_distinct(b)) - inter
+    when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
+  }
+}

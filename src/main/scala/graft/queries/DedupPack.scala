@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Deduplication surface over the documents corpus: exact content-hash
+  * dedup, MinHash+LSH banding, SimHash signatures, and exact n-gram
+  * Jaccard verification. Near-dup paths run on a deterministically
+  * augmented corpus (orig ∪ perturbed copies) so candidate generation has
+  * guaranteed positives to find.
+  */
+object DedupPack extends QueryPack {
+  import Dedup.MinHashParams._
+
+  /** documents ∪ exact copies of every 10th doc (ids + 200000). */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (first word dropped) of every 5th doc. */
+  private def augCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1, length(text))").as("text")))
+  }
+
+  private val dupCorpusSql =
+    """dup AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+
+  private val augCorpusSql =
+    """aug AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, substring(text, strpos(text, ' ') + 1) AS text
+              FROM documents WHERE doc_id % 5 = 0)"""
+
+  /** Shared oracle CTEs: shingle hashes → minhashes → band signatures. */
+  private def bandSqlCtes(corpus: String): String = {
+    val w = s"string_split(text, ' ')"
+    val ngrams = TextOps.wordNgramsSql("w", 3)
+    s"""ws AS (SELECT doc_id, $w AS w FROM $corpus),
+       sh AS (SELECT doc_id, unnest($ngrams) AS s FROM ws WHERE len(w) >= 3),
+       hs AS (SELECT doc_id, ${TextOps.hash32Sql("s")} AS h FROM sh),
+       mh AS (SELECT doc_id, j,
+                MIN((((j * 2654435761 + 40503) % $P) * (h % $P) + ((j * 1103515245 + 101) % $P)) % $P) AS m
+              FROM hs, range(0, $k) t(j) GROUP BY doc_id, j),
+       bandtab AS (SELECT doc_id, CAST(j // $rowsPerBand AS BIGINT) AS band,
+                     string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j // $rowsPerBand)"""
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy, canonical = min id.
+    "q29_exact_dedup" -> { (s, d) =>
+      Dedup.exactGroups(dupCorpus(s, d), "doc_id", "text")
+    },
+
+    // MinHash band signatures (the LSH index) for the plain corpus.
+    "q30_minhash_bands" -> { (s, d) =>
+      Dedup.bandTable(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
+    },
+
+    // LSH candidate pairs on the augmented corpus (must find the planted
+    // near-dups via band-bucket join — no all-pairs product).
+    "q31_minhash_pairs" -> { (s, d) =>
+      Dedup.candidatePairs(Dedup.bandTable(augCorpus(s, d), "doc_id", "text"), "doc_id")
+    },
+
+    // SimHash signatures over token hashes.
+    "q32_simhash" -> { (s, d) =>
+      val hs = transform(TextOps.words(col("text")), TextOps.hash32(_))
+      Tables.documents(s, d).select(col("doc_id"), Dedup.simhash32(hs).as("simhash"))
+    },
+
+    // exact n-gram Jaccard verification of the planted near-dup pairs.
+    "q33_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+      val orig = docs.select(col("doc_id"),
+        TextOps.wordNgrams(TextOps.words(col("text")), 3).as("sh_a"))
+      val pert = docs.select(col("doc_id"),
+        TextOps.wordNgrams(TextOps.words(
+          expr("substring(text, instr(text, ' ') + 1, length(text))")), 3).as("sh_b"))
+      orig.join(pert, "doc_id")
+        .select(col("doc_id"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q29_exact_dedup" ->
+      s"""WITH $dupCorpusSql
+          SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+          FROM dup GROUP BY md5(text)""",
+
+    "q30_minhash_bands" ->
+      s"""WITH ${bandSqlCtes("documents")}
+          SELECT doc_id, band, sig FROM bandtab""",
+
+    "q31_minhash_pairs" ->
+      s"""WITH $augCorpusSql,
+          ${bandSqlCtes("aug")}
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+
+    "q32_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          hs AS (SELECT doc_id, ${TextOps.hash32Sql("tok")} AS h FROM toks),
+          votes AS (SELECT doc_id, b,
+                      SUM(CASE WHEN (h & (1::BIGINT << b)) <> 0 THEN 1 ELSE -1 END) AS vote
+                    FROM hs, range(0, 32) t(b) GROUP BY doc_id, b)
+          SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id""",
+
+    "q33_ngram_jaccard" -> {
+      val ngrams = TextOps.wordNgramsSql("string_split(text, ' ')", 3)
+      val ngramsPert = TextOps.wordNgramsSql("string_split(substring(text, strpos(text, ' ') + 1), ' ')", 3)
+      s"""WITH o AS (SELECT doc_id, list_distinct($ngrams) AS sh FROM documents WHERE doc_id % 5 = 0),
+          p AS (SELECT doc_id, list_distinct($ngramsPert) AS sh FROM documents WHERE doc_id % 5 = 0),
+          j AS (SELECT o.doc_id,
+                  CAST(len(list_distinct(list_intersect(o.sh, p.sh))) AS DOUBLE) /
+                  CAST(len(o.sh) + len(p.sh) - len(list_distinct(list_intersect(o.sh, p.sh))) AS DOUBLE) AS jaccard
+                FROM o JOIN p USING (doc_id))
+          SELECT doc_id, jaccard FROM j WHERE jaccard >= 0.3"""
+    }
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.similarity.Similarity
+
+/** Similarity-search surface over the embeddings table: LSH-bucketed
+  * near-duplicate detection (the scale path: bucket join, not all-pairs)
+  * and brute-force cosine top-k (the exactness baseline).
+  */
+object SimilarityPack extends QueryPack {
+
+  private val nPlanes = 8
+  private val width = 64
+
+  /** embeddings (as double arrays) ∪ perturbed copies of every 10th vector
+    * (±0.005 alternating per dimension: vectors are unit-norm, so cosine to
+    * the original ≈ 0.9992 and sign-projection bits rarely flip). */
+  private def augVectors(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    base.unionByName(
+      base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + lit(0.005) * (pmod(i, lit(2)) * 2 - 1).cast("double")).as("v")))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH near-dup: sign-random-projection buckets → bucket self-join →
+    // exact-decimal cosine ≥ 0.99.
+    "q34_lsh_neardup" -> { (s, d) =>
+      val withBucket = augVectors(s, d)
+        .withColumn("bucket", Similarity.signBucket(col("v"), nPlanes, width))
+        .withColumn("nrm", sqrt(Similarity.dotDec(col("v"), col("v"))))
+      val l = withBucket.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("bucket"), col("nrm").as("na"))
+      val r = withBucket.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("bucket"), col("nrm").as("nb"))
+      l.join(r, "bucket").filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosraw",
+          Similarity.dotDec(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosraw") >= 0.99)
+        .select(col("vec_a"), col("vec_b"), round(col("cosraw"), 6).as("cos"))
+    },
+
+    // brute-force cosine top-5 for every 50th vector as query.
+    "q35_ann_topk" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      Similarity.bruteForceTopK(queries, base, "q_id", "vec_id", "qv", "v", 5)
+    }
+  )
+
+  /** Shared oracle CTEs: element table + exact-decimal norms. */
+  private def elemCtes(src: String): String =
+    s"""el AS (SELECT vec_id, i, v[i] AS e FROM $src, range(1, ${width + 1}) t(i)),
+       norms AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                 FROM el GROUP BY vec_id)"""
+
+  override def oracles: Map[String, String] = Map(
+    "q34_lsh_neardup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          aug AS (SELECT vec_id, v FROM base
+                  UNION ALL
+                  SELECT vec_id + 1000000, list_transform(range(1, ${width + 1}),
+                    i -> v[i] + 0.005 * CAST(((i - 1) % 2) * 2 - 1 AS DOUBLE))
+                  FROM base WHERE vec_id % 10 = 0),
+          ${elemCtes("aug")},
+          pl AS (SELECT p, i,
+                   CAST(((p * $width + (i - 1)) * 1103515245 + 12345) % ${Similarity.Planes.M} AS DOUBLE)
+                     / ${Similarity.Planes.M}.0 * 2.0 - 1.0 AS pv
+                 FROM range(0, $nPlanes) tp(p), range(1, ${width + 1}) ti(i)),
+          dots AS (SELECT vec_id, p, CAST(SUM(CAST(e * pv AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                   FROM el JOIN pl USING (i) GROUP BY vec_id, p),
+          bk AS (SELECT vec_id, CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM dots GROUP BY vec_id),
+          cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          pd AS (SELECT c.vec_a, c.vec_b, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c
+                 JOIN el ea ON ea.vec_id = c.vec_a
+                 JOIN el eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+                 GROUP BY c.vec_a, c.vec_b)
+          SELECT pd.vec_a, pd.vec_b, round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+          FROM pd JOIN norms na ON na.vec_id = pd.vec_a JOIN norms nb ON nb.vec_id = pd.vec_b
+          WHERE pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)) >= 0.99""",
+
+    "q35_ann_topk" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ${elemCtes("base")},
+          q AS (SELECT vec_id AS q_id FROM base WHERE vec_id % 50 = 0),
+          pd AS (SELECT q.q_id, eb.vec_id, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM q
+                 JOIN el ea ON ea.vec_id = q.q_id
+                 JOIN el eb ON eb.i = ea.i AND eb.vec_id <> q.q_id
+                 GROUP BY q.q_id, eb.vec_id),
+          scored AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
+                             JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+  )
+}

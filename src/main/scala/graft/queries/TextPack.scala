@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.text.TextOps
+
+/** Text-analysis surface over the documents corpus: token statistics,
+  * quality scoring, stopword-profile language ID, and position-aware
+  * document fingerprinting. All projection-only expressions.
+  */
+object TextPack extends QueryPack {
+
+  /** Stopword profiles per language. The synthetic corpus shares one
+    * vocabulary across langs, so these are engine-exercise profiles —
+    * the operator (profile scoring + argmax with deterministic tie-break)
+    * is what's under test, not linguistics. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "hash", "merge"),
+    "en" -> Seq("the", "a", "data", "key"),
+    "es" -> Seq("el", "la", "row", "table"),
+    "fr" -> Seq("le", "la", "join", "sort"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  private val stoplist = Seq("the", "a", "data", "key", "join")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + lexical diversity.
+    "q36_token_stats" -> { (s, d) =>
+      val w = TextOps.words(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_types"),
+        (aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(w).cast("double")).as("avg_token_len"),
+        (size(array_distinct(w)).cast("double") / size(w).cast("double")).as("ttr"))
+    },
+
+    // reference-free quality score from length/diversity/stopword signals.
+    "q37_quality_score" -> { (s, d) =>
+      val w = TextOps.words(col("text"))
+      val nTokens = size(w)
+      val nTypes = size(array_distinct(w))
+      val stopHits = TextOps.profileHits(w, stoplist)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        stopHits.cast("long").as("stop_hits"),
+        TextOps.qualityScore(nTokens, nTypes, stopHits).as("quality"))
+    },
+
+    // language ID: per-profile hit score, argmax with lang-asc tie-break.
+    "q38_langid" -> { (s, d) =>
+      val w = TextOps.words(col("text"))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +: profiles.map { case (lang, prof) =>
+          TextOps.profileHits(w, prof).cast("long").as(s"s_$lang")
+        }: _*)
+      val long = scored.selectExpr("doc_id",
+        s"stack(${profiles.size}, ${profiles.map { case (l, _) => s"'$l', s_$l" }.mkString(", ")}) as (lang, score)")
+      val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+      long.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    },
+
+    // position-aware rolling fingerprint (XOR of positioned token hashes).
+    "q39_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q36_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+           CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""",
+
+    "q37_quality_score" -> {
+      val stop = stoplist.map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+             + least((CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.3 AS quality
+          FROM (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+                  len(list_filter(w, t -> t IN ($stop))) AS stop_hits
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
+    },
+
+    "q38_langid" -> {
+      val scoreCols = profiles.map { case (lang, prof) =>
+        val in = prof.map(t => s"'$t'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(w, t -> t IN ($in))) AS BIGINT) AS score FROM ws"
+      }.mkString(" UNION ALL ")
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          long AS ($scoreCols),
+          ranked AS (SELECT doc_id, lang, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+                     FROM long)
+          SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1"""
+    },
+
+    "q39_fingerprint" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          pos AS (SELECT doc_id, unnest(w) || ':' || CAST(unnest(range(0, len(w))) AS VARCHAR) AS pt
+                  FROM ws),
+          hs AS (SELECT doc_id, ${TextOps.hash32Sql("pt")} AS h FROM pos)
+          SELECT doc_id, CAST(bit_xor(h) AS BIGINT) AS fp FROM hs GROUP BY doc_id"""
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.similarity.Similarity
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash32 is the first 8 md5 hex chars as int (portable contract)") {
+    val got = Seq("abc").toDF("s").select(TextOps.hash32($"s")).head().getLong(0)
+    assert(got == java.lang.Long.parseLong("90015098", 16)) // md5("abc") = 90015098...
+  }
+
+  test("wordNgrams produces space-joined n-grams; short docs give empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.wordNgrams(TextOps.words($"t"), 3).as("g"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq())
+  }
+
+  test("jaccard: identical=1, disjoint=0, known overlap") {
+    val df = Seq(
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("x"), Seq("y")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))
+    ).toDF("a", "b").select(Dedup.jaccard($"a", $"b").as("j"))
+    val j = df.collect().map(_.getDouble(0))
+    assert(j(0) == 1.0 && j(1) == 0.0 && j(2) == 0.5)
+  }
+
+  test("identical docs share all band signatures; near-dups share some band") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "quick brown fox jumps over the lazy dog again and again"), // first word dropped
+      (4L, "completely different words entirely unrelated content here now today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(Dedup.bandTable(docs, "doc_id", "text"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup not found: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $pairs")
+  }
+
+  test("simhash: identical docs equal; unrelated docs differ") {
+    val hs = (c: org.apache.spark.sql.Column) => transform(TextOps.words(c), TextOps.hash32(_))
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "completely different unrelated content")
+    ).toDF("id", "t").select($"id", Dedup.simhash32(hs($"t")).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b") && m("a") != m("c"))
+    assert(m("a") >= 0 && m("a") < (1L << 32))
+  }
+
+  test("fingerprint is position-sensitive (permutation changes it)") {
+    val df = Seq("a b c", "c b a").toDF("t")
+      .select(TextOps.fingerprint(TextOps.words($"t")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("cosineDec: self=1, orthogonal=0; signBucket deterministic") {
+    val r = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b").select(
+      Similarity.cosineDec($"a", $"a").as("self"),
+      Similarity.cosineDec($"a", $"b").as("orth")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    val vecs = Seq(Tuple1(Seq.fill(64)(0.1))).toDF("v")
+    val b1 = vecs.select(Similarity.signBucket($"v", 8, 64)).head().getLong(0)
+    val b2 = vecs.select(Similarity.signBucket($"v", 8, 64)).head().getLong(0)
+    assert(b1 == b2 && b1 >= 0 && b1 < 256)
+  }
+
+  test("exactGroups counts copies and keeps min id") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exactGroups(df, "doc_id", "text")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L), (7L, 1L)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.multimodal.Multimodal
+
+class StreamMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling counts equal the batch equivalent") {
+    val d = sf("sf0.001")
+    val streamed = Streams.drainToTable(
+      Streams.tumblingCounts(Streams.eventsStream(spark, d), "1 hour"), "t_spec", "complete")
+    val batch = Streams.tumblingCounts(graft.io.Tables.events(spark, d), "1 hour")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup emits each (user, event_type) pair once") {
+    val d = sf("sf0.001")
+    val deduped = Streams.drainToTable(
+      Streams.dedupStream(Streams.eventsStream(spark, d), Seq("user_id", "event_type")),
+      "d_spec", "append")
+    val exact = graft.io.Tables.events(spark, d)
+      .select("user_id", "event_type").distinct().count()
+    assert(deduped.count() == exact)
+  }
+
+  test("session windows split strictly at the gap") {
+    val ts = Seq(0L, 10L, 50L, 55L).map(m => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:00").toInstant.plusSeconds(m * 60))
+    val df = ts.map(t => (1L, java.sql.Timestamp.from(t))).toDF("user_id", "ts")
+    val sessions = Streams.userSessions(df, "30 minutes").orderBy("session_start_us")
+      .select("n").as[Long].collect()
+    assert(sessions.toSeq == Seq(2L, 2L)) // 0,10 | 50,55 (gap 40 min splits)
+  }
+
+  test("multimodal stub decode is deterministic and batch-shaped") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAll(
+      Multimodal.mediaFromText(df, "doc_id", "text"), Multimodal.StubDecoder)
+      .collect().map(m => m.id -> m).toMap
+    assert(out(1L).n_bytes == 11 && out(1L).width == out(2L).width && out(1L).height == out(2L).height)
+    assert(out(1L).width != out(3L).width || out(1L).height != out(3L).height)
+    assert(out(1L).width >= 16 && out(1L).n_frames >= 1)
+  }
+}
