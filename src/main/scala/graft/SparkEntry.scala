@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.TextPack,
     _root_.graft.queries.StreamPack,
     _root_.graft.queries.MultimodalPack,
-    _root_.graft.queries.SinkPack
+    _root_.graft.queries.SinkPack,
+    _root_.graft.queries.ExtrasPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

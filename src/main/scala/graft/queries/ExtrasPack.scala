@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.ml.{DeterministicSplits, Models, PipelineStages}
+import graft.util.Parity._
+
+/** Coverage closers for the remaining SURVEY §2 rows: TSV scan with
+  * projection + null markers (S3), many-small-files ingest (S5), column
+  * selection by name regex (P4), rollup aggregation, range join, and the
+  * GBT / R² model surface (M8/M13).
+  */
+object ExtrasPack extends QueryPack {
+
+  private def scratch(name: String) = s"/root/repo/target/scratch/$name"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 — TSV with column projection + null markers + dropna
+    // (`lung_data_prep.ipynb` cell-3 shape). Nulls planted via the marker.
+    "q47_tsv_scan" -> { (s, d) =>
+      val p = scratch("customer_tsv")
+      Tables.customer(s, d)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit("'--")).otherwise(col("c_mktsegment")))
+        .write.mode("overwrite").option("header", "true").option("sep", "\t").csv(p)
+      Tables.tsv(s, p, Seq("c_custkey", "c_name", "c_mktsegment"))
+        .select(col("c_custkey").cast("long").as("c_custkey"), // inference gives INT; oracle table is BIGINT
+          col("c_name"), col("c_mktsegment"))
+    },
+
+    // S5 — many-small-files ingest: one directory per key, merged on read
+    // with partition discovery (the per-sample-file merge analog,
+    // `brca_data_prep.ipynb` cell-12).
+    "q48_small_files_ingest" -> { (s, d) =>
+      val p = scratch("events_by_type")
+      Tables.events(s, d).select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").option("header", "true").csv(p)
+      s.read.option("header", "true").option("inferSchema", "true").csv(p)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // P4 — column selection by name regex (`brca_data_prep.ipynb` cell-16:
+    // keep columns whose name matches coding-gene ids). Names are metadata:
+    // the match runs on df.columns, then a plain select.
+    "q49_regex_projection" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val kept = li.columns.filter(_.matches("^l_(quantity|discount|tax)$")).toSeq
+      val aggs = kept.map(c => dsum6(col(c)).as(c))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      one.selectExpr(
+        s"stack(${kept.size}, ${kept.map(c => s"'$c', $c").mkString(", ")}) as (col_name, col_sum)")
+    },
+
+    // rollup with grouping indicators (free Spark built-in the reference
+    // lacks; exercised per SURVEY §2.4 note).
+    "q50_rollup" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).cast("long").as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          grouping_id().cast("long").as("gid"))
+    },
+
+    // range join — inequality-condition join (lineitems shipped within 30
+    // days of their order's date), aggregated per order status.
+    "q51_range_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_fast_lines"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // M8 — gradient-boosted trees, binary task (GBTClassifier is
+    // binary-only; multiclass default is RF per SURVEY §7.3). Rows-only.
+    "q52_gbt_accuracy" -> { (s, d) =>
+      val df = Tables.embeddings(s, d).select(
+        col("vec_id"), (col("label") < 5).cast("double").as("label"),
+        PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
+      val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
+      val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
+      val m = Models.gbtClassifier("label", "features").setMaxIter(10).fit(train)
+      val acc = Models.accuracy("label").evaluate(m.transform(test))
+      s.createDataFrame(Seq(("gbt_binary", acc))).toDF("model", "accuracy")
+    },
+
+    // M13 — regression + R²: learn a deterministic target (sum of the
+    // first 8 embedding dims) with GBTRegressor. Rows-only.
+    "q53_regression_r2" -> { (s, d) =>
+      val df = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        aggregate(slice(transform(col("embedding"), _.cast("double")), 1, 8),
+          lit(0.0), (acc, x) => acc + x).as("label"),
+        PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
+      val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
+      val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
+      val m = Models.gbtRegressor("label", "features").setMaxIter(10).fit(train)
+      val r2 = Models.r2("label").evaluate(m.transform(test))
+      s.createDataFrame(Seq(("gbt_regression", r2))).toDF("model", "r2")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q47_tsv_scan" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0""",
+
+    "q48_small_files_ingest" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+
+    "q49_regex_projection" ->
+      s"""SELECT 'l_quantity' AS col_name, ${Sql.dsum6("l_quantity")} AS col_sum FROM lineitem
+          UNION ALL SELECT 'l_discount', ${Sql.dsum6("l_discount")} FROM lineitem
+          UNION ALL SELECT 'l_tax', ${Sql.dsum6("l_tax")} FROM lineitem""",
+
+    "q50_rollup" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+          COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price,
+          CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+          FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""",
+
+    "q51_range_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_fast_lines, ${Sql.dsum("l_quantity")} AS qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate
+            AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+          GROUP BY o_orderstatus"""
+  )
+}
