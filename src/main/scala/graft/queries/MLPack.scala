@@ -127,6 +127,22 @@ object MLPack extends QueryPack {
       val model = new Normalization.TMM(0.3, 0.05, "features", exact = false).fit(li)
       model.withFactors(li).select(col("l_orderkey"), col("l_linenumber"),
         round(col("scaling_factor"), 6).as("scaling_factor"))
+    },
+
+    // The reference's flagship workload end-to-end (SURVEY §7.5 minimum
+    // slice, `dask_pipeline.py:124-157`): UQ-normalize → P3 feature mask →
+    // log2(x+1) → split → encode → scale → RandomForest → accuracy + CV.
+    // Input: an FPKM-like positive matrix derived from the embeddings
+    // table (exp transform), string class labels. Rows-only.
+    "q54_gexp_pipeline" -> { (s, d) =>
+      val gexp = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => exp(x.cast("double")) * 10.0).as("features"),
+        concat(lit("class_"), (col("label") % 3).cast("string")).as("subtype"))
+      val r = graft.ml.GexpPipeline.run(gexp, "vec_id", "features", "subtype")
+      s.createDataFrame(Seq((r.nTrain, r.nTest, r.nFeaturesKept.toLong,
+          r.accuracy, r.cvMean, r.cvVar)))
+        .toDF("n_train", "n_test", "n_features_kept", "accuracy", "cv_mean", "cv_var")
     }
   )
 
