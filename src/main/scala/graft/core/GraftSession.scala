@@ -45,6 +45,7 @@ object GraftSession {
       shufflePartitions = math.max(cores, 1)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     s
   }
 }

@@ -35,12 +35,20 @@ object ArrayOps {
   def rowSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
 
-  /** A4 — exact linear-interpolation (type-7 / numpy default) quantile of an
-    * array row: `sort` + interpolate between the two bracketing elements.
-    * One expression, no shuffle; `O(k log k)` per row.
-    * Matches `np.quantile`/`pd.quantile` used at
-    * `feature_selection_and_normalization.py:27,53`. */
-  def rowQuantile(arr: Column, q: Double): Column = {
+  /** A4 — exact linear-interpolation (type-7 / numpy default) quantile of
+    * an array row, matching `np.quantile`/`pd.quantile` used at
+    * `feature_selection_and_normalization.py:27,53`. One expression, no
+    * shuffle, `O(k log k)` per row. Backed by the native codegen'd
+    * [[graft.functions.ArrayQuantileT7]]; bit-identical to
+    * [[rowQuantileComposed]] (property-tested). */
+  def rowQuantile(arr: Column, q: Double): Column =
+    org.apache.spark.sql.graft.ArrayQuantileT7(arr, q)
+
+  /** Built-ins-only formulation of [[rowQuantile]] (`array_sort` +
+    * `element_at` + interpolation) — the parity reference for the native
+    * expression, and the fallback if an environment forbids custom
+    * Catalyst nodes. */
+  def rowQuantileComposed(arr: Column, q: Double): Column = {
     val sorted = array_sort(transform(arr, _.cast("double")))
     val n = size(arr)
     // pos = (n-1)*q; val = a[lo] + (a[hi]-a[lo]) * (pos-lo)   (1-based element_at)

@@ -110,7 +110,10 @@ object Normalization {
       if (exact) expr(s"percentile($c, $q)")
       else expr(s"approx_percentile($c, $q, $percentileAccuracy)")
 
-    def fit(df: DataFrame): TMMModel = {
+    /** Shared fit body: returns the model plus the still-persisted ratio
+      * matrix and the factor expression over it (callers decide whether to
+      * reuse or release the cache). */
+    private def fitInternal(df: DataFrame): (TMMModel, DataFrame, Column) = {
       val width = df.select(size(col(featuresCol))).head().getInt(0)
 
       // 1-2. per-position stats via one explode+agg (k·n rows, hash-agg'd)
@@ -151,9 +154,32 @@ object Normalization {
       val factor = trimmedMean(col("__lr"), col("__ae"), lrLo, lrHi, aeLo, aeHi)
       val lnNf = log(when(factor === 0.0, 1.0).otherwise(factor))
       val gm = mat.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
+      val model = new TMMModel(featuresCol, kept, width, math.exp(gm), pseudoref,
+        lrLo, lrHi, aeLo, aeHi, logRatioTrim, absExprTrim)
+      (model, mat, factor)
+    }
+
+    def fit(df: DataFrame): TMMModel = {
+      val (model, mat, _) = fitInternal(df)
       mat.unpersist()
-      new TMMModel(featuresCol, kept, width, math.exp(gm), pseudoref, lrLo, lrHi, aeLo, aeHi,
-        logRatioTrim, absExprTrim)
+      model
+    }
+
+    /** Fit AND score the fitted dataset in one go: the factor columns are
+      * computed from the ratio arrays already materialized during fit,
+      * saving a full re-derivation pass over `df` (the common
+      * fit-then-score-same-data case; ~1/3 of q28's wall time). */
+    def fitScored(df: DataFrame, normCol: String = "norm_factor",
+                  scaleCol: String = "scaling_factor"): (TMMModel, DataFrame) = {
+      val (model, mat, factor) = fitInternal(df)
+      val scored = mat
+        .withColumn(normCol, factor)
+        .withColumn(scaleCol, col(normCol) / lit(model.geoMean))
+        .drop("__s", "__lr", "__ae")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored.count()
+      mat.unpersist()
+      (model, scored)
     }
   }
 

@@ -124,8 +124,8 @@ object MLPack extends QueryPack {
       val li = Tables.lineitem(s, d).withColumn("features",
         ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
           lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))))
-      val model = new Normalization.TMM(0.3, 0.05, "features", exact = false).fit(li)
-      model.withFactors(li).select(col("l_orderkey"), col("l_linenumber"),
+      val (_, scored) = new Normalization.TMM(0.3, 0.05, "features", exact = false).fitScored(li)
+      scored.select(col("l_orderkey"), col("l_linenumber"),
         round(col("scaling_factor"), 6).as("scaling_factor"))
     },
 
