@@ -140,8 +140,8 @@ object Normalization {
       // 4. global nan-skipping quantiles over both exploded matrices (A6),
       // fused into a single aggregation job.
       val exploded = mat
-        .select(explode(col("__lr")).as("v"), lit("lr").as("w"))
-        .unionAll(mat.select(explode(col("__ae")).as("v"), lit("ae").as("w")))
+        .select(explode(col("__r.lr")).as("v"), lit("lr").as("w"))
+        .unionAll(mat.select(explode(col("__r.ae")).as("v"), lit("ae").as("w")))
         .filter(col("v").isNotNull && !isnan(col("v")))
       val rows = exploded.groupBy("w").agg(
         pctl("v", logRatioTrim).as("lr_lo"), pctl("v", 1 - logRatioTrim).as("lr_hi"),
@@ -151,7 +151,7 @@ object Normalization {
       val (aeLo, aeHi) = (rows("ae").getDouble(3), rows("ae").getDouble(4))
 
       // 5-6. per-row trimmed mean + geometric-mean symmetrization
-      val factor = trimmedMean(col("__lr"), col("__ae"), lrLo, lrHi, aeLo, aeHi)
+      val factor = trimmedMean(col("__r.lr"), col("__r.ae"), lrLo, lrHi, aeLo, aeHi)
       val lnNf = log(when(factor === 0.0, 1.0).otherwise(factor))
       val gm = mat.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
       val model = new TMMModel(featuresCol, kept, width, math.exp(gm), pseudoref,
@@ -175,7 +175,7 @@ object Normalization {
       val scored = mat
         .withColumn(normCol, factor)
         .withColumn(scaleCol, col(normCol) / lit(model.geoMean))
-        .drop("__s", "__lr", "__ae")
+        .drop("__r")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       scored.count()
       mat.unpersist()
@@ -183,35 +183,12 @@ object Normalization {
     }
   }
 
-  /** Append `__lr` (log-ratio, `:96-100`) and `__ae` (absolute expression,
-    * `:102-112`) array columns for the masked features. Row-level scalars
-    * (positive sum, union-mask sums) are separate columns so each is
-    * computed once per row; the element lambdas are then single-layer.
-    * null = pandas "missing"; NaN preserved where the reference produces it. */
-  def withRatioArrays(df: DataFrame, masked: Column, pseudoref: Array[Double]): DataFrame = {
-    val ref = lit(pseudoref)
-    val inf = Double.PositiveInfinity
-    df.withColumn("__feat", masked)
-      .withColumn("__s", ArrayOps.rowSum(ArrayOps.positives(col("__feat"))))
-      .withColumn("__s2", ArrayOps.rowSum(zip_with(col("__feat"), ref,
-        (g, r) => when(g > 0 || r > 0, g).otherwise(0.0))))
-      .withColumn("__refS", ArrayOps.rowSum(zip_with(col("__feat"), ref,
-        (g, r) => when(g > 0 || r > 0, r).otherwise(0.0))))
-      .withColumn("__lr", transform(col("__feat"), g =>
-        when(g > 0, nanIfInf((col("__s") - g) / (col("__s") * g)))))
-      .withColumn("__ae", zip_with(col("__feat"), ref, (g, r) => {
-        val num = g / col("__s2")              // defined iff g > 0
-        val den = r / col("__refS")            // defined iff r > 0
-        val l2num = log2(when(num === 0.0, 1.0).otherwise(num))
-        val l2denRaw = log2(when(den === 0.0, 1.0).otherwise(den))
-        val l2den = when(l2denRaw === 0.0, 1.0).otherwise(l2denRaw)
-        when(g > 0 && r > 0, nanIfInf(l2num / l2den / lit(2.0)))
-      }))
-      .drop("__feat", "__s2", "__refS")
-  }
-
-  private def nanIfInf(c: Column): Column =
-    when(c === Double.PositiveInfinity || c === Double.NegativeInfinity, Double.NaN).otherwise(c)
+  /** Append the per-row (log-ratio `:96-100`, abs-expr `:102-112`) arrays
+    * as one struct column `__r` — a single one-pass native expression
+    * ([[org.apache.spark.sql.graft.TmmRatios]]); the previous 8-layer HOF
+    * chain allocated an array per layer per row and dominated TMM fit. */
+  def withRatioArrays(df: DataFrame, masked: Column, pseudoref: Array[Double]): DataFrame =
+    df.withColumn("__r", org.apache.spark.sql.graft.TmmRatios(masked, pseudoref))
 
   /** Mean of `ae` over positions strictly inside both trim windows (`:94`). */
   def trimmedMean(lr: Column, ae: Column,
@@ -236,10 +213,10 @@ object Normalization {
     def withFactors(df: DataFrame, normCol: String = "norm_factor",
                     scaleCol: String = "scaling_factor"): DataFrame = {
       val mat = withRatioArrays(df, masked, pseudoref)
-      val nf = trimmedMean(col("__lr"), col("__ae"), lrLo, lrHi, aeLo, aeHi)
+      val nf = trimmedMean(col("__r.lr"), col("__r.ae"), lrLo, lrHi, aeLo, aeHi)
       mat.withColumn(normCol, nf)
         .withColumn(scaleCol, col(normCol) / lit(geoMean))
-        .drop("__s", "__lr", "__ae")
+        .drop("__r")
     }
     def transform(df: DataFrame): DataFrame =
       withFactors(df).withColumn(featuresCol, ArrayOps.scaleRow(masked, col("scaling_factor")))
