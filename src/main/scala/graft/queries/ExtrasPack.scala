@@ -17,7 +17,7 @@ object ExtrasPack extends QueryPack {
 
   private def scratch(name: String) = s"/root/repo/target/scratch/$name"
 
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = extraQueries ++ Map(
     // S3 — TSV with column projection + null markers + dropna
     // (`lung_data_prep.ipynb` cell-3 shape). Nulls planted via the marker.
     "q47_tsv_scan" -> { (s, d) =>
@@ -105,7 +105,46 @@ object ExtrasPack extends QueryPack {
     }
   )
 
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // skew-salted join: revenue per order-priority through a salted
+    // lineitem⋈orders join — result provably identical to the plain join
+    // (which is exactly what the oracle asserts).
+    "q55_salted_join" -> { (s, d) =>
+      graft.relational.Scale.saltedJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          Seq("l_orderkey"), 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+
+    // bucketed co-located join: both sides bucketed+sorted by the join key
+    // → zero-exchange sort-merge join (asserted in the spec).
+    "q56_bucketed_join" -> { (s, d) =>
+      graft.relational.Scale.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"), "li_bucketed", 8, "l_orderkey")
+      graft.relational.Scale.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"), "o_bucketed", 8, "o_orderkey")
+      val li = s.table("li_bucketed")
+      val o = s.table("o_bucketed")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    }
+  )
+
   override def oracles: Map[String, String] = Map(
+    "q55_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+          ${Sql.dsum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority""",
+
+    "q56_bucketed_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus""",
+
     "q47_tsv_scan" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0""",
 

@@ -41,6 +41,13 @@ object StreamPack extends QueryPack {
         Streams.dedupStream(Streams.eventsStream(s, d), Seq("user_id", "event_type")),
         "dedup", "append")
       deduped.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    },
+
+    // custom keyed state (mapGroupsWithState): running per-user activity.
+    "q57_stateful_user_counts" -> { (s, d) =>
+      Streams.drainToTable(
+        Streams.statefulUserActivity(Streams.eventsStream(s, d)),
+        "stateful", "update")
     }
   )
 
@@ -74,6 +81,11 @@ object StreamPack extends QueryPack {
 
     "q43_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    "q57_stateful_user_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events GROUP BY user_id"""
   )
 }

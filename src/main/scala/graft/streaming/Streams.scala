@@ -63,4 +63,28 @@ object Streams {
   /** Streaming dedup on a key subset (state-backed `dropDuplicates`). */
   def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
     events.select(keys.map(col): _*).dropDuplicates(keys)
+
+  case class UserState(n: Long, types: Seq[String])
+
+  /** Custom keyed state via `mapGroupsWithState` (the brief's
+    * `KeyValueGroupedDataset` surface): per-user running event count and
+    * distinct-type count, maintained in a `GroupState` the engine
+    * checkpoints and recovers. Output mode: update. */
+  def statefulUserActivity(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").cast("long"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Seq.empty))
+          val evs = it.toSeq
+          val next = UserState(prev.n + evs.size, (prev.types ++ evs.map(_._2)).distinct)
+          state.update(next)
+          (uid, next.n, next.types.size.toLong)
+      }
+      .toDF("user_id", "n_events", "n_types")
+  }
 }
