@@ -118,6 +118,41 @@ object ExtrasPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     },
 
+    // SQL text frontend: the same engine drives spark.sql(...) over temp
+    // views (TPC-H Q3 shape — shipping priority).
+    "q58_sql_frontend" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY o_orderkey, o_orderdate""")
+    },
+
+    // as-of join (composition per the preference order: built-ins first) —
+    // for each event, the user's most recent order at event time.
+    "q59_asof_join" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val joined = ev.join(o,
+        col("o_custkey") === col("user_id") &&
+          col("o_orderdate") <= col("ts").cast("timestamp_ntz"), "inner")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").cast("date").as("asof_date"))
+    },
+
     // bucketed co-located join: both sides bucketed+sorted by the join key
     // → zero-exchange sort-merge join (asserted in the spec).
     "q56_bucketed_join" -> { (s, d) =>
@@ -144,6 +179,27 @@ object ExtrasPack extends QueryPack {
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderstatus""",
+
+    "q58_sql_frontend" ->
+      s"""SELECT o_orderkey,
+          ${Sql.dsum6("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          CAST(o_orderdate AS DATE) AS order_date
+          FROM customer JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+            AND l_shipdate > TIMESTAMP '1996-01-01'
+          GROUP BY o_orderkey, o_orderdate""",
+
+    "q59_asof_join" ->
+      """WITH j AS (
+           SELECT event_id, user_id, o_orderkey, o_orderdate,
+                  ROW_NUMBER() OVER (PARTITION BY event_id
+                    ORDER BY o_orderdate DESC, o_orderkey) AS rn
+           FROM events JOIN orders ON o_custkey = user_id AND o_orderdate <= ts)
+         SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+                CAST(o_orderdate AS DATE) AS asof_date
+         FROM j WHERE rn = 1""",
 
     "q47_tsv_scan" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0""",
