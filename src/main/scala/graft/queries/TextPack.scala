@@ -28,7 +28,7 @@ object TextPack extends QueryPack {
   private val stoplist = Seq("the", "a", "data", "key", "join")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // token counting + lexical diversity.
+    // token counting (whitespace + BPE-ish subword regex) + diversity.
     "q36_token_stats" -> { (s, d) =>
       val w = TextOps.words(col("text"))
       Tables.documents(s, d).select(
@@ -37,7 +37,9 @@ object TextPack extends QueryPack {
         size(array_distinct(w)).cast("long").as("n_types"),
         (aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double")
           / size(w).cast("double")).as("avg_token_len"),
-        (size(array_distinct(w)).cast("double") / size(w).cast("double")).as("ttr"))
+        (size(array_distinct(w)).cast("double") / size(w).cast("double")).as("ttr"),
+        size(regexp_extract_all(col("text"), lit(TextOps.SubwordPattern), lit(0)))
+          .cast("long").as("n_subwords"))
     },
 
     // reference-free quality score from length/diversity/stopword signals.
@@ -76,12 +78,13 @@ object TextPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q36_token_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
            CAST(len(w) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
            CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
-           CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr
-         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""",
+           CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+           CAST(len(regexp_extract_all(text, '${TextOps.SubwordPattern}')) AS BIGINT) AS n_subwords
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""",
 
     "q37_quality_score" -> {
       val stop = stoplist.map(t => s"'$t'").mkString(", ")

@@ -18,6 +18,12 @@ object TextOps {
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(text, " ")
 
+  /** BPE-ish subword pattern (letter runs / single digits / punctuation
+    * runs — the GPT-2 pre-tokenizer shape, simplified to constructs that
+    * behave identically under Java regex and RE2). Token count via
+    * `regexp_extract_all(text, pattern)` in both engines. */
+  val SubwordPattern = "[a-z]+|[0-9]|[^a-z0-9 ]+"
+
   /** Portable 32-bit content hash: int value of md5's first 8 hex chars. */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
