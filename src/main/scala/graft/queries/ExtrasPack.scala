@@ -64,6 +64,14 @@ object ExtrasPack extends QueryPack {
           grouping_id().cast("long").as("gid"))
     },
 
+    // cube — all grouping-set combinations with grouping indicators.
+    "q60_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping_id().cast("long").as("gid"))
+    },
+
     // range join — inequality-condition join (lineitems shipped within 30
     // days of their order's date), aggregated per order status.
     "q51_range_join" -> { (s, d) =>
@@ -224,6 +232,11 @@ object ExtrasPack extends QueryPack {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             AND l_shipdate >= o_orderdate
             AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-          GROUP BY o_orderstatus"""
+          GROUP BY o_orderstatus""",
+
+    "q60_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
   )
 }
