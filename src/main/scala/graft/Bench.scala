@@ -2,16 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — BASELINE.md protocol: min-of-3 wall time per query
-  * (repeats capped once a query has spent 30s total, so heavy ML/fit
-  * queries run once), peak heap high-water mark, single local JVM.
-  * Emits ONE JSON line for the driver.
+/** Benchmark main — BASELINE.md protocol: COLD min-of-3 wall time per query
+  * (the SQL cache is cleared before every run, so internally-persisted
+  * queries can't report cache-warmed minima; repeats are capped once a query
+  * has spent 30s total, so heavy ML/fit queries run once), peak heap
+  * high-water mark, single local JVM. Emits ONE JSON line for the driver.
+  *
+  * Evaluation is forced through the `noop` datasource sink: every output
+  * column is fully evaluated and row-serialized. Forcing with `.count()`
+  * would let Catalyst prune all projection columns — signature/sketch
+  * queries (minhash, simhash, fingerprints) would never evaluate the very
+  * expressions being benchmarked.
+  *
+  * A query that throws on every repeat is reported with `-1` and its error
+  * in the `errors` map — never as a (fast) fake timing.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS, SPARK_GRAFT_REPEATS,
+  * SPARK_GRAFT_ONLY (comma-separated substrings to filter query names — dev
+  * iteration aid, unset for driver runs).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val spark = graft.core.GraftSession.configure(
         SparkSession.builder()
           .master(s"local[$cpus]")
@@ -27,24 +42,37 @@ object Bench {
       if (used > peakMem) peakMem = used
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+
+    var errors = Map.empty[String, String]
+    val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var spent = 0.0
       var runs = 0
+      var ok = false
+      var lastErr: String = null
       while (runs < repeats && (runs == 0 || spent < 30.0)) {
+        spark.catalog.clearCache() // cold runs: no cross-repeat cache flattery
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val failed =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+          catch { case e: Throwable => lastErr = s"${e.getClass.getSimpleName}: ${e.getMessage}"; true }
         val dt = (System.nanoTime() - t0) / 1e9
         spent += dt; runs += 1
-        if (dt < best) best = dt
+        if (!failed) { ok = true; if (dt < best) best = dt }
         sampleMem()
       }
-      name -> best
+      if (!ok) { errors += name -> String.valueOf(lastErr).take(200); name -> -1.0 }
+      else name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val memMib = peakMem / 1024 / 1024
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"min-of-$repeats, repeats capped at 30s/query"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run), repeats capped at 30s/query, noop-sink forced"}""")
     spark.stop()
   }
 }

@@ -34,9 +34,21 @@ object Dedup {
     def b(j: Int): Long = (j * 1103515245L + 101L) % P
   }
 
-  /** k minhash values over a 32-bit shingle-hash array — k `array_min`
-    * projections, zero shuffle, any document length. */
+  /** k minhash values over a 32-bit shingle-hash array — one pass via the
+    * native [[org.apache.spark.sql.graft.MinHashSketch]] expression: the
+    * shingle-hash child is evaluated once per row (the composed k×`array_min`
+    * form re-evaluated the md5 hash chain k times — no CSE inside
+    * interpreted HOFs; measured 16× slower). Zero shuffle, any length. */
   def minhashes(shingleHashes: Column): Column = {
+    import MinHashParams._
+    org.apache.spark.sql.graft.MinHashSketch(
+      shingleHashes, P, (0 until k).map(a), (0 until k).map(b))
+  }
+
+  /** The composed k×`array_min(transform(...))` formulation — kept as the
+    * executable spec that the native [[minhashes]] must match bit-for-bit
+    * (see DedupTextSpec); do not use on the hot path. */
+  def minhashesComposed(shingleHashes: Column): Column = {
     import MinHashParams._
     array((0 until k).map { j =>
       array_min(transform(shingleHashes,
@@ -73,19 +85,35 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (a < b) sharing at least one band signature.
-    * The band table is persisted: both sides of the self-join reuse one
-    * minhash computation instead of re-deriving signatures per side. */
+    * The band table is persisted so both sides of the self-join reuse one
+    * minhash computation, then RELEASED once the (much smaller) pair set is
+    * materialized — holding the full band table cached across a session
+    * accumulates blocks at corpus scale. The pair set itself stays cached
+    * for the caller's action(s). */
   def candidatePairs(bandTab: DataFrame, idCol: String): DataFrame = {
     val bt = bandTab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bt.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val r = bt.select(col(idCol).as("id_b"), col("band"), col("sig"))
-    l.join(r, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+    val pairs = l.join(r, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize pairs before dropping the band-table cache
+    bt.unpersist()
+    pairs
   }
 
   /** 32-bit SimHash over token hashes: bit β of the signature is the sign
-    * of Σ_tokens (±1 by bit β of hash32(token)). One projection expression. */
+    * of Σ_tokens (±1 by bit β of hash32(token)). One pass via the native
+    * [[org.apache.spark.sql.graft.SimHash]] expression — the composed
+    * 32×`aggregate` form re-evaluated the token-hash md5 chain 32 times
+    * (no CSE inside interpreted HOFs). */
   def simhash32(tokenHashes: Column): Column =
+    org.apache.spark.sql.graft.SimHash(tokenHashes, 32)
+
+  /** The composed 32×`aggregate` formulation — kept as the executable spec
+    * the native [[simhash32]] must match bit-for-bit (see DedupTextSpec);
+    * do not use on the hot path. */
+  def simhash32Composed(tokenHashes: Column): Column =
     (0 until 32).map { b =>
       val vote = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))

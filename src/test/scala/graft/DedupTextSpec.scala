@@ -45,6 +45,32 @@ class DedupTextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $pairs")
   }
 
+  test("native MinHashSketch matches the composed k-array_min formulation bit-for-bit") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "quick brown fox jumps over the lazy dog again and again",
+      "completely different words entirely unrelated content here now today",
+      "a b c", // exactly one 3-shingle
+      "short one" // below shingle length → empty hash array → null sketch
+    ).toDF("text")
+    val hs = transform(TextOps.wordNgrams(TextOps.words($"text"), 3), TextOps.hash32(_))
+    val both = docs.select(
+      Dedup.minhashes(hs).as("native"),
+      Dedup.minhashesComposed(hs).as("composed"))
+    both.collect().foreach { r =>
+      val native = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      val composed0 = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+      if (native == null) {
+        // composed gives an array of k nulls for an empty hash array;
+        // native collapses that to a null array (no doc reaches either
+        // state past bandTable's size filter)
+        assert(composed0 == null || composed0.forall(_ == null))
+      } else {
+        assert(native == composed0.map(_.asInstanceOf[Long]))
+      }
+    }
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val hs = (c: org.apache.spark.sql.Column) => transform(TextOps.words(c), TextOps.hash32(_))
     val df = Seq(
@@ -55,6 +81,19 @@ class DedupTextSpec extends SparkSpec {
     val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("a") == m("b") && m("a") != m("c"))
     assert(m("a") >= 0 && m("a") < (1L << 32))
+  }
+
+  test("native SimHash matches the composed 32-aggregate formulation bit-for-bit") {
+    val hs = (c: org.apache.spark.sql.Column) => transform(TextOps.words(c), TextOps.hash32(_))
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different unrelated content",
+      "x", // single token
+      ""   // split("") = [""] → one (hashed) empty-string token
+    ).toDF("t").select(
+      Dedup.simhash32(hs($"t")).as("native"),
+      Dedup.simhash32Composed(hs($"t")).as("composed"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
   test("fingerprint is position-sensitive (permutation changes it)") {
