@@ -46,10 +46,42 @@ object GexpPipeline {
     (means, vars)
   }
 
+  /** Per-position (mean, variance) via exact-decimal sums over one
+    * explode + hash-aggregation (map-side partial combine; shuffles only
+    * width × partitions pre-aggregated rows, the TMM-colstats shape).
+    *
+    * Unlike [[positionStats]]' double tree-aggregation, the decimal sums
+    * are combine-order independent and bit-identical in any engine —
+    * DECIMAL(38,18) captures every double exactly for |x| < ~1e19 — which
+    * is what lets the q54 oracle replay the feature-mask decision in SQL.
+    * Same O(n·k) work and scale shape; preferred when the downstream
+    * decision (threshold comparisons) must be reproducible. */
+  def positionStatsExact(df: DataFrame, featuresCol: String): (Array[Double], Array[Double]) = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.select(posexplode(col(featuresCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 18))).cast("double").as("s"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 18))).cast("double").as("s2"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val width = rows.size
+    val means = new Array[Double](width)
+    val vars = new Array[Double](width)
+    (0 until width).foreach { i =>
+      val (n, s, s2) = rows(i)
+      means(i) = s / n
+      vars(i) = (s2 - s * s / n) / (n - 1.0)
+    }
+    (means, vars)
+  }
+
   /** Run the full slice. `df` must carry (idCol: long, featuresCol:
-    * Array[Double] — positive values, FPKM-like, labelCol: string). */
+    * Array[Double] — positive values, FPKM-like, labelCol: string).
+    * `dump` (test-set scored DF, per-fold CV scored DF) runs while the
+    * pipeline caches are alive — the differential-oracle hook. */
   def run(df: DataFrame, idCol: String, featuresCol: String, labelCol: String,
-          cvFolds: Int = 3, maskQuantile: Double = 0.25): Result = {
+          cvFolds: Int = 3, maskQuantile: Double = 0.25,
+          dump: Option[(DataFrame, DataFrame) => Unit] = None): Result = {
 
     // M1 — UpperQuartile normalization (fit + transform on the load)
     val uq = new Normalization.UpperQuartile(0.75, featuresCol).fit(df)
@@ -57,7 +89,8 @@ object GexpPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK) // reference persists post-normalize
 
     // P3 — stats-driven feature mask: mean AND var above their own q25
-    val (means, vars) = positionStats(normalized, featuresCol)
+    // (exact-decimal stats so the mask decision is engine-reproducible)
+    val (means, vars) = positionStatsExact(normalized, featuresCol)
     val tm = graft.relational.StatsProjection.quantileType7(means.toSeq, maskQuantile)
     val tv = graft.relational.StatsProjection.quantileType7(vars.toSeq, maskQuantile)
     val kept = means.indices.filter(i => means(i) > tm && vars(i) > tv)
@@ -91,12 +124,20 @@ object GexpPipeline {
     // M8/M12 — RandomForest + held-out accuracy
     val rf = Models.randomForest("label_index", "features_std", numTrees = 30)
     val model = rf.fit(trainReady)
-    val accuracy = Models.accuracy("label_index").evaluate(model.transform(testReady))
+    val testScored = model.transform(testReady)
+      .select(col(idCol), col("label_index"), col("prediction"))
+    val accuracy = Models.accuracy("label_index").evaluate(testScored)
 
     // M7/A8 — parallel K-fold CV on the training set
-    val cvScores = Models.kFoldCv(trainReady, cvFolds, idCol,
+    var cvPreds: DataFrame = null
+    val cvScores = Models.kFoldCvWithPreds(trainReady, cvFolds, idCol,
       tr => { val m = rf.fit(tr); te => m.transform(te) },
-      scoredDf => Models.accuracy("label_index").evaluate(scoredDf))
+      scoredDf => Models.accuracy("label_index").evaluate(scoredDf)) { folds =>
+      cvPreds = folds.map { case (f, sdf) =>
+        sdf.select(lit(f.toLong).as("fold"), col("label_index"), col("prediction"))
+      }.reduce(_ unionByName _)
+      dump.foreach(h => h(testScored, cvPreds)) // caches still alive here
+    }
     val cvMean = cvScores.sum / cvScores.size
     val cvVar = cvScores.map(s => (s - cvMean) * (s - cvMean)).sum / cvScores.size
 

@@ -68,7 +68,17 @@ object Models {
     */
   def kFoldCv(df: DataFrame, k: Int, keyCol: String,
               train: DataFrame => DataFrame => DataFrame, // trainDF => (testDF => scoredDF)
-              score: DataFrame => Double): Seq[Double] = {
+              score: DataFrame => Double): Seq[Double] =
+    kFoldCvWithPreds(df, k, keyCol, train, score)(_ => ())
+
+  /** [[kFoldCv]] plus a post-hoc hook: after the concurrent fold jobs
+    * complete, `use` receives the (fold, scored-test DF) pairs while the
+    * fold cache is still alive — the plumbing that lets differential
+    * oracles dump per-fold predictions (see [[graft.util.OracleDump]]). */
+  def kFoldCvWithPreds(df: DataFrame, k: Int, keyCol: String,
+                       train: DataFrame => DataFrame => DataFrame,
+                       score: DataFrame => Double)(
+                       use: Seq[(Int, DataFrame)] => Unit): Seq[Double] = {
     import org.apache.spark.sql.functions._
     val withFold = df.withColumn("__fold", DeterministicSplits.foldId(col(keyCol), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -80,10 +90,13 @@ object Models {
         Future {
           val tr = withFold.filter(col("__fold") =!= f).drop("__fold")
           val te = withFold.filter(col("__fold") === f).drop("__fold")
-          score(train(tr)(te))
+          val scored = train(tr)(te)
+          (score(scored), scored)
         }
       }
-      Await.result(Future.sequence(futures), Duration.Inf)
+      val done = Await.result(Future.sequence(futures), Duration.Inf)
+      use(done.map(_._2).zipWithIndex.map { case (s, f) => (f, s) })
+      done.map(_._1)
     } finally {
       pool.shutdown()
       withFold.unpersist()

@@ -85,7 +85,9 @@ object ExtrasPack extends QueryPack {
     },
 
     // M8 — gradient-boosted trees, binary task (GBTClassifier is
-    // binary-only; multiclass default is RF per SURVEY §7.3). Rows-only.
+    // binary-only; multiclass default is RF per SURVEY §7.3). Accuracy is
+    // differential-oracled from the dumped predictions; split sizes from
+    // the hash-split replay.
     "q52_gbt_accuracy" -> { (s, d) =>
       val df = Tables.embeddings(s, d).select(
         col("vec_id"), (col("label") < 5).cast("double").as("label"),
@@ -93,12 +95,18 @@ object ExtrasPack extends QueryPack {
       val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
       val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
       val m = Models.gbtClassifier("label", "features").setMaxIter(10).fit(train)
-      val acc = Models.accuracy("label").evaluate(m.transform(test))
-      s.createDataFrame(Seq(("gbt_binary", acc))).toDF("model", "accuracy")
+      val preds = graft.util.OracleDump.dump(
+        m.transform(test).select(col("vec_id"), col("label"), col("prediction")),
+        "q52_gbt_preds")
+      val acc = Models.accuracy("label").evaluate(preds)
+      s.createDataFrame(Seq(("gbt_binary", train.count(), test.count(), acc)))
+        .toDF("model", "n_train", "n_test", "accuracy")
+        .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
     // M13 — regression + R²: learn a deterministic target (sum of the
-    // first 8 embedding dims) with GBTRegressor. Rows-only.
+    // first 8 embedding dims) with GBTRegressor. R² is recomputed by the
+    // oracle from the dumped (label, prediction) rows.
     "q53_regression_r2" -> { (s, d) =>
       val df = Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -108,8 +116,13 @@ object ExtrasPack extends QueryPack {
       val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
       val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
       val m = Models.gbtRegressor("label", "features").setMaxIter(10).fit(train)
-      val r2 = Models.r2("label").evaluate(m.transform(test))
-      s.createDataFrame(Seq(("gbt_regression", r2))).toDF("model", "r2")
+      val preds = graft.util.OracleDump.dump(
+        m.transform(test).select(col("vec_id"), col("label"), col("prediction")),
+        "q53_reg_preds")
+      val r2 = Models.r2("label").evaluate(preds)
+      s.createDataFrame(Seq(("gbt_regression", train.count(), test.count(), r2)))
+        .toDF("model", "n_train", "n_test", "r2")
+        .withColumn("r2", round(col("r2"), 6))
     }
   )
 
@@ -176,7 +189,29 @@ object ExtrasPack extends QueryPack {
     }
   )
 
+  private def unitHashSql(k: String): String =
+    s"(CAST(${graft.util.Parity.keyHashSql(k)} AS DOUBLE) / ${graft.util.Parity.HashMod}.0)"
+
   override def oracles: Map[String, String] = Map(
+    "q52_gbt_accuracy" ->
+      s"""SELECT 'gbt_binary' AS model,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
+            (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
+             FROM ${graft.util.OracleDump.sqlGlob("q52_gbt_preds")}) AS accuracy""",
+
+    // R² = 1 − SS_res/SS_tot over the dumped held-out predictions (the
+    // ~1e-14 double-summation-order difference vs the evaluator is washed
+    // out by round 6).
+    "q53_regression_r2" ->
+      s"""WITH p AS (SELECT label, prediction FROM ${graft.util.OracleDump.sqlGlob("q53_reg_preds")}),
+          m AS (SELECT AVG(label) AS mu FROM p)
+          SELECT 'gbt_regression' AS model,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
+            round(1.0 - (SELECT SUM((label - prediction) * (label - prediction)) FROM p)
+                      / (SELECT SUM((label - m.mu) * (label - m.mu)) FROM p, m), 6) AS r2""",
+
     "q55_salted_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
           ${Sql.dsum6("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -7,7 +7,7 @@ import graft.QueryPack
 import graft.io.Tables
 import graft.ml.{DeterministicSplits, Models, Normalization, PipelineStages}
 import graft.matrix.ArrayOps
-import graft.util.Parity
+import graft.util.{OracleDump, Parity}
 import graft.util.Parity._
 
 /** ML pipeline surface (SURVEY §2.9): deterministic seeded splits,
@@ -67,54 +67,83 @@ object MLPack extends QueryPack {
     },
 
     // M8/M14 — RandomForest multiclass on embeddings (hash-split 70/30),
-    // predictions on held-out set. Rows-only: model internals aren't
-    // SQL-expressible.
+    // predictions on held-out set. Oracle: q25's *independently fitted*
+    // prediction dump — a cross-fit determinism check (seeded fit + hash
+    // split + fixed partitioning must reproduce row-for-row).
     "q24_rf_predictions" -> { (s, d) =>
       val (train, test) = embeddingsML(s, d)
       val model = Models.randomForest("label", "features", numTrees = 20).fit(train)
       model.transform(test).select(col("vec_id"), col("label"), col("prediction"))
     },
 
-    // M12 — held-out accuracy of the RF model (single-row result).
+    // M12 — held-out accuracy of the RF model, with split sizes. The
+    // accuracy is differential-oracled: predictions are dumped and DuckDB
+    // recomputes the metric from them (see OracleDump); split sizes are
+    // independently SQL-derived from the hash-split replay.
     "q25_rf_accuracy" -> { (s, d) =>
       val (train, test) = embeddingsML(s, d)
       val model = Models.randomForest("label", "features", numTrees = 20).fit(train)
-      val acc = Models.accuracy("label").evaluate(model.transform(test))
-      s.createDataFrame(Seq(Tuple2("rf_embeddings", acc))).toDF("model", "accuracy")
+      val preds = OracleDump.dump(
+        model.transform(test).select(col("vec_id"), col("label"), col("prediction")),
+        "q25_rf_preds")
+      val acc = Models.accuracy("label").evaluate(preds)
+      s.createDataFrame(Seq(("rf_embeddings", train.count(), test.count(), acc)))
+        .toDF("model", "n_train", "n_test", "accuracy")
+        .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
     // M7 — parallel K-fold CV (concurrent fold jobs) with logistic
-    // regression; per-fold accuracy scores.
+    // regression; per-fold sizes + accuracy. Fold sizes are SQL-derived
+    // from the fold-hash replay; accuracies are differential-oracled from
+    // the dumped per-fold predictions.
     "q26_cv_scores" -> { (s, d) =>
       val df = Tables.embeddings(s, d).select(
         col("vec_id"), col("label").cast("double").as("label"),
         PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
-      val scores = Models.kFoldCv(df, 3, "vec_id",
+      val scores = Models.kFoldCvWithPreds(df, 3, "vec_id",
         tr => { val m = Models.logistic("label", "features").fit(tr); te => m.transform(te) },
-        scored => Models.accuracy("label").evaluate(scored))
-      s.createDataFrame(scores.zipWithIndex.map { case (sc, f) => (f.toLong, sc) })
-        .toDF("fold", "accuracy")
+        scored => Models.accuracy("label").evaluate(scored)) { folds =>
+        OracleDump.dump(
+          folds.map { case (f, sdf) =>
+            sdf.select(lit(f.toLong).as("fold"), col("label"), col("prediction"))
+          }.reduce(_ unionByName _), "q26_cv_preds")
+      }
+      val foldSizes = df.groupBy(DeterministicSplits.foldId(col("vec_id"), 3).as("fold"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = foldSizes.values.sum
+      s.createDataFrame(scores.zipWithIndex.map { case (sc, f) =>
+        (f.toLong, total - foldSizes(f.toLong), foldSizes(f.toLong), sc)
+      }).toDF("fold", "n_train", "n_test", "accuracy")
+        .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
     // M11 — seeded random hyperparameter search over LinearSVC (binary
-    // task: label < 5) — config + score per trial.
+    // task: label < 5) — trial + config + score. The seeded config draw is
+    // oracle-pinned as a golden VALUES list; per-trial accuracies are
+    // differential-oracled from the dumped per-trial predictions.
     "q27_random_search" -> { (s, d) =>
       val df = Tables.embeddings(s, d).select(
         col("vec_id"), (col("label") < 5).cast("double").as("label"),
         PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
       val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
       val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
+      var trials = Vector.empty[org.apache.spark.sql.DataFrame]
       val (_, _, all) = Models.randomSearch(
         Map("regParam" -> Seq(0.0, 0.01, 0.1), "maxIter" -> Seq(10, 20)), n = 4) { cfg =>
         val m = Models.linearSvc("label", "features")
           .setRegParam(cfg("regParam").asInstanceOf[Double])
           .setMaxIter(cfg("maxIter").asInstanceOf[Int])
           .fit(train)
-        Models.accuracy("label").evaluate(m.transform(test))
+        val p = m.transform(test)
+          .select(lit(trials.size.toLong).as("trial"), col("label"), col("prediction"))
+        trials :+= p
+        Models.accuracy("label").evaluate(p)
       }
-      s.createDataFrame(all.map { case (cfg, sc) =>
-        (cfg("regParam").asInstanceOf[Double], cfg("maxIter").asInstanceOf[Int].toLong, sc)
-      }).toDF("reg_param", "max_iter", "accuracy")
+      OracleDump.dump(trials.reduce(_ unionByName _), "q27_trial_preds")
+      s.createDataFrame(all.zipWithIndex.map { case ((cfg, sc), t) =>
+        (t.toLong, cfg("regParam").asInstanceOf[Double], cfg("maxIter").asInstanceOf[Int].toLong, sc)
+      }).toDF("trial", "reg_param", "max_iter", "accuracy")
+        .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
     // M2 — TMM normalization factors on the lineitem 4-column matrix.
@@ -133,16 +162,25 @@ object MLPack extends QueryPack {
     // slice, `dask_pipeline.py:124-157`): UQ-normalize → P3 feature mask →
     // log2(x+1) → split → encode → scale → RandomForest → accuracy + CV.
     // Input: an FPKM-like positive matrix derived from the embeddings
-    // table (exp transform), string class labels. Rows-only.
+    // table (exp transform), string class labels. Fully oracle-checked:
+    // split sizes + feature-mask count are replayed in SQL; accuracy /
+    // cv stats are differential-oracled from the prediction dumps.
     "q54_gexp_pipeline" -> { (s, d) =>
       val gexp = Tables.embeddings(s, d).select(
         col("vec_id"),
         transform(col("embedding"), x => exp(x.cast("double")) * 10.0).as("features"),
         concat(lit("class_"), (col("label") % 3).cast("string")).as("subtype"))
-      val r = graft.ml.GexpPipeline.run(gexp, "vec_id", "features", "subtype")
+      val r = graft.ml.GexpPipeline.run(gexp, "vec_id", "features", "subtype",
+        dump = Some((testScored, cvPreds) => {
+          OracleDump.dump(testScored, "q54_test_preds")
+          OracleDump.dump(cvPreds, "q54_cv_preds")
+        }))
       s.createDataFrame(Seq((r.nTrain, r.nTest, r.nFeaturesKept.toLong,
           r.accuracy, r.cvMean, r.cvVar)))
         .toDF("n_train", "n_test", "n_features_kept", "accuracy", "cv_mean", "cv_var")
+        .withColumn("accuracy", round(col("accuracy"), 6))
+        .withColumn("cv_mean", round(col("cv_mean"), 6))
+        .withColumn("cv_var", round(col("cv_var"), 9))
     }
   )
 
@@ -173,6 +211,85 @@ object MLPack extends QueryPack {
     "q23_fold_counts" ->
       s"""SELECT ${Parity.keyHashSql("o_orderkey")} % 10 AS fold,
           COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
-          FROM orders GROUP BY 1"""
+          FROM orders GROUP BY 1""",
+
+    // Cross-fit determinism: q24's rows must equal the predictions q25's
+    // independent fit dumped.
+    "q24_rf_predictions" ->
+      s"""SELECT vec_id, label, prediction FROM ${OracleDump.sqlGlob("q25_rf_preds")}""",
+
+    "q25_rf_accuracy" ->
+      s"""SELECT 'rf_embeddings' AS model,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
+            (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
+             FROM ${OracleDump.sqlGlob("q25_rf_preds")}) AS accuracy""",
+
+    "q26_cv_scores" ->
+      s"""WITH acc AS (SELECT fold, round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+                       FROM ${OracleDump.sqlGlob("q26_cv_preds")} GROUP BY fold),
+          fc AS (SELECT ${Parity.keyHashSql("vec_id")} % 3 AS fold, COUNT(*) AS n_test
+                 FROM embeddings GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS n FROM embeddings)
+          SELECT fc.fold, tot.n - fc.n_test AS n_train, fc.n_test, acc.accuracy
+          FROM fc JOIN acc ON acc.fold = fc.fold CROSS JOIN tot""",
+
+    // Config rows are the golden replay of the seeded draw
+    // (scala.util.Random(42) over the sorted grid keys); accuracies come
+    // from the per-trial prediction dump.
+    "q27_random_search" ->
+      s"""WITH cfg(trial, reg_param, max_iter) AS (VALUES
+            (CAST(0 AS BIGINT), 0.0, CAST(20 AS BIGINT)),
+            (CAST(1 AS BIGINT), 0.1, CAST(20 AS BIGINT)),
+            (CAST(2 AS BIGINT), 0.01, CAST(10 AS BIGINT)),
+            (CAST(3 AS BIGINT), 0.1, CAST(10 AS BIGINT))),
+          acc AS (SELECT trial, round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+                  FROM ${OracleDump.sqlGlob("q27_trial_preds")} GROUP BY trial)
+          SELECT cfg.trial, cfg.reg_param, cfg.max_iter, acc.accuracy
+          FROM cfg JOIN acc USING (trial)""",
+
+    // Full SQL replay of the pipeline's deterministic spine — the feature
+    // matrix (exp·10), the UpperQuartile row factors (type-7 q75 / ordered
+    // row sum, geometric-mean symmetrization via exact-decimal log sums),
+    // the exact-decimal per-position stats, and the q25 mean/var mask —
+    // plus accuracy / CV stats recomputed from the prediction dumps.
+    "q54_gexp_pipeline" -> {
+      val rowSum = (1 to 64).map(i => s"f[$i]").mkString(" + ")
+      s"""WITH feat AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> exp(x) * 10.0) AS f
+            FROM embeddings),
+          nf AS (
+            SELECT vec_id, f, ${Sql.q7("ls", 64, 0.75)} / ($rowSum) AS nf
+            FROM (SELECT vec_id, f, list_sort(f) AS ls FROM feat)),
+          gm AS (
+            SELECT exp(CAST(SUM(CAST(ln(CASE WHEN nf = 0 THEN 1 ELSE nf END) AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*)) AS gm
+            FROM nf),
+          norm AS (SELECT vec_id, list_transform(f, x -> x * (nf / gm.gm)) AS g FROM nf, gm),
+          pos AS (SELECT unnest(g) AS v, unnest(range(len(g))) AS p FROM norm),
+          stats AS (SELECT p, COUNT(*) AS n,
+                      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS s,
+                      CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS s2
+                    FROM pos GROUP BY p),
+          mv AS (SELECT p, s / n AS mean, (s2 - s * s / n) / (n - 1.0) AS var FROM stats),
+          thr AS (SELECT quantile_cont(mean, 0.25) AS tm, quantile_cont(var, 0.25) AS tv FROM mv),
+          kept AS (SELECT COUNT(*) AS k FROM mv, thr WHERE mean > thr.tm AND var > thr.tv),
+          tacc AS (SELECT round(AVG(CASE WHEN label_index = prediction THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+                   FROM ${OracleDump.sqlGlob("q54_test_preds")}),
+          facc AS (SELECT fold, AVG(CASE WHEN label_index = prediction THEN 1.0 ELSE 0.0 END) AS a
+                   FROM ${OracleDump.sqlGlob("q54_cv_preds")} GROUP BY fold),
+          cvs AS (SELECT (SELECT a FROM facc WHERE fold = 0) AS a0,
+                         (SELECT a FROM facc WHERE fold = 1) AS a1,
+                         (SELECT a FROM facc WHERE fold = 2) AS a2),
+          cvm AS (SELECT a0, a1, a2, (a0 + a1 + a2) / 3.0 AS m FROM cvs),
+          cvv AS (SELECT round(m, 6) AS cv_mean,
+                         round(((a0 - m) * (a0 - m) + (a1 - m) * (a1 - m) + (a2 - m) * (a2 - m)) / 3.0, 9) AS cv_var
+                  FROM cvm)
+          SELECT
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
+            kept.k AS n_features_kept, tacc.accuracy, cvv.cv_mean, cvv.cv_var
+          FROM kept, tacc, cvv"""
+    }
   )
 }

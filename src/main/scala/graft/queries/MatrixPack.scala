@@ -15,13 +15,7 @@ import graft.ml.Normalization
   */
 object MatrixPack extends QueryPack {
 
-  /** DuckDB type-7 quantile over a sorted DOUBLE[] `ls` of fixed width. */
-  private def q7(ls: String, n: Int, q: Double): String = {
-    val pos = (n - 1) * q
-    val lo = math.floor(pos).toInt
-    val hi = math.ceil(pos).toInt
-    s"($ls[${lo + 1}] + ($ls[${hi + 1}] - $ls[${lo + 1}]) * ($pos - $lo.0))"
-  }
+  private def q7(ls: String, n: Int, q: Double): String = Sql.q7(ls, n, q)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A4 — per-row exact sum (order-independent decimal) + type-7 quantiles

@@ -21,4 +21,15 @@ object Sql {
   }
   /** Oracle twin of [[Parity.keyHash]]. */
   def keyHash(col: String): String = Parity.keyHashSql(col)
+
+  /** DuckDB type-7 (numpy-default linear interpolation) quantile over a
+    * sorted DOUBLE[] `ls` of fixed width `n` — twin of
+    * [[graft.matrix.ArrayOps.rowQuantile]] /
+    * [[graft.relational.StatsProjection.quantileType7]]. */
+  def q7(ls: String, n: Int, q: Double): String = {
+    val pos = (n - 1) * q
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    s"($ls[${lo + 1}] + ($ls[${hi + 1}] - $ls[${lo + 1}]) * ($pos - $lo.0))"
+  }
 }
