@@ -116,12 +116,16 @@ object Normalization {
     private def fitInternal(df: DataFrame): (TMMModel, DataFrame, Column) = {
       val width = df.select(size(col(featuresCol))).head().getInt(0)
 
-      // 1-2. per-position stats via one explode+agg (k·n rows, hash-agg'd)
+      // 1-2. per-position stats via one explode+agg (k·n rows, hash-agg'd).
+      // colsum goes through exact DECIMAL: combine-order independent (same
+      // factors at any partitioning/cluster size) and bit-replayable by the
+      // DuckDB oracle; exact for inputs with ≤6 fractional digits, ≤1e-6
+      // relative rounding otherwise.
       val pos = df.select(posexplode(col(featuresCol)).as(Seq("pos", "x")))
       val colStats = pos.groupBy("pos").agg(
         sum(when(col("x") =!= 0.0, 1).otherwise(0)).as("nnz"),
         pctl("CASE WHEN x > 0 THEN x END", 0.75).as("q75pos"),
-        sum(col("x")).as("colsum"))
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double").as("colsum"))
         .collect().map(r => r.getInt(0) -> r).toMap
       val kept = (0 until width).filter(i => colStats(i).getLong(1) > 0)
       val pseudoref = kept.map { i =>

@@ -146,9 +146,24 @@ object MLPack extends QueryPack {
         .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
-    // M2 — TMM normalization factors on the lineitem 4-column matrix.
-    // Rows-only (the full TMM dataflow is unit-tested; SQL oracle would
-    // re-implement the whole estimator).
+    // M2 — TMM, exact mode, on a 1/20th slice of the matrix: the FULL
+    // estimator (pseudo-reference, log-ratio/abs-expr algebra, global trim
+    // quantiles, trimmed means, geometric-mean symmetrization) is replayed
+    // in DuckDB SQL and must hash-match. Complements q28, which runs the
+    // whole table in approx (scale) mode rows-only.
+    "q64_tmm_exact" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 0)
+        .withColumn("features",
+          ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
+            lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))))
+      val (_, scored) = new Normalization.TMM(0.3, 0.05, "features", exact = true).fitScored(li)
+      scored.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("scaling_factor"), 6).as("scaling_factor"))
+    },
+
+    // M2 — TMM normalization factors on the lineitem 4-column matrix,
+    // approx-percentile scale mode (GK sketch trim thresholds are not
+    // bit-replayable in SQL → rows-only; q64 is the exact-mode oracle twin).
     "q28_tmm_factors" -> { (s, d) =>
       val li = Tables.lineitem(s, d).withColumn("features",
         ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
@@ -247,6 +262,60 @@ object MLPack extends QueryPack {
                   FROM ${OracleDump.sqlGlob("q27_trial_preds")} GROUP BY trial)
           SELECT cfg.trial, cfg.reg_param, cfg.max_iter, acc.accuracy
           FROM cfg JOIN acc USING (trial)""",
+
+    // Full DuckDB replay of the TMM estimator on the width-4 matrix slice,
+    // spelled out over explicit position columns f1..f4 so every float op
+    // sequence (row sums, log-ratio algebra, trimmed means) matches
+    // TmmRatios' left-to-right loops. quantile_cont == Spark's exact
+    // `percentile` bit-for-bit; colsum/geomean go through exact decimals.
+    "q64_tmm_exact" -> {
+      val P = 1 to 4
+      val csCols = P.map(j =>
+        s"quantile_cont(CASE WHEN f$j > 0 THEN f$j END, 0.75) / CAST(SUM(CAST(f$j AS DECIMAL(38,6))) AS DOUBLE) AS r$j")
+        .mkString(", ")
+      val sExpr = P.map(j => s"(CASE WHEN f$j > 0 THEN f$j ELSE 0.0 END)").mkString(" + ")
+      val s2Expr = P.map(j => s"(CASE WHEN f$j > 0 OR r$j > 0 THEN f$j ELSE 0.0 END)").mkString(" + ")
+      val refsExpr = P.map(j => s"(CASE WHEN f$j > 0 OR r$j > 0 THEN r$j ELSE 0.0 END)").mkString(" + ")
+      def l2(x: String) = s"(ln($x) / ln(2))"
+      def l2num(j: Int) = l2(s"CASE WHEN f$j / s2 = 0 THEN 1.0 ELSE f$j / s2 END")
+      def l2den(j: Int) = {
+        val raw = l2(s"CASE WHEN r$j / refs = 0 THEN 1.0 ELSE r$j / refs END")
+        s"(CASE WHEN $raw = 0 THEN 1.0 ELSE $raw END)"
+      }
+      val lrs = P.map(j => s"CASE WHEN f$j > 0 THEN (s - f$j) / (s * f$j) END AS lr$j").mkString(", ")
+      val aes = P.map(j => s"CASE WHEN f$j > 0 AND r$j > 0 THEN ${l2num(j)} / ${l2den(j)} / 2.0 END AS ae$j").mkString(", ")
+      def mem(j: Int) =
+        s"(lr$j IS NOT NULL AND NOT isnan(lr$j) AND lr$j > tr.lr_lo AND lr$j < tr.lr_hi AND " +
+        s"ae$j IS NOT NULL AND NOT isnan(ae$j) AND ae$j > tr.ae_lo AND ae$j < tr.ae_hi)"
+      val ssum = P.map(j => s"(CASE WHEN ${mem(j)} THEN ae$j ELSE 0.0 END)").mkString(" + ")
+      val cnt = P.map(j => s"(CASE WHEN ${mem(j)} THEN 1.0 ELSE 0.0 END)").mkString(" + ")
+      s"""WITH base AS (
+            SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS DOUBLE) AS f1, CAST(l_extendedprice AS DOUBLE) AS f2,
+              CAST(1.0 + l_discount AS DOUBLE) AS f3, CAST(1.0 + l_tax AS DOUBLE) AS f4
+            FROM lineitem WHERE l_orderkey % 20 = 0),
+          cs AS (SELECT $csCols FROM base),
+          rs AS (SELECT b.*, cs.r1, cs.r2, cs.r3, cs.r4,
+                   $sExpr AS s, $s2Expr AS s2, $refsExpr AS refs
+                 FROM base b, cs),
+          lra AS (SELECT *, $lrs, $aes FROM rs),
+          lrv AS (SELECT v FROM (SELECT unnest([lr1, lr2, lr3, lr4]) AS v FROM lra)
+                  WHERE v IS NOT NULL AND NOT isnan(v)),
+          aev AS (SELECT v FROM (SELECT unnest([ae1, ae2, ae3, ae4]) AS v FROM lra)
+                  WHERE v IS NOT NULL AND NOT isnan(v)),
+          tr AS (SELECT (SELECT quantile_cont(v, 0.3) FROM lrv) AS lr_lo,
+                        (SELECT quantile_cont(v, 0.7) FROM lrv) AS lr_hi,
+                        (SELECT quantile_cont(v, 0.05) FROM aev) AS ae_lo,
+                        (SELECT quantile_cont(v, 0.95) FROM aev) AS ae_hi),
+          fct AS (SELECT l_orderkey, l_linenumber,
+                    CASE WHEN ($cnt) > 0 THEN ($ssum) / ($cnt) END AS factor
+                  FROM lra, tr),
+          gm AS (SELECT exp(CAST(SUM(CAST(ln(CASE WHEN factor = 0 THEN 1.0 ELSE factor END) AS DECIMAL(28,6))) AS DOUBLE)
+                            / COUNT(*)) AS gm
+                 FROM fct)
+          SELECT l_orderkey, l_linenumber, round(factor / gm.gm, 6) AS scaling_factor
+          FROM fct, gm"""
+    },
 
     // Full SQL replay of the pipeline's deterministic spine — the feature
     // matrix (exp·10), the UpperQuartile row factors (type-7 q75 / ordered
