@@ -19,7 +19,11 @@ object Verify {
     // oracle SQL reads them back via the __DUMPDIR__ token (see OracleDump).
     val dumpDir = s"$outDir/_oracle_dumps"
     System.setProperty("graft.oracle.dir", dumpDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev iteration aid (unset for driver runs): restrict to matching names.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,6 +43,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace(graft.util.OracleDump.Token, dumpDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

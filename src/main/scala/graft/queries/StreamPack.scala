@@ -48,6 +48,42 @@ object StreamPack extends QueryPack {
       Streams.drainToTable(
         Streams.statefulUserActivity(Streams.eventsStream(s, d)),
         "stateful", "update")
+    },
+
+    // withWatermark + append mode: three ordered micro-batches where the
+    // third is entirely late data — the watermark (1h, advanced ≥7d past
+    // every batch-1 window by batch 2) must drop all of it, and only
+    // windows sealed by the final watermark are emitted.
+    "q61_watermark_late" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      val agg = Streams.lateArrivalStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      Streams.drainToTable(agg, "wmark", "append")
+    },
+
+    // foreachBatch → parquet sink (the scale-path sink; memory sink is the
+    // bounded-harness convenience): tumbling 2h counts, read back from the
+    // sink files.
+    "q65_stream_sink" -> { (s, d) =>
+      Streams.drainToParquet(
+        Streams.tumblingCounts(Streams.eventsStream(s, d), "2 hours"),
+        "sink2h", "complete")
+    },
+
+    // dedup-within-watermark: event-time among the dedup keys, so state is
+    // evicted as the watermark passes and the all-late batch 3 is dropped
+    // rather than re-emitted.
+    "q66_watermark_dedup" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      val dd = Streams.lateArrivalStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(Seq("user_id", "event_type", "ts"))
+      Streams.drainToTable(dd, "wmdedup", "append")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
     }
   )
 
@@ -86,6 +122,53 @@ object StreamPack extends QueryPack {
     "q57_stateful_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
-         FROM events GROUP BY user_id"""
+         FROM events GROUP BY user_id""",
+
+    // Batch replay of the watermark run. Observed Spark 4 semantics (and
+    // what this oracle asserts): the late-row filter of batch N runs with
+    // the watermark derived from batches 1..N-2 — one batch of extra lag —
+    // so batch 3's late rows survive iff their window outlives
+    // max(batch-1 ts) − 1h; final emission (the trailing no-data batch)
+    // seals windows up to the full watermark max(batch-2 ts) − 1h.
+    "q61_watermark_late" ->
+      s"""WITH e AS (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          wml AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0),
+          wm AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b WHERE t >= b.t1 AND t < b.t2),
+          counted AS (SELECT e.* FROM e, b
+                      WHERE (t < b.t1 AND event_id % 10 <> 0) OR (t >= b.t1 AND t < b.t2)
+                      UNION ALL
+                      SELECT e.* FROM e, b, wml
+                      WHERE t < b.t1 AND event_id % 10 = 0
+                        AND date_trunc('hour', t) + INTERVAL 1 HOUR > wml.w)
+          SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS win_start, event_type,
+                 COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
+          FROM counted, wm
+          GROUP BY 1, 2, wm.w
+          HAVING win_start + INTERVAL 1 HOUR <= wm.w""",
+
+    "q65_stream_sink" ->
+      s"""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000) * 7200000000) AS win_start,
+          event_type, COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
+          FROM events GROUP BY 1, 2""",
+
+    // Same lagged-late-filter model as q61, on row timestamps: batch-3
+    // rows survive iff t > max(batch-1 ts) − 1h; dedup emits on arrival
+    // (append), so no final-watermark seal applies.
+    "q66_watermark_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          wml AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0),
+          kept AS (SELECT e.* FROM e, b
+                   WHERE (t < b.t1 AND event_id % 10 <> 0) OR (t >= b.t1 AND t < b.t2)
+                   UNION ALL
+                   SELECT e.* FROM e, b, wml
+                   WHERE t < b.t1 AND event_id % 10 = 0 AND t > wml.w),
+          dd AS (SELECT DISTINCT user_id, event_type, t FROM kept)
+          SELECT event_type, COUNT(*) AS n FROM dd GROUP BY event_type"""
   )
 }

@@ -16,16 +16,21 @@ import org.apache.spark.sql.functions._
 object Streams {
 
   /** File-source stream over events.parquet with the ns→µs conversion
-    * (same schema dance as [[graft.io.Tables.events]]). */
+    * (same schema dance as [[graft.io.Tables.events]]). The file source
+    * only accepts directories: if events.parquet is itself a directory of
+    * part files (the layout at larger scale factors) it is streamed
+    * directly; a single-file layout streams the sf dir filtered down to
+    * the events file — either way no rows are silently dropped. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source wants a directory: stream the sf dir, filtered down
-    // to the events file(s)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Drain a (bounded) stream into a memory sink and return the result.
@@ -39,6 +44,79 @@ object Streams {
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(qname)
+  }
+
+  /** Drain a (bounded) stream through `foreachBatch` into a parquet sink
+    * and read the result back — the scale-path sink: results land on
+    * distributed storage instead of accumulating on the driver like the
+    * memory sink. complete mode overwrites with each batch's full state;
+    * append mode accumulates finalized rows. */
+  def drainToParquet(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val qname = s"${name}_${System.nanoTime()}"
+    val path = s"/root/repo/target/scratch/sink_$qname"
+    val fileMode = if (outputMode == "complete") "overwrite" else "append"
+    val q = df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", s"/root/repo/target/scratch/ckpt_$qname")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(fileMode).parquet(path); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(path)
+  }
+
+  /** Stage the events table as three time-ordered files so the file source
+    * (with `maxFilesPerTrigger=1`) replays them as three micro-batches —
+    * the late-data harness for watermark queries:
+    *
+    *   1.parquet — on-time bulk: ts < t1, event_id % 10 ≠ 0
+    *   2.parquet — on-time tail: t1 ≤ ts < t2 (advances the watermark far
+    *               past every batch-1 window)
+    *   3.parquet — LATE arrivals: ts < t1, event_id % 10 = 0 — all behind
+    *               the watermark by ≫ the delay when they arrive
+    *
+    * with t1 = day(min ts)+7d, t2 = +14d (both replayable in oracle SQL).
+    * File order is pinned by both name and strictly increasing mtimes.
+    * Returns the staging directory. */
+  def prepareLateArrivalFiles(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    val ev = graft.io.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t0 = ev.agg(date_trunc("DAY", min(col("ts"))).as("t0")).head().getTimestamp(0)
+    val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+    val t2 = new java.sql.Timestamp(t0.getTime + 14L * 86400 * 1000)
+    val dir = s"/root/repo/target/scratch/late_${math.abs(sfDir.hashCode)}"
+    val base = Paths.get(dir)
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base)
+    val chunks = Seq(
+      ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) =!= 0),
+      ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
+      ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) === 0))
+    val mtime0 = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$dir/_tmp$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = base.resolve(s"${i + 1}.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + i * 2000L))
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+    dir
+  }
+
+  /** Stream the staged late-arrival files one per micro-batch. */
+  def lateArrivalStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
   /** Tumbling-window aggregation (`window(ts, size)`). */
