@@ -108,6 +108,55 @@ object Models {
     * (bestParams, bestScore, all). Mirrors `RandomizedSearchCV(n_iter,
     * random_state=42)` (`functions/dask_pipeline.py:107-120`) at the
     * semantics level. */
+  /** M11 at the reference's full nesting (`dask_pipeline.py:108-115`:
+    * `RandomizedSearchCV(n_iter, cv=2, random_state=42)` inside the outer
+    * fold loop): an outer K-fold; inside each fold, the same seeded
+    * candidate draw (the reference re-seeds per fold, so candidates repeat
+    * across folds) scored by an inner `innerK`-fold CV on the fold's
+    * training part; every (fold × candidate) job submitted concurrently so
+    * Spark interleaves the many small fit jobs. Inner folds hash a shifted
+    * key so they don't correlate with the outer assignment.
+    *
+    * Returns (all trials, per-fold argmax) as (fold, trial, config, score)
+    * rows; ties break to the lowest trial (Seq.maxBy keeps the first).
+    */
+  def nestedRandomSearch(df: DataFrame, outerK: Int, innerK: Int, keyCol: String,
+      grid: Map[String, Seq[Any]], nIter: Int, seed: Long = Seed)(
+      fit: Map[String, Any] => DataFrame => DataFrame => DataFrame)( // cfg => train => (test => scored)
+      score: DataFrame => Double)
+      : (Seq[(Int, Int, Map[String, Any], Double)], Seq[(Int, Int, Map[String, Any], Double)]) = {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(seed)
+    val keys = grid.keys.toSeq.sorted
+    val configs = (0 until nIter).map { _ =>
+      keys.map(k => k -> grid(k)(rng.nextInt(grid(k).size))).toMap
+    }.distinct
+    val withFolds = df
+      .withColumn("__ofold", DeterministicSplits.foldId(col(keyCol), outerK))
+      .withColumn("__ifold", DeterministicSplits.foldId(col(keyCol) + lit(12345L), innerK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withFolds.count()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = for (f <- 0 until outerK; (cfg, t) <- configs.zipWithIndex) yield Future {
+        val outerTrain = withFolds.filter(col("__ofold") =!= f)
+        val innerScores = (0 until innerK).map { g =>
+          val tr = outerTrain.filter(col("__ifold") =!= g).drop("__ofold", "__ifold")
+          val te = outerTrain.filter(col("__ifold") === g).drop("__ofold", "__ifold")
+          score(fit(cfg)(tr)(te))
+        }
+        (f, t, cfg, innerScores.sum / innerScores.size)
+      }
+      val trials = Await.result(Future.sequence(futures), Duration.Inf)
+      val bests = (0 until outerK).map(f => trials.filter(_._1 == f).maxBy(_._4))
+      (trials, bests)
+    } finally {
+      pool.shutdown()
+      withFolds.unpersist()
+    }
+  }
+
   def randomSearch(grid: Map[String, Seq[Any]], n: Int, seed: Long = Seed)(
       eval: Map[String, Any] => Double): (Map[String, Any], Double, Seq[(Map[String, Any], Double)]) = {
     val rng = new scala.util.Random(seed)

@@ -84,6 +84,23 @@ object ExtrasPack extends QueryPack {
         .agg(count(lit(1)).as("n_fast_lines"), dsum(col("l_quantity")).as("qty"))
     },
 
+    // S4 — JSON scan end-to-end (`brca_data_prep.ipynb` cell-5/6 shape):
+    // events sample written as JSON lines, re-read with schema inference
+    // (spark.read.json), then a broadcast dictionary remap + aggregate.
+    "q63_json_scan" -> { (s, d) =>
+      val p = scratch("events_json")
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(p)
+      val j = Tables.json(s, p)
+      val dim = s.createDataFrame(Seq(
+        ("click", "interaction"), ("view", "interaction"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "fault"))).toDF("event_type", "category")
+      j.join(broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    },
+
     // M8 — gradient-boosted trees, binary task (GBTClassifier is
     // binary-only; multiclass default is RF per SURVEY §7.3). Accuracy is
     // differential-oracled from the dumped predictions; split sizes from
@@ -193,6 +210,14 @@ object ExtrasPack extends QueryPack {
     s"(CAST(${graft.util.Parity.keyHashSql(k)} AS DOUBLE) / ${graft.util.Parity.HashMod}.0)"
 
   override def oracles: Map[String, String] = Map(
+    "q63_json_scan" ->
+      s"""SELECT CASE event_type
+            WHEN 'click' THEN 'interaction' WHEN 'view' THEN 'interaction'
+            WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+            WHEN 'error' THEN 'fault' END AS category,
+          COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
+          FROM events GROUP BY 1""",
+
     "q52_gbt_accuracy" ->
       s"""SELECT 'gbt_binary' AS model,
             (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,

@@ -146,6 +146,45 @@ object MLPack extends QueryPack {
         .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
+    // M11 — NESTED random search at the reference's shape
+    // (`dask_pipeline.py:108-115`): outer 3-fold, 20 seeded candidate
+    // draws, each scored by inner 2-fold CV, per-fold best emitted. Runs
+    // on a 1/4 key-hash subset (the many small fits are scheduler-bound).
+    // Oracle: per-fold argmax + tie-break replayed in SQL over the dumped
+    // trial table; fold sizes from the hash replay.
+    "q62_nested_search" -> { (s, d) =>
+      val df = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), (col("label") < 5).cast("double").as("label"),
+          PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
+      val grid = Map(
+        "regParam" -> Seq(0.0, 0.001, 0.01, 0.05, 0.1, 0.5),
+        "maxIter" -> Seq(5, 10, 20))
+      val (trials, bests) = Models.nestedRandomSearch(df, 3, 2, "vec_id", grid, nIter = 20) {
+        cfg => tr => {
+          val m = Models.linearSvc("label", "features")
+            .setRegParam(cfg("regParam").asInstanceOf[Double])
+            .setMaxIter(cfg("maxIter").asInstanceOf[Int])
+            .fit(tr)
+          te => m.transform(te)
+        }
+      } { scored => Models.accuracy("label").evaluate(scored) }
+      OracleDump.dump(
+        s.createDataFrame(trials.map { case (f, t, cfg, sc) =>
+          (f.toLong, t.toLong, cfg("regParam").asInstanceOf[Double],
+            cfg("maxIter").asInstanceOf[Int].toLong, sc)
+        }).toDF("fold", "trial", "reg_param", "max_iter", "score"),
+        "q62_trials")
+      val foldSizes = df.groupBy(DeterministicSplits.foldId(col("vec_id"), 3).as("fold"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = foldSizes.values.sum
+      s.createDataFrame(bests.map { case (f, t, cfg, sc) =>
+        (f.toLong, total - foldSizes(f.toLong), t.toLong,
+          cfg("regParam").asInstanceOf[Double], cfg("maxIter").asInstanceOf[Int].toLong, sc)
+      }).toDF("fold", "n_train", "trial", "reg_param", "max_iter", "best_score")
+        .withColumn("best_score", round(col("best_score"), 6))
+    },
+
     // M2 — TMM, exact mode, on a 1/20th slice of the matrix: the FULL
     // estimator (pseudo-reference, log-ratio/abs-expr algebra, global trim
     // quantiles, trimmed means, geometric-mean symmetrization) is replayed
@@ -262,6 +301,20 @@ object MLPack extends QueryPack {
                   FROM ${OracleDump.sqlGlob("q27_trial_preds")} GROUP BY trial)
           SELECT cfg.trial, cfg.reg_param, cfg.max_iter, acc.accuracy
           FROM cfg JOIN acc USING (trial)""",
+
+    // Per-fold argmax (score DESC, trial ASC — Seq.maxBy keeps the first
+    // maximum) over the dumped trial table, plus hash-replayed fold sizes.
+    "q62_nested_search" ->
+      s"""WITH tr AS (SELECT * FROM ${OracleDump.sqlGlob("q62_trials")}),
+          best AS (SELECT fold, trial, reg_param, max_iter, score FROM tr
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY fold ORDER BY score DESC, trial) = 1),
+          sub AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0),
+          fc AS (SELECT ${Parity.keyHashSql("vec_id")} % 3 AS fold, COUNT(*) AS n_test
+                 FROM sub GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS n FROM sub)
+          SELECT b.fold, tot.n - fc.n_test AS n_train, b.trial, b.reg_param, b.max_iter,
+                 round(b.score, 6) AS best_score
+          FROM best b JOIN fc ON fc.fold = b.fold CROSS JOIN tot""",
 
     // Full DuckDB replay of the TMM estimator on the width-4 matrix slice,
     // spelled out over explicit position columns f1..f4 so every float op

@@ -22,6 +22,12 @@ object Scale {
     */
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // replicating the small side breaks right/full-outer semantics (every
+    // unmatched small-side row would surface saltFactor times), so only
+    // join types whose result is provably salt-invariant are allowed
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, got $joinType")
     val saltedBig = skewed.withColumn("__salt", (rand(42) * saltFactor).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -64,7 +64,10 @@ object Parity {
   def keyHash(c: Column): Column =
     pmod(pmod(c.cast("long"), lit(HashMod)) * lit(HashPrime), lit(HashMod))
   /** Oracle SQL for [[keyHash]] (key reduced mod first so the product can
-    * never overflow DuckDB's checked BIGINT multiply). */
+    * never overflow DuckDB's checked BIGINT multiply). The inner `+ M) % M`
+    * matches Spark's sign-free `pmod` for negative keys — DuckDB's `%` is
+    * sign-preserving, and the outer modulus of a non-negative product is
+    * already non-negative in both engines. */
   def keyHashSql(col: String): String =
-    s"((($col % $HashMod) * $HashPrime) % $HashMod)"
+    s"(((($col % $HashMod + $HashMod) % $HashMod) * $HashPrime) % $HashMod)"
 }

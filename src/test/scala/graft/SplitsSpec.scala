@@ -28,6 +28,30 @@ class SplitsSpec extends SparkSpec {
     counts.values.foreach(c => assert(math.abs(c - 1000.0) < 150, s"unbalanced: $counts"))
   }
 
+  test("nestedRandomSearch: deterministic draws, disjoint inner folds, first-max tie-break") {
+    import graft.ml.Models
+    val df = keys.limit(200).toDF("vec_id")
+    val grid = Map("a" -> Seq(0.0, 0.1, 0.2), "b" -> Seq(1, 2))
+    // fake fit/score: deterministic in (config, test-set size) — exercises
+    // the sampling / fold / argmax plumbing without MLlib fits
+    // score = f(test-set size) only → identical for every config within a
+    // fold, so the argmax must fall to the tie-break
+    def run() = Models.nestedRandomSearch(df, 3, 2, "vec_id", grid, nIter = 8) {
+      _ => _ => te => te
+    } { te => 1.0 / (1.0 + te.count().toDouble) }
+    val (trials1, bests1) = run()
+    val (trials2, bests2) = run()
+    assert(trials1.map(t => (t._1, t._2, t._3)) == trials2.map(t => (t._1, t._2, t._3)),
+      "config draw must be seed-deterministic")
+    assert(bests1.map(_._1) == Seq(0, 1, 2))
+    // every fold scored every distinct config exactly once
+    val perFold = trials1.groupBy(_._1).values.map(_.map(_._2).sorted.toList).toSet
+    assert(perFold.size == 1 && perFold.head == trials1.map(_._2).distinct.sorted.toList)
+    // all-equal scores → argmax falls to the lowest trial id per fold
+    assert(bests1 == bests2)
+    bests1.foreach(b => assert(b._2 == trials1.filter(_._1 == b._1).map(_._2).min))
+  }
+
   test("stratified sample respects per-stratum fractions") {
     val df = keys.withColumn("g", when($"k" % 2 === 0, "even").otherwise("odd"))
     val sampled = DeterministicSplits.stratifiedSample(
