@@ -66,8 +66,18 @@ object ArrayOps {
     transform(arr, x => log2(x.cast("double") + lit(1.0)))
 
   /** F4 — broadcast row scaling: every element times a per-row factor
-    * (`feature_selection_and_normalization.py:31,58`). */
+    * (`feature_selection_and_normalization.py:31,58`). Native
+    * [[org.apache.spark.sql.graft.ScaleRow]]: the composed
+    * `transform(arr, x => x * factor)` evaluates the factor expression per
+    * ELEMENT (lambda bodies re-run their free subtrees), which turns
+    * O(width²) when the factor is itself a per-row reduction — found at
+    * 40k width by the scaling bench. */
   def scaleRow(arr: Column, factor: Column): Column =
+    org.apache.spark.sql.graft.ScaleRow(arr, factor)
+
+  /** The composed lambda formulation — parity reference for the native
+    * [[scaleRow]]; do not use with expensive factor expressions. */
+  def scaleRowComposed(arr: Column, factor: Column): Column =
     transform(arr, x => x.cast("double") * factor)
 
   /** P5 — positive-value filter within a row

@@ -54,6 +54,19 @@ object SimilarityPack extends QueryPack {
       val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       Similarity.bruteForceTopK(queries, base, "q_id", "vec_id", "qv", "v", 5)
+    },
+
+    // IVF-style ANN (the scale path beside q35's brute force): corpus
+    // indexed into deterministic centroid cells (every 500th vector),
+    // queries probe their 2 nearest cells, exact scoring within candidates.
+    "q67_ivf_ann" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val cents = base.filter(pmod(col("vec_id"), lit(500)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      Similarity.ivfTopK(base, queries, cents, "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2)
     }
   )
 
@@ -100,6 +113,44 @@ object SimilarityPack extends QueryPack {
                  JOIN el ea ON ea.vec_id = q.q_id
                  JOIN el eb ON eb.i = ea.i AND eb.vec_id <> q.q_id
                  GROUP BY q.q_id, eb.vec_id),
+          scored AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
+                             JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5""",
+
+    // IVF replay: centroid set → exact-decimal cosine of every vector vs
+    // every centroid → argmax cell (ties to lowest centroid id) → top-2
+    // probe cells per query → exact scoring within the candidate union.
+    "q67_ivf_ann" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ${elemCtes("base")},
+          ce AS (SELECT vec_id AS cell FROM base WHERE vec_id % 500 = 0),
+          cd AS (SELECT ea.vec_id, c.cell, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM el ea CROSS JOIN ce c
+                 JOIN el eb ON eb.vec_id = c.cell AND eb.i = ea.i
+                 GROUP BY ea.vec_id, c.cell),
+          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cos
+                 FROM cd JOIN norms na ON na.vec_id = cd.vec_id
+                         JOIN norms nb ON nb.vec_id = cd.cell),
+          assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc) WHERE pr = 1),
+          probes AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc WHERE vec_id % 50 = 0) WHERE pr <= 2),
+          cand AS (SELECT p.q_id, a.vec_id FROM probes p
+                   JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+          pd AS (SELECT c.q_id, c.vec_id, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c
+                 JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN el eb ON eb.vec_id = c.vec_id AND eb.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
           scored AS (SELECT pd.q_id, pd.vec_id,
                        round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
                      FROM pd JOIN norms na ON na.vec_id = pd.q_id

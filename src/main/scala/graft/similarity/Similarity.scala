@@ -45,6 +45,48 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF cell assignment: cosine-argmax over a broadcast centroid set,
+    * keeping each vector's `nprobe` nearest cells (1 for indexing the
+    * corpus, >1 for query probing). Deterministic end to end: centroids
+    * are a key-subset of the data, dots are exact-decimal, and ties break
+    * to the lowest centroid id — so the oracle replays cell membership
+    * exactly. The corpus never shuffles; assignment is a broadcast join +
+    * per-vector top-k. */
+  def assignCells(vecs: DataFrame, cents: DataFrame, vId: String, vCol: String,
+                  nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = vecs.crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineDec(col(vCol), col("__cv")))
+    val w = Window.partitionBy(vId).orderBy(col("__cos").desc, col("__cell").asc)
+    joined.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nprobe)
+      .drop("__cv", "__cos", "__pr")
+  }
+
+  /** IVF-style ANN top-k — the scale path beside [[bruteForceTopK]]: index
+    * the corpus into centroid cells once, probe only the `nprobe` nearest
+    * cells per query, score exactly within the candidate union. At 100 TB
+    * the per-query work is |corpus| / |cells| × nprobe instead of |corpus|,
+    * and the corpus-side index is a plain column that co-partitions with
+    * the data. Recall is validated against the brute-force baseline (q35's
+    * protocol) rather than assumed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+              qId: String, cId: String, qVec: String, cVec: String,
+              k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = assignCells(corpus, cents, cId, cVec, nprobe = 1)
+      .withColumn("__cn", sqrt(dotDec(col(cVec), col(cVec))))
+    val probed = assignCells(queries, cents, qId, qVec, nprobe = nprobe)
+      .withColumn("__qn", sqrt(dotDec(col(qVec), col(qVec))))
+    val cand = probed.join(indexed, Seq("__cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", round(dotDec(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The corpus side never shuffles; ranking is a
     * per-query-partition top-k. This is the exact baseline ANN variants are

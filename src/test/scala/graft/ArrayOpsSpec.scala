@@ -46,4 +46,18 @@ class ArrayOpsSpec extends SparkSpec {
     assert(d.getDouble(0) == 32.0)
     assert(approx(d.getDouble(1), 1.0, 1e-12))
   }
+
+  test("native ScaleRow matches the composed lambda form (incl. null factor)") {
+    val df = Seq(
+      (Seq(1.0, -2.5, 0.0), Some(2.0)),
+      (Seq(3.0), None),
+      (Seq.empty[Double], Some(1.5))
+    ).toDF("arr", "f")
+    val both = df.select(
+      ArrayOps.scaleRow($"arr", $"f").as("native"),
+      ArrayOps.scaleRowComposed($"arr", $"f").as("composed"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString)
+    }
+  }
 }
