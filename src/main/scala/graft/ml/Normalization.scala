@@ -116,22 +116,47 @@ object Normalization {
     private def fitInternal(df: DataFrame): (TMMModel, DataFrame, Column) = {
       val width = df.select(size(col(featuresCol))).head().getInt(0)
 
-      // 1-2. per-position stats via one explode+agg (k·n rows, hash-agg'd).
-      // colsum goes through exact DECIMAL: combine-order independent (same
-      // factors at any partitioning/cluster size) and bit-replayable by the
-      // DuckDB oracle; exact for inputs with ≤6 fractional digits, ≤1e-6
-      // relative rounding otherwise.
-      val pos = df.select(posexplode(col(featuresCol)).as(Seq("pos", "x")))
-      val colStats = pos.groupBy("pos").agg(
-        sum(when(col("x") =!= 0.0, 1).otherwise(0)).as("nnz"),
-        pctl("CASE WHEN x > 0 THEN x END", 0.75).as("q75pos"),
-        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double").as("colsum"))
-        .collect().map(r => r.getInt(0) -> r).toMap
-      val kept = (0 until width).filter(i => colStats(i).getLong(1) > 0)
-      val pseudoref = kept.map { i =>
-        val r = colStats(i)
-        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)) / r.getDouble(3)
-      }.toArray
+      // 1-2. per-position (nnz, q75-of-positives, colsum) as (Long, Double,
+      // Double). colsum goes through exact DECIMAL: combine-order
+      // independent (same factors at any partitioning/cluster size) and
+      // bit-replayable by the DuckDB oracle; exact for inputs with ≤6
+      // fractional digits, ≤1e-6 relative rounding otherwise.
+      //
+      // Two physically different, value-identical plans: narrow matrices
+      // aggregate element_at projections directly (single codegen'd pass,
+      // no row multiplication — measured ~3× faster than the explode at
+      // width 4); wide matrices explode + hash-agg (3·width aggregate
+      // buffers in one task would not fit at 60k genes, exploded rows
+      // partial-aggregate fine).
+      val colStats: Map[Int, (Long, Double, Double)] =
+        if (width <= 256) {
+          val aggs = (0 until width).flatMap { i =>
+            val xi = s"element_at($featuresCol, ${i + 1})"
+            Seq(
+              expr(s"sum(CASE WHEN $xi != 0.0 THEN 1 ELSE 0 END)").as(s"nnz_$i"),
+              pctl(s"CASE WHEN $xi > 0 THEN $xi END", 0.75).as(s"q_$i"),
+              expr(s"CAST(sum(CAST($xi AS DECIMAL(38,6))) AS DOUBLE)").as(s"s_$i"))
+          }
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          (0 until width).map { i =>
+            i -> (r.getLong(3 * i),
+              if (r.isNullAt(3 * i + 1)) Double.NaN else r.getDouble(3 * i + 1),
+              r.getDouble(3 * i + 2))
+          }.toMap
+        } else {
+          df.select(posexplode(col(featuresCol)).as(Seq("pos", "x")))
+            .groupBy("pos").agg(
+              sum(when(col("x") =!= 0.0, 1).otherwise(0)).as("nnz"),
+              pctl("CASE WHEN x > 0 THEN x END", 0.75).as("q75pos"),
+              sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double").as("colsum"))
+            .collect().map { r =>
+              r.getInt(0) -> (r.getLong(1),
+                if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+                r.getDouble(3))
+            }.toMap
+        }
+      val kept = (0 until width).filter(i => colStats(i)._1 > 0)
+      val pseudoref = kept.map(i => colStats(i)._2 / colStats(i)._3).toArray
 
       val masked = maskPositions(col(featuresCol), kept, width)
 
@@ -141,18 +166,21 @@ object Normalization {
       val mat = withRatioArrays(df, masked, pseudoref)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      // 4. global nan-skipping quantiles over both exploded matrices (A6),
-      // fused into a single aggregation job.
-      val exploded = mat
-        .select(explode(col("__r.lr")).as("v"), lit("lr").as("w"))
-        .unionAll(mat.select(explode(col("__r.ae")).as("v"), lit("ae").as("w")))
-        .filter(col("v").isNotNull && !isnan(col("v")))
-      val rows = exploded.groupBy("w").agg(
-        pctl("v", logRatioTrim).as("lr_lo"), pctl("v", 1 - logRatioTrim).as("lr_hi"),
-        pctl("v", absExprTrim).as("ae_lo"), pctl("v", 1 - absExprTrim).as("ae_hi"))
-        .collect().map(r => r.getString(0) -> r).toMap
-      val (lrLo, lrHi) = (rows("lr").getDouble(1), rows("lr").getDouble(2))
-      val (aeLo, aeHi) = (rows("ae").getDouble(3), rows("ae").getDouble(4))
+      // 4. global nan-skipping quantiles of both matrices (A6) in ONE scan
+      // of the cache: zip the (lr, ae) arrays, explode once, mask each side
+      // into its own quantile aggregate (null-skipping). Same multisets as
+      // separate explodes — the former two-scan union was ~2× the cost.
+      val z = mat.select(explode(zip_with(col("__r.lr"), col("__r.ae"),
+          (l, a) => struct(l.as("l"), a.as("a")))).as("z"))
+        .select(col("z.l").as("l"), col("z.a").as("a"))
+      def masked_(c: String) = s"CASE WHEN $c IS NOT NULL AND NOT isnan($c) THEN $c END"
+      val tr = z.agg(
+        pctl(masked_("l"), logRatioTrim).as("lr_lo"),
+        pctl(masked_("l"), 1 - logRatioTrim).as("lr_hi"),
+        pctl(masked_("a"), absExprTrim).as("ae_lo"),
+        pctl(masked_("a"), 1 - absExprTrim).as("ae_hi")).head()
+      val (lrLo, lrHi) = (tr.getDouble(0), tr.getDouble(1))
+      val (aeLo, aeHi) = (tr.getDouble(2), tr.getDouble(3))
 
       // 5-6. per-row trimmed mean + geometric-mean symmetrization
       val factor = trimmedMean(col("__r.lr"), col("__r.ae"), lrLo, lrHi, aeLo, aeHi)
@@ -194,9 +222,19 @@ object Normalization {
   def withRatioArrays(df: DataFrame, masked: Column, pseudoref: Array[Double]): DataFrame =
     df.withColumn("__r", org.apache.spark.sql.graft.TmmRatios(masked, pseudoref))
 
-  /** Mean of `ae` over positions strictly inside both trim windows (`:94`). */
+  /** Mean of `ae` over positions strictly inside both trim windows (`:94`)
+    * — one pass via the native [[org.apache.spark.sql.graft.TrimmedMean]]
+    * (the composed zip/filter/fold chain allocated three arrays + a struct
+    * accumulator per row and dominated the factor jobs). */
   def trimmedMean(lr: Column, ae: Column,
-                              lrLo: Double, lrHi: Double, aeLo: Double, aeHi: Double): Column = {
+                  lrLo: Double, lrHi: Double, aeLo: Double, aeHi: Double): Column =
+    org.apache.spark.sql.graft.TrimmedMean(lr, ae, lrLo, lrHi, aeLo, aeHi)
+
+  /** The composed zip_with/filter/aggregate formulation — parity reference
+    * for the native [[trimmedMean]] (see NormalizationSpec); do not use on
+    * the hot path. */
+  def trimmedMeanComposed(lr: Column, ae: Column,
+                          lrLo: Double, lrHi: Double, aeLo: Double, aeHi: Double): Column = {
     val zipped = zip_with(lr, ae, (l, a) =>
       when(l.isNotNull && !isnan(l) && l > lrLo && l < lrHi &&
            a.isNotNull && !isnan(a) && a > aeLo && a < aeHi, a))

@@ -64,4 +64,52 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(textCol).cast("binary").as("media"))
       .as[MediaItem]
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  case class ResizedMeta(id: Long, width: Long, height: Long,
+                         thumb_w: Long, thumb_h: Long, thumb_key: String)
+
+  /** Resizer contract — same shape as [[MediaDecoder]]: one instance per
+    * partition. The STUB computes the real fit-within-box geometry (never
+    * upscaling) and stands in for the pixel work with a deterministic
+    * content key; a real resizer returns actual thumbnail bytes. */
+  trait MediaResizer extends Serializable {
+    def resize(m: DecodedMeta, box: Int): ResizedMeta
+  }
+
+  object StubResizer extends MediaResizer {
+    override def resize(m: DecodedMeta, box: Int): ResizedMeta = {
+      val scale = math.min(1.0, math.min(box.toDouble / m.width, box.toDouble / m.height))
+      val tw = math.max(1L, math.floor(m.width * scale).toLong)
+      val th = math.max(1L, math.floor(m.height * scale).toLong)
+      ResizedMeta(m.id, m.width, m.height, tw, th, md5hex(s"${m.id}:${tw}x$th"))
+    }
+  }
+
+  /** Partition-batched resize stage (decode → resize pipelines compose as
+    * successive `mapPartitions` passes — no shuffle between stages). */
+  def resizeAll(decoded: Dataset[DecodedMeta], box: Int,
+                resizer: MediaResizer = StubResizer): Dataset[ResizedMeta] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(it => it.map(resizer.resize(_, box)))
+  }
+
+  case class FrameSample(id: Long, frame_idx: Long, frame_key: String)
+
+  /** Frame sampling: one output row per kept frame — the 1→N iterator
+    * `flatMap` batch shape (in-partition explode). Keeps every `stride`-th
+    * frame with stride = ⌈n_frames / maxFrames⌉, so at most `maxFrames`
+    * frames survive per video. The frame "content" is the deterministic
+    * stub key; a real implementation emits decoded frame bytes. */
+  def sampleFrames(decoded: Dataset[DecodedMeta], maxFrames: Int): Dataset[FrameSample] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(it => it.flatMap { m =>
+      val stride = math.max(1L, math.ceil(m.n_frames.toDouble / maxFrames).toLong)
+      (0L until m.n_frames by stride).iterator
+        .map(i => FrameSample(m.id, i, md5hex(s"${m.id}:$i")))
+    })
+  }
 }

@@ -75,4 +75,22 @@ class NormalizationSpec extends SparkSpec {
     val expScale = Seq(1.0072104823662984, 1.0360501584842352, 0.9695485014490869, 0.9883925018481547)
     gotScale.zip(expScale).foreach { case (a, b) => assert(approx(a, b, 1e-4), s"$a vs $b") }
   }
+
+  test("native TrimmedMean matches the composed zip/filter/fold form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq[java.lang.Double](0.1, 0.5, null, Double.NaN, 0.9),
+       Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null)),
+      (Seq[java.lang.Double](0.2, 0.3), Seq[java.lang.Double](5.0, 0.5)),
+      (Seq[java.lang.Double](-9.0), Seq[java.lang.Double](1.0)) // nothing inside → null
+    ).toDF("lr", "ae")
+    val both = df.select(
+      Normalization.trimmedMean(col("lr"), col("ae"), 0.0, 1.0, 0.0, 6.0).as("native"),
+      Normalization.trimmedMeanComposed(col("lr"), col("ae"), 0.0, 1.0, 0.0, 6.0).as("composed"))
+    both.collect().foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getDouble(0)
+      val c = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(n == c, r.toString)
+    }
+  }
 }
