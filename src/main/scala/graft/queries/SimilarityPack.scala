@@ -133,9 +133,10 @@ object SimilarityPack extends QueryPack {
                  FROM el ea CROSS JOIN ce c
                  JOIN el eb ON eb.vec_id = c.cell AND eb.i = ea.i
                  GROUP BY ea.vec_id, c.cell),
-          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cos
-                 FROM cd JOIN norms na ON na.vec_id = cd.vec_id
-                         JOIN norms nb ON nb.vec_id = cd.cell),
+          -- assignment ranks by dot/||centroid|| (the query-side norm is
+          -- constant within the argmax), matching the engine's per-row score
+          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / sqrt(nb.nrm) AS cos
+                 FROM cd JOIN norms nb ON nb.vec_id = cd.cell),
           assign AS (SELECT vec_id, cell FROM (
                        SELECT vec_id, cell,
                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr

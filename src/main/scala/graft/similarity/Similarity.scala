@@ -45,40 +45,50 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF cell assignment: cosine-argmax over a broadcast centroid set,
-    * keeping each vector's `nprobe` nearest cells (1 for indexing the
-    * corpus, >1 for query probing). Deterministic end to end: centroids
-    * are a key-subset of the data, dots are exact-decimal, and ties break
-    * to the lowest centroid id — so the oracle replays cell membership
-    * exactly. The corpus never shuffles; assignment is a broadcast join +
-    * per-vector top-k. */
-  def assignCells(vecs: DataFrame, cents: DataFrame, vId: String, vCol: String,
-                  nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = vecs.crossJoin(broadcast(cents))
-      .withColumn("__cos", cosineDec(col(vCol), col("__cv")))
-    val w = Window.partitionBy(vId).orderBy(col("__cos").desc, col("__cell").asc)
-    joined.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= nprobe)
-      .drop("__cv", "__cos", "__pr")
-  }
+  /** Centroids collected to the driver with exact-decimal norms (the
+    * driver-side replica of [[dotDec]]'s scale-10 quantization, so ranking
+    * scores equal the oracle's `dt / sqrt(nrm)` bit-for-bit). Centroid
+    * sets are small by construction — they must fit a broadcast either
+    * way. */
+  private def collectCents(cents: DataFrame, cId: String, cVec: String): Array[(Long, Array[Double], Double)] =
+    cents.select(col(cId).cast("long"), col(cVec)).collect().map { r =>
+      val cv = r.getSeq[Double](1).toArray
+      val nrm = cv.map(x => java.math.BigDecimal.valueOf(x * x).setScale(10, java.math.RoundingMode.HALF_UP))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      (r.getLong(0), cv, math.sqrt(nrm))
+    }.sortBy(_._1)
+
+  /** IVF cell scores as ONE per-row projection: `dot(v, c_j) / ||c_j||`
+    * per centroid (monotone to cosine — the query-side norm divides out of
+    * the argmax), sorted best-first with ties to the lowest centroid id.
+    * No shuffle, no row multiplication: the 100 TB corpus is assigned to
+    * cells at scan speed. */
+  private def cellScores(vCol: String, cc: Array[(Long, Array[Double], Double)]): Column =
+    sort_array(array(cc.map { case (cell, cv, nc) =>
+      struct((dotDec(col(vCol), lit(cv)) / lit(nc)).as("s"), lit(-cell).as("c"))
+    }: _*), asc = false)
 
   /** IVF-style ANN top-k — the scale path beside [[bruteForceTopK]]: index
-    * the corpus into centroid cells once, probe only the `nprobe` nearest
-    * cells per query, score exactly within the candidate union. At 100 TB
-    * the per-query work is |corpus| / |cells| × nprobe instead of |corpus|,
-    * and the corpus-side index is a plain column that co-partitions with
-    * the data. Recall is validated against the brute-force baseline (q35's
-    * protocol) rather than assumed. */
+    * the corpus into centroid cells (per-row argmax, zero shuffle), probe
+    * only the `nprobe` nearest cells per query, score exactly within the
+    * candidate union. The probed query set broadcasts, so the only wide
+    * exchange in the whole plan is the final per-query top-k over
+    * candidates — |corpus| / |cells| × nprobe rows instead of |corpus|.
+    * Recall is validated against the brute-force baseline (q35's protocol)
+    * rather than assumed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
               qId: String, cId: String, qVec: String, cVec: String,
               k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val indexed = assignCells(corpus, cents, cId, cVec, nprobe = 1)
+    val cc = collectCents(cents, "__cell", "__cv")
+    val indexed = corpus
+      .withColumn("__cell", -element_at(cellScores(cVec, cc), 1).getField("c"))
       .withColumn("__cn", sqrt(dotDec(col(cVec), col(cVec))))
-    val probed = assignCells(queries, cents, qId, qVec, nprobe = nprobe)
+    val probed = queries
+      .withColumn("__cell",
+        explode(transform(slice(cellScores(qVec, cc), 1, nprobe), s => -s.getField("c"))))
       .withColumn("__qn", sqrt(dotDec(col(qVec), col(qVec))))
-    val cand = probed.join(indexed, Seq("__cell"))
+    val cand = indexed.join(broadcast(probed), Seq("__cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", round(dotDec(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
