@@ -12,8 +12,16 @@ object Similarity {
 
   /** Exact-decimal dot product: each elementwise product rounds to a
     * DECIMAL(38,10) and sums exactly → order-independent, bit-identical in
-    * Spark and DuckDB (aggregation order of doubles would not be). */
+    * Spark and DuckDB (aggregation order of doubles would not be). One
+    * pass via the native [[org.apache.spark.sql.graft.DecimalDot]] — the
+    * composed zip/fold chain allocated a zipped array plus a Decimal per
+    * element, interpreted, and dominated the similarity queries. */
   def dotDec(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DecimalDot(a, b)
+
+  /** The composed zip_with/aggregate formulation — parity reference for
+    * the native [[dotDec]] (see DedupTextSpec); do not use on hot paths. */
+  def dotDecComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,10)")),
       lit(BigDecimal(0)).cast("decimal(20,10)"),

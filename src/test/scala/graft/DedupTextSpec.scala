@@ -103,6 +103,21 @@ class DedupTextSpec extends SparkSpec {
     assert(fps(0) != fps(1))
   }
 
+  test("native DecimalDot matches the composed zip/fold form bit-for-bit") {
+    val df = Seq(
+      (Seq(0.1, -0.25, 3.0), Seq(1.5, 2.0, -0.125)),
+      (Seq(1e-11, 2e-11), Seq(1.0, 1.0)), // below quantization scale
+      (Seq(0.1), Seq(0.1, 0.2)) // length mismatch → null
+    ).toDF("a", "b").select(
+      Similarity.dotDec($"a", $"b").as("native"),
+      Similarity.dotDecComposed($"a", $"b").as("composed"))
+    df.collect().foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getDouble(0)
+      val c = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(n == c, r.toString)
+    }
+  }
+
   test("cosineDec: self=1, orthogonal=0; signBucket deterministic") {
     val r = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b").select(
       Similarity.cosineDec($"a", $"a").as("self"),
