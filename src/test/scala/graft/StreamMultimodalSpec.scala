@@ -26,6 +26,18 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(deduped.count() == exact)
   }
 
+  test("foreachBatch parquet sink (append) equals the memory-sink result") {
+    val d = sf("sf0.001")
+    val viaParquet = Streams.drainToParquet(
+      Streams.dedupStream(Streams.eventsStream(spark, d), Seq("user_id", "event_type")),
+      "p_spec", "append")
+    val viaMemory = Streams.drainToTable(
+      Streams.dedupStream(Streams.eventsStream(spark, d), Seq("user_id", "event_type")),
+      "m_spec", "append")
+    assert(viaParquet.count() == viaMemory.count())
+    assert(viaParquet.exceptAll(viaMemory).count() == 0)
+  }
+
   test("session windows split strictly at the gap") {
     val ts = Seq(0L, 10L, 50L, 55L).map(m => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:00").toInstant.plusSeconds(m * 60))
     val df = ts.map(t => (1L, java.sql.Timestamp.from(t))).toDF("user_id", "ts")
