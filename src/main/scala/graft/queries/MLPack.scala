@@ -191,10 +191,13 @@ object MLPack extends QueryPack {
     // in DuckDB SQL and must hash-match. Complements q28, which runs the
     // whole table in approx (scale) mode rows-only.
     "q64_tmm_exact" -> { (s, d) =>
+      // project down to key + features BEFORE the fit: the TMM ratio matrix
+      // is persisted, and caching 14 unused lineitem columns with it wastes
+      // the cache build and memory
       val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 0)
-        .withColumn("features",
+        .select(col("l_orderkey"), col("l_linenumber"),
           ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
-            lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))))
+            lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))).as("features"))
       val (_, scored) = new Normalization.TMM(0.3, 0.05, "features", exact = true).fitScored(li)
       scored.select(col("l_orderkey"), col("l_linenumber"),
         round(col("scaling_factor"), 6).as("scaling_factor"))
@@ -204,9 +207,12 @@ object MLPack extends QueryPack {
     // approx-percentile scale mode (GK sketch trim thresholds are not
     // bit-replayable in SQL → rows-only; q64 is the exact-mode oracle twin).
     "q28_tmm_factors" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).withColumn("features",
-        ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
-          lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))))
+      // key + features only — see q64: the persisted ratio matrix should
+      // not drag the 14 unused lineitem columns through the cache
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
+            lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))).as("features"))
       val (_, scored) = new Normalization.TMM(0.3, 0.05, "features", exact = false).fitScored(li)
       scored.select(col("l_orderkey"), col("l_linenumber"),
         round(col("scaling_factor"), 6).as("scaling_factor"))

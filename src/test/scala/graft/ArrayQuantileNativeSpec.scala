@@ -40,6 +40,17 @@ class ArrayQuantileNativeSpec extends SparkSpec {
     assert(r.getDouble(0) == 3.25)
   }
 
+  test("simhash/scale_row/decimal_dot registered for SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash(array(5L, 5L, 5L), 4) AS sh,
+                scale_row(array(1.0d, 2.0d), 3.0d) AS sr,
+                decimal_dot(array(0.5d, 2.0d), array(2.0d, 0.25d)) AS dd""").head()
+    assert(r.getLong(0) == 5L) // all votes positive on bits 0 and 2
+    assert(r.getSeq[Double](1) == Seq(3.0, 6.0))
+    assert(r.getDouble(2) == 1.5)
+  }
+
   test("null/empty semantics: empty array and null element give null") {
     val df = Seq(Tuple1(Seq.empty[java.lang.Double]), Tuple1(Seq[java.lang.Double](1.0, null)))
       .toDF("a").select(ArrayOps.rowQuantile($"a", 0.5).as("q"))
