@@ -84,6 +84,30 @@ object ExtrasPack extends QueryPack {
         .agg(count(lit(1)).as("n_fast_lines"), dsum(col("l_quantity")).as("qty"))
     },
 
+    // range-frame window: 30-day trailing order revenue per customer
+    // (RANGE BETWEEN 29 PRECEDING AND CURRENT ROW over a day-number key;
+    // distinct capability from the rows-frame windows of q06/q07).
+    "q71_trailing_window" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .withColumn("day_num", datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-29, 0)
+      o.select(col("o_orderkey"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double").as("rev_trailing"))
+    },
+
+    // grouped exact interpolating quantiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`, bit-identical): the per-group distribution
+    // summary shape at any cardinality (hash-agg, map-side partials).
+    "q72_grouped_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.25d)").as("q25"),
+        expr("percentile(l_extendedprice, 0.5d)").as("median"),
+        expr("percentile(l_extendedprice, 0.75d)").as("q75"),
+        expr("percentile(l_extendedprice, 0.95d)").as("q95"))
+    },
+
     // S4 — JSON scan end-to-end (`brca_data_prep.ipynb` cell-5/6 shape):
     // events sample written as JSON lines, re-read with schema inference
     // (spark.read.json), then a broadcast dictionary remap + aggregate.
@@ -210,6 +234,23 @@ object ExtrasPack extends QueryPack {
     s"(CAST(${graft.util.Parity.keyHashSql(k)} AS DOUBLE) / ${graft.util.Parity.HashMod}.0)"
 
   override def oracles: Map[String, String] = Map(
+    "q71_trailing_window" ->
+      """SELECT o_orderkey,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE) AS rev_trailing
+         FROM (SELECT *, CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS day_num
+               FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""",
+
+    "q72_grouped_quantiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS q25,
+           quantile_cont(l_extendedprice, 0.5) AS median,
+           quantile_cont(l_extendedprice, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.95) AS q95
+         FROM lineitem GROUP BY l_returnflag""",
+
     "q63_json_scan" ->
       s"""SELECT CASE event_type
             WHEN 'click' THEN 'interaction' WHEN 'view' THEN 'interaction'

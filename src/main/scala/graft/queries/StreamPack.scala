@@ -74,6 +74,22 @@ object StreamPack extends QueryPack {
         "sink2h", "complete")
     },
 
+    // stream-static enrichment join: the unbounded side joins a broadcast
+    // static dimension (no state, no watermark needed — the standard
+    // lookup-enrich shape), then daily tumbling counts per category.
+    "q70_stream_enrich" -> { (s, d) =>
+      val dim = s.createDataFrame(Seq(
+        ("click", "interaction"), ("view", "interaction"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "fault"))).toDF("event_type", "category")
+      val enriched = Streams.eventsStream(s, d)
+        .join(broadcast(dim), "event_type")
+        .groupBy(window(col("ts"), "1 day"), col("category"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("day_start"), col("category"), col("n"))
+      Streams.drainToTable(enriched, "enrich", "complete")
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -153,6 +169,15 @@ object StreamPack extends QueryPack {
       s"""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000) * 7200000000) AS win_start,
           event_type, COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+
+    "q70_stream_enrich" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CASE event_type
+             WHEN 'click' THEN 'interaction' WHEN 'view' THEN 'interaction'
+             WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+             WHEN 'error' THEN 'fault' END AS category,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2""",
 
     // Same lagged-late-filter model as q61, on row timestamps: batch-3
     // rows survive iff t > max(batch-1 ts) − 1h; dedup emits on arrival
