@@ -98,14 +98,15 @@ object ExtrasPack extends QueryPack {
     },
 
     // grouped exact interpolating quantiles (Spark `percentile` ==
-    // DuckDB `quantile_cont`, bit-identical): the per-group distribution
-    // summary shape at any cardinality (hash-agg, map-side partials).
+    // DuckDB `quantile_cont`, bit-identical): ONE percentile aggregate
+    // with an array of probes — the values buffer and sort once per group,
+    // not once per quantile (4 separate aggregates measured 4× the cost).
     "q72_grouped_quantiles" -> { (s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.25d)").as("q25"),
-        expr("percentile(l_extendedprice, 0.5d)").as("median"),
-        expr("percentile(l_extendedprice, 0.75d)").as("q75"),
-        expr("percentile(l_extendedprice, 0.95d)").as("q95"))
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25d, 0.5d, 0.75d, 0.95d))").as("qs"))
+        .select(col("l_returnflag"),
+          col("qs")(0).as("q25"), col("qs")(1).as("median"),
+          col("qs")(2).as("q75"), col("qs")(3).as("q95"))
     },
 
     // S4 — JSON scan end-to-end (`brca_data_prep.ipynb` cell-5/6 shape):
