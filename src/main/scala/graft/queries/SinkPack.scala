@@ -33,6 +33,20 @@ object SinkPack extends QueryPack {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           graft.util.Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // partition pruning: a filter on the Hive partition column must reach
+    // the scan as a PartitionFilter (directory-level skip — at 100 TB the
+    // other partitions' files are never even listed for IO). The pruning
+    // itself is asserted on the physical plan in SinkSpec.
+    "q73_partition_pruning" -> { (s, d) =>
+      val p = scratch("orders_parquet_pruned")
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(p)
+      s.read.parquet(p).filter(col("o_orderstatus") === "F")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          graft.util.Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -41,6 +55,11 @@ object SinkPack extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q46_parquet_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
-          FROM orders GROUP BY o_orderstatus"""
+          FROM orders GROUP BY o_orderstatus""",
+
+    "q73_partition_pruning" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1"""
   )
 }
