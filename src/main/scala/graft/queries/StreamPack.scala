@@ -74,6 +74,14 @@ object StreamPack extends QueryPack {
         "sink2h", "complete")
     },
 
+    // flatMapGroupsWithState (0..N outputs per group per batch): per user,
+    // one row per event type never seen before.
+    "q74_stateful_new_types" -> { (s, d) =>
+      Streams.drainToTable(
+        Streams.userNewTypes(Streams.eventsStream(s, d)),
+        "newtypes", "append")
+    },
+
     // stream-static enrichment join: the unbounded side joins a broadcast
     // static dimension (no state, no watermark needed — the standard
     // lookup-enrich shape), then daily tumbling counts per category.
@@ -169,6 +177,9 @@ object StreamPack extends QueryPack {
       s"""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000) * 7200000000) AS win_start,
           event_type, COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+
+    "q74_stateful_new_types" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
 
     "q70_stream_enrich" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,

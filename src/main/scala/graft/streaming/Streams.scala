@@ -142,6 +142,26 @@ object Streams {
   def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
     events.select(keys.map(col): _*).dropDuplicates(keys)
 
+  /** Custom keyed state via `flatMapGroupsWithState` — the 0..N-outputs
+    * sibling of [[statefulUserActivity]]: per user, emit one row per event
+    * type never seen before (the state is the seen-set). Append mode. */
+  def userNewTypes(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Set[String]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[String])
+          val fresh = it.map(_._2).toSeq.distinct.filterNot(seen)
+          state.update(seen ++ fresh)
+          fresh.iterator.map(t => (uid, t))
+      }
+      .toDF("user_id", "event_type")
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's
