@@ -35,23 +35,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
-    var peakMem = 0L
-    def sampleMem(): Unit = {
-      val used = memBean.getHeapMemoryUsage.getUsed
-      if (used > peakMem) peakMem = used
-    }
+    // Per-query peak heap via the JVM's resettable per-pool high-water
+    // marks (BASELINE.md protocol promises a per-query memory axis, the
+    // analog of the reference's `memory_usage(max_usage=True)`). Summing
+    // pool peaks can slightly overstate (pools peak at different instants)
+    // — it is a high-water indicator, not an exact concurrent footprint.
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakMib(): Long = heapPools.map(_.getPeakUsage.getUsed).sum / 1024 / 1024
+
+    // Derived test inputs (TSV/JSON/small-files/late-arrival staging) are
+    // materialized BEFORE the clock starts — queries measure reads.
+    SparkEntry.stage(spark, sfDir)
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
 
     var errors = Map.empty[String, String]
+    var memByQuery = Map.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var spent = 0.0
       var runs = 0
       var ok = false
       var lastErr: String = null
+      resetPeaks()
       while (runs < repeats && (runs == 0 || spent < 30.0)) {
         spark.catalog.clearCache() // cold runs: no cross-repeat cache flattery
         val t0 = System.nanoTime()
@@ -61,8 +71,8 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         spent += dt; runs += 1
         if (!failed) { ok = true; if (dt < best) best = dt }
-        sampleMem()
       }
+      memByQuery += name -> peakMib()
       if (!ok) { errors += name -> String.valueOf(lastErr).take(200); name -> -1.0 }
       else name -> best
     }
@@ -70,9 +80,10 @@ object Bench {
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val memJson = results.map { case (k, _) => jstr(k) + ":" + memByQuery(k) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val memMib = peakMem / 1024 / 1024
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run), repeats capped at 30s/query, noop-sink forced"}""")
+    val memMib = if (memByQuery.isEmpty) 0L else memByQuery.values.max
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks"}""")
     spark.stop()
   }
 }

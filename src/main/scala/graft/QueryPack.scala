@@ -14,4 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Materialize any derived test inputs this pack's queries read
+    * (idempotent — see [[graft.util.Staging]]). Bench/Verify call this
+    * before timing so staging cost never pollutes query measurements;
+    * queries also self-stage on first touch, so packs work standalone. */
+  def stage(spark: SparkSession, sfDir: String): Unit = ()
 }

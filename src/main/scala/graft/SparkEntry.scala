@@ -35,4 +35,10 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver's rows-only check. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Pre-stage every pack's derived test inputs (idempotent) — called by
+    * Bench/Verify before timing so staging writes never pollute query
+    * measurements. */
+  def stage(spark: SparkSession, sfDir: String): Unit =
+    packs.foreach(_.stage(spark, sfDir))
 }

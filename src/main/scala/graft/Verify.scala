@@ -21,6 +21,7 @@ object Verify {
     System.setProperty("graft.oracle.dir", dumpDir)
     // Dev iteration aid (unset for driver runs): restrict to matching names.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    SparkEntry.stage(spark, sfDir) // idempotent pre-staging of derived inputs
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>

@@ -35,6 +35,12 @@ object GraftSession {
       // and convert in graft.io.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // Streaming state off-heap: the default HDFS-backed provider keeps
+      // every key's state in executor heap maps — the 100×-scale risk for
+      // the stateful queries (dedup, sessions, mapGroupsWithState). RocksDB
+      // spills state to local disk with incremental checkpointing.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 

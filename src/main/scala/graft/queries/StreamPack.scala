@@ -13,6 +13,12 @@ import graft.streaming.Streams
   */
 object StreamPack extends QueryPack {
 
+  /** Pre-stage the late-arrival micro-batch files (q61/q66) so their write
+    * cost stays out of the benched streaming path. */
+  override def stage(s: SparkSession, d: String): Unit = {
+    Streams.prepareLateArrivalFiles(s, d); ()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1h windows per event type (complete mode).
     "q40_stream_tumbling" -> { (s, d) =>
@@ -28,16 +34,19 @@ object StreamPack extends QueryPack {
         "sliding", "complete")
     },
 
-    // session windows: 30-minute gap sessionization per user.
+    // session windows: 30-minute gap sessionization per user. Per-session
+    // rows grow with the data → parquet sink, not the driver memory sink.
     "q42_stream_sessions" -> { (s, d) =>
-      Streams.drainToTable(
+      Streams.drainToParquet(
         Streams.userSessions(Streams.eventsStream(s, d), "30 minutes"),
         "sessions", "complete")
     },
 
     // streaming dedup (state-backed dropDuplicates) → distinct users/type.
+    // The deduped row stream grows with the data → parquet sink; only the
+    // small per-type rollup is collected.
     "q43_stream_dedup" -> { (s, d) =>
-      val deduped = Streams.drainToTable(
+      val deduped = Streams.drainToParquet(
         Streams.dedupStream(Streams.eventsStream(s, d), Seq("user_id", "event_type")),
         "dedup", "append")
       deduped.groupBy("event_type").agg(count(lit(1)).as("n_users"))

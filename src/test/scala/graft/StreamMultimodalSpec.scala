@@ -38,6 +38,25 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(viaParquet.exceptAll(viaMemory).count() == 0)
   }
 
+  test("stateful streaming runs on the RocksDB state store provider") {
+    // the conf is engine-wide (GraftSession.configure): heap-map state is
+    // the one remaining 100×-risk in streaming, RocksDB spills to disk
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val d = sf("sf0.001")
+    // a stateful (mapGroupsWithState) query must produce correct results
+    // under the RocksDB provider
+    val res = Streams.drainToTable(
+      Streams.statefulUserActivity(Streams.eventsStream(spark, d)), "rocks_spec", "update")
+    val batch = graft.io.Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct("event_type").as("n_types"))
+    assert(res.count() == batch.count())
+    val joined = res.join(batch.withColumnRenamed("n_events", "b_n"), "user_id")
+      .filter(col("n_events") =!= col("b_n")).count()
+    assert(joined == 0)
+  }
+
   test("session windows split strictly at the gap") {
     val ts = Seq(0L, 10L, 50L, 55L).map(m => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:00").toInstant.plusSeconds(m * 60))
     val df = ts.map(t => (1L, java.sql.Timestamp.from(t))).toDF("user_id", "ts")
