@@ -30,7 +30,11 @@ object WideBench {
     val f = 60483
     val spark = graft.core.GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus),
+          .config("spark.sql.shuffle.partitions", cpus)
+          // the wide stages legitimately pin the driver (60k-attribute
+          // analysis) — don't let heartbeats declare the executor dead
+          .config("spark.executor.heartbeatInterval", "60s")
+          .config("spark.network.timeout", "600s"),
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,10 +67,16 @@ object WideBench {
       val df = WideIngest.readCanonical(spark, canonPath)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = new Normalization.UpperQuartile(0.75, "features").fit(df)
-      val red = m.transform(df)
-        .select(ArrayOps.rowQuantile(ArrayOps.log2p1(m.masked), 0.5).as("q"))
+      // materialize the normalized matrix BEFORE the downstream reduce:
+      // interpreted HOFs get no CSE, so without this barrier projection
+      // collapse would inline the whole ScaleRow expression into the
+      // per-element reduce lambda — O(width²) per row, fatal at 60k
+      val normalized = m.transform(df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val red = normalized
+        .select(ArrayOps.rowQuantile(ArrayOps.log2p1(col("features")), 0.5).as("q"))
         .agg(avg("q")).head().getDouble(0)
-      df.unpersist()
+      df.unpersist(); normalized.unpersist()
       (m, red)
     }
     require(model.kept.size == f - (f + 96) / 97, s"mask wrong: ${model.kept.size}")

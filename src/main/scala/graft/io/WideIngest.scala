@@ -25,17 +25,55 @@ object WideIngest {
   /** Collapse `widePath` (one double column per feature + `keyCol`) into
     * array-layout parquet at `outPath`, writing the positional gene-name
     * sidecar to `namesPath`. Column order of the parquet schema defines
-    * array position. */
+    * array position.
+    *
+    * Runs with codegen disabled: Janino compilation of a 60k-child
+    * `array(...)` projection takes minutes and can starve the driver
+    * (heartbeat timeouts); the interpreted projection evaluates the same
+    * plan immediately. This is the ONE deliberately wide plan in the
+    * engine — everything downstream is array-layout. */
   def canonicalize(spark: SparkSession, widePath: String, keyCol: String,
                    outPath: String, namesPath: String): Unit = {
     val wide = spark.read.parquet(widePath)
     val genes = wide.schema.fieldNames.filterNot(_ == keyCol).toSeq
-    wide.select(col(keyCol),
-        array(genes.map(g => col(g).cast("double")): _*).as("features"))
-      .write.mode("overwrite").parquet(outPath)
+    withInterpretedPlans(spark) {
+      // the vectorized reader sizes batches in ROWS: at 60k columns the
+      // default 4096-row batch is ~2 GB per scan task — scale the batch so
+      // width × batch stays ~16 MB
+      val batch = math.max(16, 8 * 1024 * 1024 / math.max(1, genes.size))
+      withConf(spark, "spark.sql.parquet.columnarReaderBatchSize", batch.toString) {
+        wide.select(col(keyCol),
+            array(genes.map(g => col(g).cast("double")): _*).as("features"))
+          .write.mode("overwrite").parquet(outPath)
+      }
+    }
     spark.createDataFrame(genes.zipWithIndex.map { case (g, i) => (i, g) })
       .toDF("pos", "gene")
       .coalesce(1).write.mode("overwrite").parquet(namesPath)
+  }
+
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  /** Evaluate `body` with whole-stage codegen and expression codegen off —
+    * for the handful of one-time ultra-wide plans where Janino compile time
+    * dominates wall time. */
+  def withInterpretedPlans[T](spark: SparkSession)(body: => T): T = {
+    val prevWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally {
+      prevWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(v =>
+        spark.conf.set("spark.sql.codegen.wholeStage", v))
+      prevFm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        spark.conf.set("spark.sql.codegen.factoryMode", v))
+    }
   }
 
   /** Read back a canonicalized matrix: `(keyCol, features)`. */
@@ -58,15 +96,35 @@ object WideIngest {
     * gene all-zero. Generated from an array projection so only the final
     * select is wide. */
   def writeWideSynthetic(spark: SparkSession, path: String, n: Int, f: Int): Unit = {
-    val arr = spark.range(n.toLong).select(
-      col("id").as("sample_id"),
-      transform(sequence(lit(0), lit(f - 1)), c => {
-        val h = pmod((col("id") * f + c) * 1103515245L + 12345L, lit(2147483647L))
-        when(pmod(c, lit(97)) === 0, 0.0)
-          .otherwise(h.cast("double") / 2147483647.0 * 100.0)
-      }).as("features"))
-    val cols = col("sample_id") +:
-      (0 until f).map(i => col("features")(i).as(f"ENSG${i}%011d"))
-    arr.select(cols: _*).write.mode("overwrite").parquet(path)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // build rows in a plain loop on the executors — a 60k-expression
+    // Catalyst projection would spend minutes in the analyzer/interpreter
+    // just to synthesize test data (measured 376 s for 64 rows)
+    val schema = StructType(StructField("sample_id", LongType, nullable = false) +:
+      (0 until f).map(i => StructField(f"ENSG${i}%011d", DoubleType, nullable = false)))
+    val rdd = spark.sparkContext.range(0L, n.toLong, numSlices = 8).map { id =>
+      val vals = new Array[Any](f + 1)
+      vals(0) = id
+      var c = 0
+      while (c < f) {
+        val h = java.lang.Math.floorMod((id * f + c) * 1103515245L + 12345L, 2147483647L)
+        vals(c + 1) = if (c % 97 == 0) 0.0 else h.toDouble / 2147483647.0 * 100.0
+        c += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    }
+    // interpreted plans: the write path's UnsafeProjection over 60k fields
+    // otherwise goes through Janino (minutes of compile for a one-shot
+    // staging write). Parquet writer memory is columns × page buffer, so at
+    // 60k columns the default 1 MiB page size is ~60 GiB PER TASK — shrink
+    // pages and drop dictionary encoding (values are unique doubles).
+    withInterpretedPlans(spark) {
+      spark.createDataFrame(rdd, schema).write
+        .option("parquet.page.size", 16 * 1024)
+        .option("parquet.block.size", 32 * 1024 * 1024)
+        .option("parquet.enable.dictionary", "false")
+        .mode("overwrite").parquet(path)
+    }
   }
 }

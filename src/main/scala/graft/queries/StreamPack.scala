@@ -71,7 +71,8 @@ object StreamPack extends QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
         .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
-      Streams.drainToTable(agg, "wmark", "append")
+      // sealed windows accumulate over time → parquet sink, not driver memory
+      Streams.drainToParquet(agg, "wmark", "append")
     },
 
     // foreachBatch → parquet sink (the scale-path sink; memory sink is the
@@ -84,9 +85,10 @@ object StreamPack extends QueryPack {
     },
 
     // flatMapGroupsWithState (0..N outputs per group per batch): per user,
-    // one row per event type never seen before.
+    // one row per event type never seen before. Output grows with the key
+    // space → parquet sink.
     "q74_stateful_new_types" -> { (s, d) =>
-      Streams.drainToTable(
+      Streams.drainToParquet(
         Streams.userNewTypes(Streams.eventsStream(s, d)),
         "newtypes", "append")
     },
@@ -115,7 +117,9 @@ object StreamPack extends QueryPack {
       val dd = Streams.lateArrivalStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(Seq("user_id", "event_type", "ts"))
-      Streams.drainToTable(dd, "wmdedup", "append")
+      // deduped row stream grows with the data → parquet sink; only the
+      // per-type rollup is collected
+      Streams.drainToParquet(dd, "wmdedup", "append")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }
   )

@@ -46,4 +46,32 @@ object Scale {
       .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** A10 — memory-footprint-driven partitioning (the reference's explicit
+    * 64 MB rule, `functions/dask_pipeline.py:41`, `data/brca_undersample
+    * .py:20-21`): repartition `df` so each partition holds ~`targetBytes`
+    * of IN-MEMORY row data. Spark sizes SCAN partitions from file bytes
+    * (`spark.sql.files.maxPartitionBytes`) and post-shuffle partitions via
+    * AQE, but mid-pipeline DataFrames that are about to be persisted or
+    * iterated (the wide-matrix case) still need an explicit row-footprint
+    * repartition — compressed parquet bytes under-estimate in-memory arrays
+    * ~5–10×.
+    *
+    * The footprint is estimated from a driver-side sample of `sampleRows`
+    * rows (UnsafeRow sizes), one small job; the repartition itself is one
+    * round-robin shuffle. Returns the repartitioned frame and the chosen
+    * partition count. */
+  def repartitionToBytes(df: DataFrame, targetBytes: Long,
+                         sampleRows: Int = 1000): (DataFrame, Int) = {
+    val sampled = df.limit(sampleRows).queryExecution.toRdd
+      .map {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getSizeInBytes.toLong
+        case r => r.numFields * 8L // non-unsafe fallback: field-count floor
+      }.collect()
+    require(sampled.nonEmpty, "cannot size an empty DataFrame")
+    val avgRow = sampled.sum.toDouble / sampled.length
+    val rows = df.count()
+    val parts = math.max(1, math.ceil(rows * avgRow / targetBytes).toInt)
+    (df.repartition(parts), parts)
+  }
 }

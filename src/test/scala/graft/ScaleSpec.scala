@@ -35,4 +35,19 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == li.count()) // every lineitem matches its order
     } finally spark.conf.set(key, prev)
   }
+
+  test("repartitionToBytes sizes partitions from in-memory row footprint (A10)") {
+    // 2,000 rows × a 100-double array ≈ 2000 × ~850 B ≈ 1.6 MiB in-memory;
+    // a 256 KiB target must land on ~7 partitions (not the input's 4, and
+    // not parquet-compressed-size-derived counts)
+    val df = spark.range(2000).select(col("id"),
+      transform(sequence(lit(0), lit(99)), c => c.cast("double") + col("id")).as("arr"))
+    val (rep, parts) = Scale.repartitionToBytes(df, 256 * 1024)
+    assert(parts >= 5 && parts <= 10, s"unexpected partition count $parts")
+    assert(rep.rdd.getNumPartitions == parts)
+    assert(rep.count() == 2000)
+    // partitions are balanced (round-robin): max/min row counts within 2×
+    val sizes = rep.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.max <= 2 * math.max(sizes.min, 1), sizes.mkString(","))
+  }
 }
