@@ -32,6 +32,9 @@ class IncrementalSGD(val classes: Seq[Double], val dim: Int,
     Array.fill(classes.size)(new Array[Double](dim + 1))
   private var step = 0
 
+  /** Number of partial-fit steps applied so far. */
+  def steps: Int = step
+
   /** One distributed mini-batch gradient step. `featuresCol` is an
     * Array[Double] column of width `dim`; `labelCol` must hold values from
     * `classes` (others train as all-negative rows, like sklearn). */

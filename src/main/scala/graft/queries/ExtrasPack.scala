@@ -235,6 +235,20 @@ object ExtrasPack extends QueryPack {
           col("o_orderdate").cast("date").as("asof_date"))
     },
 
+    // A10 — memory-footprint-driven partitioning (the reference's 64 MB
+    // rule, `data/brca_undersample.py:20-21`): size partitions from the
+    // SAMPLED IN-MEMORY row footprint (compressed parquet bytes
+    // under-estimate arrays 5-10×), then aggregate. The oracle proves the
+    // repartition is data-invariant; ScaleSpec asserts the sizing itself.
+    "q75_footprint_repartition" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val (rep, _) = graft.relational.Scale.repartitionToBytes(li, 1L << 20)
+      rep.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"))
+    },
+
     // bucketed co-located join: both sides bucketed+sorted by the join key
     // → zero-exchange sort-merge join (asserted in the spec).
     "q56_bucketed_join" -> { (s, d) =>
@@ -308,6 +322,12 @@ object ExtrasPack extends QueryPack {
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderstatus""",
+
+    // the footprint repartition must be invisible to the data
+    "q75_footprint_repartition" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty,
+          ${Sql.dsum("l_extendedprice")} AS price
+          FROM lineitem GROUP BY l_returnflag""",
 
     "q58_sql_frontend" ->
       s"""SELECT o_orderkey,

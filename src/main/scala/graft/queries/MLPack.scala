@@ -230,6 +230,39 @@ object MLPack extends QueryPack {
       s.createDataFrame(Seq((dumped.count(), true))).toDF("n_rows", "within_tol")
     },
 
+    // M15 — the incremental-fit protocol (`functions/dask_cv.py:10-19`:
+    // partial-fit estimators with `classes=` declared up front). The train
+    // split arrives as 3 sequential hash-fold batches; IncrementalSGD
+    // (one-vs-rest hinge, all 10 classes declared before any batch is
+    // seen) takes one distributed gradient step per batch per epoch —
+    // batches cached once and re-fed across 8 epochs, mirroring dask-ml
+    // `Incremental`'s block-streaming fit. Held-out predictions are
+    // dumped; the oracle recomputes accuracy from the dump and replays
+    // split/batch bookkeeping from the hash split.
+    "q76_incremental_fit" -> { (s, d) =>
+      val df = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label").cast("double").as("label"),
+        transform(col("embedding"), _.cast("double")).as("features"))
+      val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
+      val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
+      val model = new graft.ml.IncrementalSGD((0 until 10).map(_.toDouble), dim = 64)
+      val batches = (0 until 3).map { b =>
+        train.filter(DeterministicSplits.foldId(col("vec_id"), 3) === b)
+          .select(col("label"), col("features"))
+          .rdd.map(r => (r.getDouble(0), r.getSeq[Double](1).toArray))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      (1 to 8).foreach(_ => batches.foreach(model.fitStep))
+      batches.foreach(_.unpersist())
+      val preds = OracleDump.dump(
+        model.transform(test, "features").select(col("vec_id"), col("label"), col("prediction")),
+        "q76_inc_preds")
+      val acc = Models.accuracy("label").evaluate(preds)
+      s.createDataFrame(Seq((train.count(), test.count(), 3L, model.steps.toLong, acc)))
+        .toDF("n_train", "n_test", "n_batches", "n_steps", "accuracy")
+        .withColumn("accuracy", round(col("accuracy"), 6))
+    },
+
     // The reference's flagship workload end-to-end (SURVEY §7.5 minimum
     // slice, `dask_pipeline.py:124-157`): UQ-normalize → P3 feature mask →
     // log2(x+1) → split → encode → scale → RandomForest → accuracy + CV.
@@ -424,6 +457,17 @@ object MLPack extends QueryPack {
           SELECT j.n AS n_rows,
                  (j.n_deviant <= 0.001 * j.n) AS within_tol
           FROM j""",
+
+    // Split sizes replayed from the hash split; batch/step counts are the
+    // protocol's fixed shape; accuracy recomputed from the dump.
+    "q76_incremental_fit" ->
+      s"""SELECT
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
+            CAST(3 AS BIGINT) AS n_batches,
+            CAST(24 AS BIGINT) AS n_steps,
+            (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
+             FROM ${OracleDump.sqlGlob("q76_inc_preds")}) AS accuracy""",
 
     // Full SQL replay of the pipeline's deterministic spine — the feature
     // matrix (exp·10), the UpperQuartile row factors (type-7 q75 / ordered
