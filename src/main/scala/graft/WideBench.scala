@@ -64,7 +64,7 @@ object WideBench {
       WideIngest.canonicalize(spark, widePath, "sample_id", canonPath, namesPath)
     }
     val (model, reduced) = timed("uq_fit_transform_reduce") {
-      val df = WideIngest.readCanonical(spark, canonPath)
+      val df = graft.relational.Scale.fanOut(WideIngest.readCanonical(spark, canonPath))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = new Normalization.UpperQuartile(0.75, "features").fit(df)
       // materialize the normalized matrix BEFORE the downstream reduce:

@@ -54,6 +54,11 @@ object Normalization {
     def normFactor(features: Column): Column =
       ArrayOps.rowQuantile(features, q) / ArrayOps.rowSum(features)
 
+    /** Callers with a single-split local input should pass it through
+      * [[graft.relational.Scale.fanOut]] (ideally cached — fit runs four
+      * actions) so the per-row stat math parallelizes; fit itself does not
+      * repartition, because an un-cached repartition would re-shuffle on
+      * every one of those actions. */
     def fit(df: DataFrame): UpperQuartileModel = {
       val means = positionMeans(df, featuresCol)
       val kept = means.indices.filter(i => means(i) > 0.0)
@@ -97,7 +102,8 @@ object Normalization {
   class TMM(val logRatioTrim: Double = 0.3, val absExprTrim: Double = 0.05,
             val featuresCol: String = "features",
             val exact: Boolean = true,
-            val percentileAccuracy: Int = 50000) {
+            val percentileAccuracy: Int = 50000,
+            val sketchPartitions: Int = 8) {
 
     /** Quantile mode. `exact=true` → Spark's interpolating `percentile`,
       * bit-matching numpy's type-7 `nanquantile` (`:88-92`) — but it buffers
@@ -110,11 +116,26 @@ object Normalization {
       if (exact) expr(s"percentile($c, $q)")
       else expr(s"approx_percentile($c, $q, $percentileAccuracy)")
 
-    /** Shared fit body: returns the model plus the still-persisted ratio
-      * matrix and the factor expression over it (callers decide whether to
-      * reuse or release the cache). */
-    private def fitInternal(df: DataFrame): (TMMModel, DataFrame, Column) = {
-      val width = df.select(size(col(featuresCol))).head().getInt(0)
+    /** Shared fit body through the trim thresholds: returns a gm→model
+      * constructor plus the still-persisted ratio matrix and the factor
+      * expression over it (callers run the one remaining geometric-mean
+      * pass over whichever cache they keep, then release). */
+    private def fitInternal(df0: DataFrame): (Double => TMMModel, DataFrame, Column) = {
+      // the whole fit is CPU-bound map-side math over the scan — fan a
+      // single-split local file across the cluster first (no-op at scale)
+      val df = graft.relational.Scale.fanOut(df0)
+      // bound the number of partial quantile states feeding any percentile
+      // aggregate: a GK partial at accuracy 50k is nearly data-sized, so
+      // the single-task final merge DEGRADES with partition count (measured
+      // 2× worse at 32 partials than at 1); a handful of partials keeps
+      // inserts parallel and the merge trivial. The same bound is mandatory
+      // at cluster scale — a sketch agg over 10k scan tasks would funnel
+      // 10k near-data-sized partials into one reducer without it.
+      def sketchIn(frame: DataFrame): DataFrame =
+        frame.coalesce(math.max(1, sketchPartitions))
+      // probe width on the PRE-fan frame: limit pushdown reads one row from
+      // the scan; through the repartition it would shuffle everything
+      val width = df0.select(size(col(featuresCol))).head().getInt(0)
 
       // 1-2. per-position (nnz, q75-of-positives, colsum) as (Long, Double,
       // Double). colsum goes through exact DECIMAL: combine-order
@@ -137,7 +158,7 @@ object Normalization {
               pctl(s"CASE WHEN $xi > 0 THEN $xi END", 0.75).as(s"q_$i"),
               expr(s"CAST(sum(CAST($xi AS DECIMAL(38,6))) AS DOUBLE)").as(s"s_$i"))
           }
-          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          val r = sketchIn(df).agg(aggs.head, aggs.tail: _*).head()
           (0 until width).map { i =>
             i -> (r.getLong(3 * i),
               if (r.isNullAt(3 * i + 1)) Double.NaN else r.getDouble(3 * i + 1),
@@ -163,14 +184,17 @@ object Normalization {
       // 3. materialize per-row log_ratio / abs_expr arrays ONCE (row scalars
       // hoisted to columns so they're evaluated once per row, not per
       // element; the whole fit then runs its stat jobs over this cache).
-      val mat = withRatioArrays(df, masked, pseudoref)
+      // The cache holds key columns + __r ONLY — carrying the source
+      // feature array through it roughly doubles the bytes/row for no
+      // reader (every downstream job touches just __r).
+      val mat = withRatioArrays(df, masked, pseudoref).drop(featuresCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // 4. global nan-skipping quantiles of both matrices (A6) in ONE scan
       // of the cache: zip the (lr, ae) arrays, explode once, mask each side
       // into its own quantile aggregate (null-skipping). Same multisets as
       // separate explodes — the former two-scan union was ~2× the cost.
-      val z = mat.select(explode(zip_with(col("__r.lr"), col("__r.ae"),
+      val z = sketchIn(mat).select(explode(zip_with(col("__r.lr"), col("__r.ae"),
           (l, a) => struct(l.as("l"), a.as("a")))).as("z"))
         .select(col("z.l").as("l"), col("z.a").as("a"))
       def masked_(c: String) = s"CASE WHEN $c IS NOT NULL AND NOT isnan($c) THEN $c END"
@@ -182,36 +206,40 @@ object Normalization {
       val (lrLo, lrHi) = (tr.getDouble(0), tr.getDouble(1))
       val (aeLo, aeHi) = (tr.getDouble(2), tr.getDouble(3))
 
-      // 5-6. per-row trimmed mean + geometric-mean symmetrization
+      // 5. per-row trimmed mean; the geometric-mean symmetrization (6) is
+      // the caller's one remaining pass — fit() runs it over the ratio
+      // cache, fitScored() over its own slimmer factor cache.
       val factor = trimmedMean(col("__r.lr"), col("__r.ae"), lrLo, lrHi, aeLo, aeHi)
-      val lnNf = log(when(factor === 0.0, 1.0).otherwise(factor))
-      val gm = mat.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
-      val model = new TMMModel(featuresCol, kept, width, math.exp(gm), pseudoref,
+      val mkModel = (gm: Double) => new TMMModel(featuresCol, kept, width, gm, pseudoref,
         lrLo, lrHi, aeLo, aeHi, logRatioTrim, absExprTrim)
-      (model, mat, factor)
+      (mkModel, mat, factor)
     }
 
     def fit(df: DataFrame): TMMModel = {
-      val (model, mat, _) = fitInternal(df)
+      val (mkModel, mat, factor) = fitInternal(df)
+      val lnNf = log(when(factor === 0.0, 1.0).otherwise(factor))
+      val gm = mat.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
       mat.unpersist()
-      model
+      mkModel(math.exp(gm))
     }
 
-    /** Fit AND score the fitted dataset in one go: the factor columns are
-      * computed from the ratio arrays already materialized during fit,
-      * saving a full re-derivation pass over `df` (the common
-      * fit-then-score-same-data case; ~1/3 of q28's wall time). */
+    /** Fit AND score the fitted dataset in one go: the factor column is
+      * materialized ONCE into a keys+factor cache; the geometric-mean pass
+      * then reads that cached scalar instead of re-deriving the trimmed
+      * mean, and the returned frame derives `scaleCol` lazily from it
+      * (saves a full re-derivation pass over `df` plus a fat second cache
+      * vs fit-then-score — ~1/3 of q28's wall time). */
     def fitScored(df: DataFrame, normCol: String = "norm_factor",
                   scaleCol: String = "scaling_factor"): (TMMModel, DataFrame) = {
-      val (model, mat, factor) = fitInternal(df)
-      val scored = mat
-        .withColumn(normCol, factor)
-        .withColumn(scaleCol, col(normCol) / lit(model.geoMean))
-        .drop("__r")
+      val (mkModel, mat, factor) = fitInternal(df)
+      val scored = mat.withColumn(normCol, factor).drop("__r")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      scored.count()
+      val nf = col(normCol)
+      val lnNf = log(when(nf === 0.0, 1.0).otherwise(nf))
+      val gm = scored.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
       mat.unpersist()
-      (model, scored)
+      val model = mkModel(math.exp(gm))
+      (model, scored.withColumn(scaleCol, nf / lit(model.geoMean)))
     }
   }
 

@@ -17,9 +17,14 @@ import graft.text.TextOps
 object DedupPack extends QueryPack {
   import Dedup.MinHashParams._
 
+  /** Fan the single-split documents scan out: shingling + minhash math
+    * per row dominates every dedup query (no-op at scale). */
+  private def docsFanned(s: SparkSession, d: String): DataFrame =
+    graft.relational.Scale.fanOut(Tables.documents(s, d).select("doc_id", "text"))
+
   /** documents ∪ exact copies of every 10th doc (ids + 200000). */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = docsFanned(s, d)
     docs.unionByName(
       docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 200000).as("doc_id"), col("text")))
@@ -27,7 +32,7 @@ object DedupPack extends QueryPack {
 
   /** documents ∪ near-copies (first word dropped) of every 5th doc. */
   private def augCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = docsFanned(s, d)
     docs.unionByName(
       docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -68,7 +73,7 @@ object DedupPack extends QueryPack {
 
     // MinHash band signatures (the LSH index) for the plain corpus.
     "q30_minhash_bands" -> { (s, d) =>
-      Dedup.bandTable(Tables.documents(s, d), "doc_id", "text")
+      Dedup.bandTable(docsFanned(s, d), "doc_id", "text")
         .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
     },
 
@@ -81,7 +86,7 @@ object DedupPack extends QueryPack {
     // SimHash signatures over token hashes.
     "q32_simhash" -> { (s, d) =>
       val hs = transform(TextOps.words(col("text")), TextOps.hash32(_))
-      Tables.documents(s, d).select(col("doc_id"), Dedup.simhash32(hs).as("simhash"))
+      docsFanned(s, d).select(col("doc_id"), Dedup.simhash32(hs).as("simhash"))
     },
 
     // exact n-gram Jaccard verification of the planted near-dup pairs.

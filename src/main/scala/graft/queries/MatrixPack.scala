@@ -45,9 +45,15 @@ object MatrixPack extends QueryPack {
     // matrix from lineitem: per-row q75/sum, symmetrized by the geometric
     // mean of all factors (exact-decimal mean of logs).
     "q18_uq_factors" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).withColumn("features",
-        ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
-          lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))))
+      // fan the single-split scan out and CACHE it: the fit's stat jobs and
+      // the per-row factor output pass (4 actions) are all CPU-bound
+      // rowQuantile math — without the persist each action would re-run the
+      // fan-out shuffle; without the fan-out they all run on one core
+      val li = graft.relational.Scale.fanOut(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
+              lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))).as("features")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = new Normalization.UpperQuartile(0.75, "features").fit(li)
       li.select(col("l_orderkey"), col("l_linenumber"),
         model.normFactor.as("norm_factor"),

@@ -186,7 +186,9 @@ object RelationalPack extends QueryPack {
       val li = Tables.lineitem(s, d)
       val kept = StatsProjection.projectByQuantileThreshold(li, valueCols, 0.25).columns.toSeq
       val aggs = kept.map(c => dsum6(log2(col(c) + lit(1.0))).as(c))
-      val one = li.agg(aggs.head, aggs.tail: _*)
+      // log2-per-value over every row: fan the surviving-column projection
+      val one = graft.relational.Scale.fanOut(li.select(kept.map(col): _*))
+        .agg(aggs.head, aggs.tail: _*)
       one.selectExpr(
         s"stack(${kept.size}, ${kept.map(c => s"'$c', $c").mkString(", ")}) as (col_name, sum_log2)")
     }

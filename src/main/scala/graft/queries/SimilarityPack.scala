@@ -20,8 +20,9 @@ object SimilarityPack extends QueryPack {
     * (±0.005 alternating per dimension: vectors are unit-norm, so cosine to
     * the original ≈ 0.9992 and sign-projection bits rarely flip). */
   private def augVectors(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // decimal-dot math per row dominates — fan the single-split scan out
+    val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
     base.unionByName(
       base.filter(pmod(col("vec_id"), lit(10)) === 0)
         .select((col("vec_id") + 1000000).as("vec_id"),
@@ -49,8 +50,8 @@ object SimilarityPack extends QueryPack {
 
     // brute-force cosine top-5 for every 50th vector as query.
     "q35_ann_topk" -> { (s, d) =>
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
       val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       Similarity.bruteForceTopK(queries, base, "q_id", "vec_id", "qv", "v", 5)
@@ -60,8 +61,8 @@ object SimilarityPack extends QueryPack {
     // indexed into deterministic centroid cells (every 500th vector),
     // queries probe their 2 nearest cells, exact scoring within candidates.
     "q67_ivf_ann" -> { (s, d) =>
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
       val cents = base.filter(pmod(col("vec_id"), lit(500)) === 0)
         .select(col("vec_id").as("__cell"), col("v").as("__cv"))
       val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)

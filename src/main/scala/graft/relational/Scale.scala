@@ -61,6 +61,21 @@ object Scale {
     * rows (UnsafeRow sizes), one small job; the repartition itself is one
     * round-robin shuffle. Returns the repartitioned frame and the chosen
     * partition count. */
+  /** Spread a small-scan DataFrame across all cores before CPU-heavy
+    * map-side work. The local test tables are single-row-group parquet
+    * files — ONE scan split no matter what `maxPartitionBytes` says — so
+    * without this every sketch/fit/score pass downstream of the scan runs
+    * on one core; on a real cluster the scan already has ≥ parallelism
+    * splits and this is a no-op. The round-robin shuffle is tiny relative
+    * to the math it unlocks. Only order-insensitive aggregates belong
+    * downstream (the engine's decimal sums/exact percentiles are; GK
+    * sketches may shift within their rank-error contract, which the q28
+    * tolerance oracle absorbs). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def repartitionToBytes(df: DataFrame, targetBytes: Long,
                          sampleRows: Int = 1000): (DataFrame, Int) = {
     val sampled = df.limit(sampleRows).queryExecution.toRdd

@@ -40,7 +40,11 @@ object StatsProjection {
         Parity.dvar(col(c)).as(s"${c}__var")
       )
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // project to the stat columns, then fan a single-split local scan out
+    // so the decimal-moment partials run on every core (no-op at scale;
+    // decimal moments are combine-order independent)
+    val src = Scale.fanOut(df.select(cols.map(col): _*))
+    val one = src.agg(aggs.head, aggs.tail: _*)
     // unpivot the single stats row to (col_name, n, mean, variance)
     val stacked = cols
       .map(c => s"'$c', ${c}__n, ${c}__mean, ${c}__var")
