@@ -136,7 +136,7 @@ object Models {
       .withColumn("__ifold", DeterministicSplits.foldId(col(keyCol) + lit(12345L), innerK))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withFolds.count()
-    val pool = Executors.newFixedThreadPool(8)
+    val pool = Executors.newFixedThreadPool(16)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = for (f <- 0 until outerK; (cfg, t) <- configs.zipWithIndex) yield Future {
