@@ -157,15 +157,40 @@ object Models {
     }
   }
 
-  def randomSearch(grid: Map[String, Seq[Any]], n: Int, seed: Long = Seed)(
-      eval: Map[String, Any] => Double): (Map[String, Any], Double, Seq[(Map[String, Any], Double)]) = {
+  /** Seeded config draw shared by the flat and parallel searches
+    * (sklearn `ParameterSampler` shape: n draws over the grid, duplicate
+    * draws collapsed — `functions/dask_pipeline.py:108-115`). */
+  def drawConfigs(grid: Map[String, Seq[Any]], n: Int, seed: Long = Seed): Seq[Map[String, Any]] = {
     val rng = new scala.util.Random(seed)
     val keys = grid.keys.toSeq.sorted
-    val configs = (0 until n).map { _ =>
+    (0 until n).map { _ =>
       keys.map(k => k -> grid(k)(rng.nextInt(grid(k).size))).toMap
     }.distinct
-    val scored = configs.map(c => c -> eval(c))
+  }
+
+  def randomSearch(grid: Map[String, Seq[Any]], n: Int, seed: Long = Seed)(
+      eval: Map[String, Any] => Double): (Map[String, Any], Double, Seq[(Map[String, Any], Double)]) = {
+    val scored = drawConfigs(grid, n, seed).map(c => c -> eval(c))
     val best = scored.maxBy(_._2)
     (best._1, best._2, scored)
+  }
+
+  /** M11 — flat random search with trials fitted CONCURRENTLY. Draws are
+    * bit-identical to [[randomSearch]]; `eval` receives the stable trial
+    * index so per-trial artifacts (prediction dumps) keep their identity
+    * regardless of completion order. Results are ordered by trial index. */
+  def randomSearchPar[T](grid: Map[String, Seq[Any]], n: Int, seed: Long = Seed)(
+      eval: (Map[String, Any], Int) => (Double, T)): (Map[String, Any], Double, Seq[(Map[String, Any], Double, T)]) = {
+    val configs = drawConfigs(grid, n, seed)
+    val pool = Executors.newFixedThreadPool(math.max(1, math.min(16, configs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = configs.zipWithIndex.map { case (c, i) =>
+        Future { val (score, extra) = eval(c, i); (c, score, extra) }
+      }
+      val scored = futures.map(Await.result(_, Duration.Inf))
+      val best = scored.maxBy(_._2)
+      (best._1, best._2, scored)
+    } finally pool.shutdown()
   }
 }

@@ -126,21 +126,25 @@ object MLPack extends QueryPack {
         col("vec_id"), (col("label") < 5).cast("double").as("label"),
         PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
       val train = DeterministicSplits.trainSplit(df, col("vec_id"), 0.7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val test = DeterministicSplits.testSplit(df, col("vec_id"), 0.7)
-      var trials = Vector.empty[org.apache.spark.sql.DataFrame]
-      val (_, _, all) = Models.randomSearch(
-        Map("regParam" -> Seq(0.0, 0.01, 0.1), "maxIter" -> Seq(10, 20)), n = 4) { cfg =>
-        val m = Models.linearSvc("label", "features")
-          .setRegParam(cfg("regParam").asInstanceOf[Double])
-          .setMaxIter(cfg("maxIter").asInstanceOf[Int])
-          .fit(train)
-        val p = m.transform(test)
-          .select(lit(trials.size.toLong).as("trial"), col("label"), col("prediction"))
-        trials :+= p
-        Models.accuracy("label").evaluate(p)
-      }
-      OracleDump.dump(trials.reduce(_ unionByName _), "q27_trial_preds")
-      s.createDataFrame(all.zipWithIndex.map { case ((cfg, sc), t) =>
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      train.count(); test.count()
+      val all = try {
+        val (_, _, scored) = Models.randomSearchPar(
+          Map("regParam" -> Seq(0.0, 0.01, 0.1), "maxIter" -> Seq(10, 20)), n = 4) { (cfg, t) =>
+          val m = Models.linearSvc("label", "features")
+            .setRegParam(cfg("regParam").asInstanceOf[Double])
+            .setMaxIter(cfg("maxIter").asInstanceOf[Int])
+            .fit(train)
+          val p = m.transform(test)
+            .select(lit(t.toLong).as("trial"), col("label"), col("prediction"))
+          (Models.accuracy("label").evaluate(p), p)
+        }
+        OracleDump.dump(scored.map(_._3).reduce(_ unionByName _), "q27_trial_preds")
+        scored
+      } finally { train.unpersist(); test.unpersist() }
+      s.createDataFrame(all.zipWithIndex.map { case ((cfg, sc, _), t) =>
         (t.toLong, cfg("regParam").asInstanceOf[Double], cfg("maxIter").asInstanceOf[Int].toLong, sc)
       }).toDF("trial", "reg_param", "max_iter", "accuracy")
         .withColumn("accuracy", round(col("accuracy"), 6))
