@@ -42,9 +42,18 @@ object WideIngest {
       // width × batch stays ~16 MB
       val batch = math.max(16, 8 * 1024 * 1024 / math.max(1, genes.size))
       withConf(spark, "spark.sql.parquet.columnarReaderBatchSize", batch.toString) {
-        wide.select(col(keyCol),
-            array(genes.map(g => col(g).cast("double")): _*).as("features"))
-          .write.mode("overwrite").parquet(outPath)
+        // per-task decode cost at extreme width is dominated by per-row-group
+        // column-chunk setup (width × groups), so parallelism must be
+        // row-group-granular: the default 128 MB split packs several staged
+        // 32 MB row groups (or whole small files) into one task and idles
+        // the rest of the cluster. Splitting at the row-group size took the
+        // 1205 × 60,483 canonicalization from 926 s to 156 s on identical
+        // input (local[32] sweep, graft.tools.Scratch).
+        withConf(spark, "spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString) {
+          wide.select(col(keyCol),
+              array(genes.map(g => col(g).cast("double")): _*).as("features"))
+            .write.mode("overwrite").parquet(outPath)
+        }
       }
     }
     spark.createDataFrame(genes.zipWithIndex.map { case (g, i) => (i, g) })
@@ -95,7 +104,8 @@ object WideIngest {
     * `sample_id` + `f` double columns named like Ensembl ids, every 97th
     * gene all-zero. Generated from an array projection so only the final
     * select is wide. */
-  def writeWideSynthetic(spark: SparkSession, path: String, n: Int, f: Int): Unit = {
+  def writeWideSynthetic(spark: SparkSession, path: String, n: Int, f: Int,
+                         slices: Int = 32): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // build rows in a plain loop on the executors — a 60k-expression
@@ -103,7 +113,7 @@ object WideIngest {
     // just to synthesize test data (measured 376 s for 64 rows)
     val schema = StructType(StructField("sample_id", LongType, nullable = false) +:
       (0 until f).map(i => StructField(f"ENSG${i}%011d", DoubleType, nullable = false)))
-    val rdd = spark.sparkContext.range(0L, n.toLong, numSlices = 8).map { id =>
+    val rdd = spark.sparkContext.range(0L, n.toLong, numSlices = slices).map { id =>
       val vals = new Array[Any](f + 1)
       vals(0) = id
       var c = 0

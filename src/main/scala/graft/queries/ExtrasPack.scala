@@ -40,8 +40,18 @@ object ExtrasPack extends QueryPack {
         .write.mode("overwrite").json(dir)
     }
 
+  /** ORC twin of the lineitem table — Spark's other native columnar
+    * format (predicate pushdown + column pruning, same as parquet). The
+    * staging write exercises the ORC sink; q77 measures the read path. */
+  private def stagedOrc(s: SparkSession, d: String): String =
+    Staging.ensure(Staging.dirFor("lineitem_orc", d)) { dir =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linestatus", "l_shipdate", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(dir)
+    }
+
   override def stage(s: SparkSession, d: String): Unit = {
-    stagedTsv(s, d); stagedEventsCsv(s, d); stagedJson(s, d)
+    stagedTsv(s, d); stagedEventsCsv(s, d); stagedJson(s, d); stagedOrc(s, d)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = extraQueries ++ Map(
@@ -91,6 +101,18 @@ object ExtrasPack extends QueryPack {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
           grouping_id().cast("long").as("gid"))
+    },
+
+    // S-format — ORC scan: Spark-native columnar source/sink beyond
+    // parquet. Filter + projection reach the OrcScan (pushdown verified in
+    // OrcRoundtripSpec); oracle replays over the canonical parquet table.
+    "q77_orc_scan" -> { (s, d) =>
+      val p = stagedOrc(s, d)
+      s.read.orc(p)
+        .filter(col("l_shipdate") >= lit("1997-01-01"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
     },
 
     // range join — inequality-condition join (lineitems shipped within 30
@@ -367,6 +389,12 @@ object ExtrasPack extends QueryPack {
           COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price,
           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
           FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""",
+
+    "q77_orc_scan" ->
+      s"""SELECT l_linestatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty,
+          ${Sql.dsum("l_extendedprice")} AS revenue
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          GROUP BY l_linestatus""",
 
     "q51_range_join" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_fast_lines, ${Sql.dsum("l_quantity")} AS qty

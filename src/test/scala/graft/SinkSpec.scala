@@ -21,4 +21,23 @@ class SinkSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "F").count()
     assert(df.agg(sum("n")).head().getLong(0) == expected)
   }
+
+  test("ORC roundtrip preserves lineitem values and pushes the scan filter") {
+    val d = sf("sf0.001")
+    val df = graft.queries.ExtrasPack.queries("q77_orc_scan")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // filter + projection must reach the OrcScan, not run post-scan
+    val scanLine = plan.linesIterator.find(_.contains("FileScan orc")).getOrElse("")
+    assert(scanLine.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate predicate not pushed into the ORC scan: ${scanLine.take(600)}")
+    assert(!scanLine.contains("l_orderkey"), // unused column pruned from ReadSchema
+      s"column pruning failed on the ORC scan: ${scanLine.take(600)}")
+    // and the ORC-read aggregate matches the same aggregate over parquet
+    val fromParquet = graft.io.Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), graft.util.Parity.dsum(col("l_quantity")).as("qty"),
+        graft.util.Parity.dsum(col("l_extendedprice")).as("revenue"))
+    assert(df.exceptAll(fromParquet).isEmpty && fromParquet.exceptAll(df).isEmpty)
+  }
 }
