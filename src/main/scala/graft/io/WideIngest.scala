@@ -104,8 +104,17 @@ object WideIngest {
     * `sample_id` + `f` double columns named like Ensembl ids, every 97th
     * gene all-zero. Generated from an array projection so only the final
     * select is wide. */
+  /** `slices` stays LOW on purpose: at 60k columns each concurrent write
+    * task buffers ~1 GiB of column pages and each concurrent read task
+    * ~2 GiB of reader state, so wide-stage throughput is memory-bandwidth
+    * and GC bound, not task-count bound — measured (local[32], 1205×60483):
+    * 8-slice stage 213 s / 18.5 GiB peak vs 32-slice 241 s / 52 GiB, and
+    * downstream canonicalize 156 s over the 8-slice layout (16 row groups,
+    * 16 in-flight tasks) vs 361 s over the 32-slice one (32 tasks, 70 GiB
+    * peak, GC thrash). On a real cluster the same bound applies per
+    * executor: cap concurrent wide tasks so width × task state fits. */
   def writeWideSynthetic(spark: SparkSession, path: String, n: Int, f: Int,
-                         slices: Int = 32): Unit = {
+                         slices: Int = 8): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // build rows in a plain loop on the executors — a 60k-expression

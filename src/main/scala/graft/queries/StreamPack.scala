@@ -109,6 +109,20 @@ object StreamPack extends QueryPack {
       Streams.drainToTable(enriched, "enrich", "complete")
     },
 
+    // stream-stream inner join (time-range condition, watermarked both
+    // sides): clicks matched to the views they follow within 1h, per user.
+    // Matched pairs grow with the data → parquet sink; the compact
+    // per-user pair count is what's checked.
+    "q78_stream_stream_join" -> { (s, d) =>
+      val ev = Streams.eventsStream(s, d)
+      val pairs = Streams.viewClickJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "1 HOUR")
+      Streams.drainToParquet(pairs, "sjoin", "append")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -202,6 +216,14 @@ object StreamPack extends QueryPack {
              WHEN 'error' THEN 'fault' END AS category,
            COUNT(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    "q78_stream_stream_join" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'view'),
+          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'click')
+          SELECT v.user_id, COUNT(*) AS n_pairs
+          FROM v JOIN c ON v.user_id = c.user_id
+            AND c.t >= v.t AND c.t <= v.t + INTERVAL 1 HOUR
+          GROUP BY v.user_id""",
 
     // Same lagged-late-filter model as q61, on row timestamps: batch-3
     // rows survive iff t > max(batch-1 ts) − 1h; dedup emits on arrival

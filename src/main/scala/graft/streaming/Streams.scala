@@ -159,6 +159,23 @@ object Streams {
       .toDF("user_id", "event_type")
   }
 
+  /** Stream-stream inner join with a time-range condition and watermarks
+    * on BOTH sides — the shape that lets the engine prune join state as
+    * event time advances (without them, both sides' state grows without
+    * bound): each click is matched to the views by the same user that it
+    * follows within `horizon`. Inner-join matches emit eagerly; the
+    * watermarks only bound state retention, so on a bounded replay the
+    * result equals the batch join. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame, horizon: String): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id")).withWatermark("v_ts", "1 hour")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id")).withWatermark("c_ts", "1 hour")
+    v.join(c, col("v_user") === col("c_user") &&
+      col("c_ts") >= col("v_ts") &&
+      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's

@@ -65,6 +65,40 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(sessions.toSeq == Seq(2L, 2L)) // 0,10 | 50,55 (gap 40 min splits)
   }
 
+  test("stream-stream join matches across micro-batch boundaries") {
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    // views arrive in micro-batch 1, clicks only in micro-batch 2: matches
+    // must still be found, proving join state is retained across batches
+    // (and pruned only by the watermark, which stays behind every view here)
+    val dir = "/root/repo/target/scratch/ssjoin_spec"
+    graft.util.Staging.deleteRecursive(dir)
+    Files.createDirectories(Paths.get(dir))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val views = Seq((100L, 1L, "view", ts(0)), (101L, 1L, "view", ts(10)), (102L, 2L, "view", ts(0)))
+    val clicks = Seq((200L, 1L, "click", ts(30)), (201L, 2L, "click", ts(90)))
+    val mtime0 = System.currentTimeMillis()
+    Seq(views, clicks).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/_tmp$i"
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dir, s"${i + 1}.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(dir, s"${i + 1}.parquet"), FileTime.fromMillis(mtime0 + i * 2000L))
+      graft.util.Staging.deleteRecursive(tmp)
+    }
+    val src = Streams.lateArrivalStream(spark, dir)
+    val joined = Streams.drainToParquet(
+      Streams.viewClickJoin(src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"), "1 HOUR"),
+      "ssjoin_spec", "append")
+    val got = joined.select("view_id", "click_id").as[(Long, Long)].collect().toSet
+    // user 1: both views precede the 12:30 click within 1h; user 2's click
+    // at 13:30 is outside the horizon of its 12:00 view
+    assert(got == Set((100L, 200L), (101L, 200L)))
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Multimodal.decodeAll(
