@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan contracts for the shapes that matter at 100 TB: the
+  * lookup join must broadcast (never shuffle the big side), the IVF ANN
+  * path must never degenerate to a cartesian, the brute-force baseline is
+  * pinned AS the documented cartesian, top-k must plan as TakeOrdered
+  * (per-partition top-k, no global sort), and filters/projections must
+  * reach the parquet scan. Complements ScaleSpec's zero-exchange bucketed
+  * join and SinkSpec's partition-pruning / ORC-pushdown assertions.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** FINAL adaptive plan: AQE re-plans at runtime (e.g. sort-merge →
+    * broadcast once sizes are known), so the query is executed first and
+    * the finalized plan inspected. */
+  private def plan(q: String): String = {
+    val d = sf("sf0.001")
+    val df = SparkEntry.queries(q)(spark, d)
+    df.collect()
+    // keep only the finalized section — the trailing "== Initial Plan =="
+    // dump still names the pre-AQE operators
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q02 lookup join broadcasts the dimension, never shuffles the fact side") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), s"lookup join degraded to sort-merge:\n${p.take(600)}")
+  }
+
+  test("q04 anti join resolves as a real anti join, not a subquery rescan") {
+    val p = plan("q04_customers_without_orders")
+    assert(p.contains("LeftAnti"), p.take(600))
+  }
+
+  test("q67 IVF candidate join never degenerates to a cartesian") {
+    val p = plan("q67_ivf_ann")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), // probes broadcast onto the bucketed corpus
+      s"IVF probe join should broadcast:\n${p.take(800)}")
+  }
+
+  test("q35 brute-force baseline is the documented broadcast cross product") {
+    val p = plan("q35_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      s"q35 is expected to be the exact cross-product baseline:\n${p.take(800)}")
+  }
+
+  test("q05 top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q05_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-k should not global-sort:\n${p.take(600)}")
+  }
+
+  test("q09 projection prunes the parquet read schema to selected columns") {
+    val p = plan("q09_part_features")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("ReadSchema"), p.take(600))
+    assert(!scan.contains("p_comment"),
+      s"unused column not pruned from the scan:\n${scan.take(600)}")
+  }
+}
