@@ -103,6 +103,21 @@ object ExtrasPack extends QueryPack {
           grouping_id().cast("long").as("gid"))
     },
 
+    // approximate distinct (HyperLogLog++): THE cardinality shape at
+    // 100 TB — one pass, fixed-size sketch per group, no distinct shuffle
+    // of the key space. Deterministic for fixed data/precision, so the
+    // oracle is a q28-style tolerance gate: the exact count is carried
+    // alongside and the ≤5% deviation bound is emitted as a checked
+    // boolean (rsd=0.02 ⇒ well inside it).
+    "q79_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= lit(0.05))
+            .as("within_5pct"))
+    },
+
     // S-format — ORC scan: Spark-native columnar source/sink beyond
     // parquet. Filter + projection reach the OrcScan (pushdown verified in
     // OrcRoundtripSpec); oracle replays over the canonical parquet table.
@@ -389,6 +404,10 @@ object ExtrasPack extends QueryPack {
           COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price,
           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
           FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""",
+
+    "q79_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+         FROM events GROUP BY event_type""",
 
     "q77_orc_scan" ->
       s"""SELECT l_linestatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty,
