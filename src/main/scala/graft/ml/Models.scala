@@ -49,6 +49,15 @@ object Models {
   def logistic(labelCol: String, featuresCol: String): LogisticRegression =
     new LogisticRegression().setLabelCol(labelCol).setFeaturesCol(featuresCol).setMaxIter(50)
 
+  /** Seeded k-means (distributed Lloyd iterations over k-means|| init) —
+    * the clustering shape for corpus curation: topic balancing, near-dup
+    * cluster pruning, stratified corpus sampling. Deterministic given the
+    * seed and data, so cluster assignments are differentially oracle-able
+    * (the argmin-over-centroids property is plain SQL — see q80). */
+  def kmeans(featuresCol: String, k: Int, maxIter: Int = 20): org.apache.spark.ml.clustering.KMeans =
+    new org.apache.spark.ml.clustering.KMeans().setK(k).setSeed(Seed).setMaxIter(maxIter)
+      .setTol(1e-9).setFeaturesCol(featuresCol).setPredictionCol("cluster")
+
   def accuracy(labelCol: String, predictionCol: String = "prediction"): MulticlassClassificationEvaluator =
     new MulticlassClassificationEvaluator().setLabelCol(labelCol)
       .setPredictionCol(predictionCol).setMetricName("accuracy")

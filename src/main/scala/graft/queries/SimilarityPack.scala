@@ -68,6 +68,28 @@ object SimilarityPack extends QueryPack {
       val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       Similarity.ivfTopK(base, queries, cents, "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2)
+    },
+
+    // seeded k-means clustering over the embeddings — corpus-curation
+    // shape (topic balancing / cluster-level pruning). Fitted centroids
+    // are dumped; the oracle re-derives every vector's argmin centroid in
+    // SQL and must reproduce the cluster sizes exactly.
+    "q80_kmeans_clusters" -> { (s, d) =>
+      import graft.ml.{Models, PipelineStages}
+      val df = Tables.embeddings(s, d).select(col("vec_id"),
+          PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      try {
+        val fitted = Models.kmeans("features", k = 8).fit(df)
+        graft.util.OracleDump.dump(
+          s.createDataFrame(fitted.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+            (i.toLong, c.toArray.toSeq) }).toDF("cluster", "centroid"),
+          "q80_centroids")
+        fitted.transform(df)
+          .groupBy(col("cluster").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n"))
+      } finally df.unpersist()
     }
   )
 
@@ -160,6 +182,21 @@ object SimilarityPack extends QueryPack {
           ranked AS (SELECT q_id, vec_id, cos,
                        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
                      FROM scored)
-          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5""",
+
+    // k-means replay from the dumped centroids: every vector's nearest
+    // centroid (euclidean; ties to lowest cluster id) must reproduce the
+    // engine's cluster sizes exactly.
+    "q80_kmeans_clusters" ->
+      s"""WITH cents AS (SELECT cluster, CAST(centroid AS DOUBLE[]) AS c
+                         FROM ${graft.util.OracleDump.sqlGlob("q80_centroids")}),
+          base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          d AS (SELECT b.vec_id, ct.cluster, list_distance(b.v, ct.c) AS dist
+                FROM base b CROSS JOIN cents ct),
+          assign AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS pr
+                       FROM d) WHERE pr = 1)
+          SELECT cluster, COUNT(*) AS n FROM assign GROUP BY cluster"""
   )
 }
