@@ -73,6 +73,16 @@ object TextPack extends QueryPack {
     "q39_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
+    },
+
+    // TF-IDF featurization: global top-20 (doc, term) pairs by smoothed
+    // tf·idf — deterministic ordering on (rounded score desc, doc, term)
+    // so the cut set is engine-portable.
+    "q81_tfidf_topterms" -> { (s, d) =>
+      TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc)
+        .limit(20)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
     }
   )
 
@@ -117,6 +127,16 @@ object TextPack extends QueryPack {
           pos AS (SELECT doc_id, unnest(w) || ':' || CAST(unnest(range(0, len(w))) AS VARCHAR) AS pt
                   FROM ws),
           hs AS (SELECT doc_id, ${TextOps.hash32Sql("pt")} AS h FROM pos)
-          SELECT doc_id, CAST(bit_xor(h) AS BIGINT) AS fp FROM hs GROUP BY doc_id"""
+          SELECT doc_id, CAST(bit_xor(h) AS BIGINT) AS fp FROM hs GROUP BY doc_id""",
+
+    "q81_tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+          dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents)
+          SELECT doc_id, term, tf, df,
+                 round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+          FROM tf JOIN dft USING (term), n
+          ORDER BY tfidf DESC, doc_id, term LIMIT 20"""
   )
 }

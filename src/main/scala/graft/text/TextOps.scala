@@ -68,4 +68,21 @@ object TextOps {
     aggregate(
       transform(w, (t, i) => TextOps.hash32(concat_ws(":", t, i.cast("string")))),
       lit(0L), (acc, h) => acc.bitwiseXOR(h))
+
+  /** TF-IDF over whitespace tokens: per-(doc, term) frequency joined to
+    * per-term document frequency, idf = ln((N+1)/(df+1)) (smoothed — never
+    * log 0). Two shuffles, both on hash-partitionable keys ((doc, term)
+    * then term), and the corpus-size scalar joins as a broadcast 1-row
+    * cross — the classic featurization shape at any corpus size. Rounded
+    * to 6 decimals per the transcendental-parity rule. */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .drop("n_docs")
+  }
 }
