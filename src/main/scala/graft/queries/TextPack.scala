@@ -75,6 +75,23 @@ object TextPack extends QueryPack {
         col("doc_id"), TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
     },
 
+    // per-source document cap (domain capping in a training-data mix):
+    // deterministic hash-ordered top-N per source — every engine/run keeps
+    // the SAME documents. The per-group rank is a single hash-partitioned
+    // window; no global sort, no sampling-rate second pass.
+    "q82_per_source_cap" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cap = 30
+      val w = Window.partitionBy("source")
+        .orderBy(graft.util.Parity.keyHash(col("doc_id")).asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= cap, col("n_chars")).otherwise(0L)).as("kept_chars"))
+    },
+
     // TF-IDF featurization: global top-20 (doc, term) pairs by smoothed
     // tf·idf — deterministic ordering on (rounded score desc, doc, term)
     // so the cut set is engine-portable.
@@ -128,6 +145,16 @@ object TextPack extends QueryPack {
                   FROM ws),
           hs AS (SELECT doc_id, ${TextOps.hash32Sql("pt")} AS h FROM pos)
           SELECT doc_id, CAST(bit_xor(h) AS BIGINT) AS fp FROM hs GROUP BY doc_id""",
+
+    "q82_per_source_cap" ->
+      s"""WITH r AS (SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY ${graft.util.Parity.keyHashSql("doc_id")}, doc_id) AS rn
+               FROM documents)
+          SELECT source, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+          FROM r GROUP BY source""",
 
     "q81_tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
