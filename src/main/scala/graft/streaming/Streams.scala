@@ -166,14 +166,21 @@ object Streams {
     * follows within `horizon`. Inner-join matches emit eagerly; the
     * watermarks only bound state retention, so on a bounded replay the
     * result equals the batch join. */
-  def viewClickJoin(views: DataFrame, clicks: DataFrame, horizon: String): DataFrame = {
+  /** `joinType` "inner" (eager match emission) or "left_outer": a view
+    * with no click inside the horizon emits with null click columns once
+    * the watermark passes `v_ts + horizon` — i.e. when a match has become
+    * impossible. Outer emission is therefore watermark-DRIVEN: on a
+    * bounded replay the tail of unmatched rows needs a later event to
+    * push the watermark past their horizon (see the spec). */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame, horizon: String,
+                    joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
       col("event_id").as("view_id")).withWatermark("v_ts", "1 hour")
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
       col("event_id").as("click_id")).withWatermark("c_ts", "1 hour")
     v.join(c, col("v_user") === col("c_user") &&
       col("c_ts") >= col("v_ts") &&
-      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"), joinType)
   }
 
   case class UserState(n: Long, types: Seq[String])

@@ -99,6 +99,44 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(got == Set((100L, 200L), (101L, 200L)))
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark seals them") {
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    val dir = "/root/repo/target/scratch/ssjoin_outer_spec"
+    graft.util.Staging.deleteRecursive(dir)
+    Files.createDirectories(Paths.get(dir))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // u1's view gets a click inside the horizon; u2's view never matches.
+    // Batch 3's late heartbeats push BOTH sides' watermarks (16:00 − 1h
+    // delay; the global watermark is the MIN across inputs, so a heartbeat
+    // on one side only would pin it) past u2's horizon end (13:00),
+    // forcing the unmatched emission. The heartbeat view itself stays
+    // unsealed in state (nothing ever passes ITS horizon) — by design.
+    val batches = Seq(
+      Seq((100L, 1L, "view", ts(0)), (102L, 2L, "view", ts(0))),
+      Seq((200L, 1L, "click", ts(30)), (201L, 2L, "click", ts(90))),
+      Seq((900L, 98L, "view", ts(240)), (901L, 99L, "click", ts(240))))
+    val mtime0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/_tmp$i"
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dir, s"${i + 1}.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(dir, s"${i + 1}.parquet"), FileTime.fromMillis(mtime0 + i * 2000L))
+      graft.util.Staging.deleteRecursive(tmp)
+    }
+    val src = Streams.lateArrivalStream(spark, dir)
+    val joined = Streams.drainToParquet(
+      Streams.viewClickJoin(src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"), "1 HOUR", "left_outer"),
+      "ssjoin_outer_spec", "append")
+    val got = joined.select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((100L, 200L), (102L, -1L)))
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Multimodal.decodeAll(
