@@ -64,4 +64,23 @@ object PipelineStages {
   /** Array[Double] column → MLlib Vector column (for model training). */
   def arrayToVector(c: Column): Column =
     org.apache.spark.ml.functions.array_to_vector(c)
+
+  /** Quantile discretization (the KBinsDiscretizer shape): bucket `c` by
+    * its exact type-7 quartile breaks — ONE aggregation pass for the
+    * breaks, assignment via a broadcast 1-row cross, never a per-row
+    * subquery. Bucket boundaries interpolate strictly between adjacent
+    * sorted data values, so assignment is ULP-robust across engines (no
+    * data value can sit between two engines' versions of a break). At
+    * 100 TB swap the exact percentile for `approx_percentile` (mergeable
+    * sketch) — same plan shape. */
+  def quantileBin(df: DataFrame, c: String, out: String): DataFrame = {
+    val breaks = df.agg(expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__bks"))
+    df.crossJoin(broadcast(breaks))
+      .withColumn(out,
+        when(col(c) <= col("__bks")(0), 0L)
+          .when(col(c) <= col("__bks")(1), 1L)
+          .when(col(c) <= col("__bks")(2), 2L)
+          .otherwise(3L))
+      .drop("__bks")
+  }
 }

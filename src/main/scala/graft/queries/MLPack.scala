@@ -38,6 +38,14 @@ object MLPack extends QueryPack {
         .select(col("o_orderkey"), round(col("z"), 6).as("z"))
     },
 
+    // feature discretization (KBinsDiscretizer shape): quartile-bucket
+    // prices, roll up per bucket. Breaks replayed by quantile_cont.
+    "q83_quantile_binning" -> { (s, d) =>
+      PipelineStages.quantileBin(Tables.lineitem(s, d), "l_extendedprice", "bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
     // M3 — seeded 70/30 train/test split as a pure key function.
     "q20_hash_split" -> { (s, d) =>
       Tables.orders(s, d)
@@ -348,6 +356,16 @@ object MLPack extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q83_quantile_binning" ->
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                 quantile_cont(l_extendedprice, 0.50) AS q2,
+                 quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+          SELECT CAST(CASE WHEN l_extendedprice <= q1 THEN 0
+                           WHEN l_extendedprice <= q2 THEN 1
+                           WHEN l_extendedprice <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+                 COUNT(*) AS n, ${Sql.dsum("l_extendedprice")} AS sum_price
+          FROM lineitem, b GROUP BY 1""",
+
     "q19_standardized_prices" ->
       s"""WITH s AS (SELECT ${Sql.davg("o_totalprice")} AS mu, ${Sql.dvar("o_totalprice")} AS v FROM orders)
           SELECT o_orderkey, round((o_totalprice - mu) / sqrt(v), 6) AS z FROM orders, s""",

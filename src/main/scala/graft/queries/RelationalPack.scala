@@ -191,6 +191,22 @@ object RelationalPack extends QueryPack {
         .agg(aggs.head, aggs.tail: _*)
       one.selectExpr(
         s"stack(${kept.size}, ${kept.map(c => s"'$c', $c").mkString(", ")}) as (col_name, sum_log2)")
+    },
+
+    // exact-decimal pairwise Pearson correlation (the feature-selection
+    // stat): ONE aggregation pass computes all pairs' decimal moments —
+    // unlike built-in `corr`, the result is partition-order independent
+    // and bit-replayable (Parity.dcorr / Sql.dcorr).
+    "q84_feature_correlations" -> { (s, d) =>
+      val one = Tables.lineitem(s, d).agg(
+        r6(dcorr(col("l_quantity"), col("l_extendedprice"))).as("c_qty_price"),
+        r6(dcorr(col("l_quantity"), col("l_discount"))).as("c_qty_disc"),
+        r6(dcorr(col("l_extendedprice"), col("l_discount"))).as("c_price_disc"))
+      one.selectExpr(
+        """stack(3,
+             'l_quantity', 'l_extendedprice', c_qty_price,
+             'l_quantity', 'l_discount', c_qty_disc,
+             'l_extendedprice', 'l_discount', c_price_disc) as (col_a, col_b, corr)""")
     }
   )
 
@@ -202,6 +218,14 @@ object RelationalPack extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q84_feature_correlations" ->
+      s"""SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+            round(${Sql.dcorr("l_quantity", "l_extendedprice")}, 6) AS corr FROM lineitem
+          UNION ALL SELECT 'l_quantity', 'l_discount',
+            round(${Sql.dcorr("l_quantity", "l_discount")}, 6) FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', 'l_discount',
+            round(${Sql.dcorr("l_extendedprice", "l_discount")}, 6) FROM lineitem""",
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${Sql.dsum("l_quantity")} AS sum_qty,

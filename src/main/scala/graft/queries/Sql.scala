@@ -22,6 +22,18 @@ object Sql {
   /** Oracle twin of [[Parity.keyHash]]. */
   def keyHash(col: String): String = Parity.keyHashSql(col)
 
+  /** Oracle twin of [[Parity.dcorr]] — identical double-op shape over the
+    * five exact decimal moments. */
+  def dcorr(x: String, y: String): String = {
+    val n   = "CAST(COUNT(*) AS DOUBLE)"
+    val sx  = dsum(x)
+    val sy  = dsum(y)
+    val sxx = s"CAST(SUM(CAST(($x) * ($x) AS DECIMAL(38,6))) AS DOUBLE)"
+    val syy = s"CAST(SUM(CAST(($y) * ($y) AS DECIMAL(38,6))) AS DOUBLE)"
+    val sxy = s"CAST(SUM(CAST(($x) * ($y) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"(($n) * ($sxy) - ($sx) * ($sy)) / (sqrt(($n) * ($sxx) - ($sx) * ($sx)) * sqrt(($n) * ($syy) - ($sy) * ($sy)))"
+  }
+
   /** DuckDB type-7 (numpy-default linear interpolation) quantile over a
     * sorted DOUBLE[] `ls` of fixed width `n` — twin of
     * [[graft.matrix.ArrayOps.rowQuantile]] /

@@ -51,6 +51,22 @@ object Parity {
     (s2 - s * s / n) / (n - lit(1.0))
   }
 
+  /** Deterministic Pearson correlation from exact decimal moments:
+    * (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) / √(n·Σy² − (Σy)²). The five sums
+    * are exact decimals, the final arithmetic identical IEEE-754 double
+    * ops in both engines — unlike built-in `corr`, whose double
+    * accumulation is partition-order dependent.
+    * Oracle twin: [[graft.queries.Sql.dcorr]]. */
+  def dcorr(x: Column, y: Column): Column = {
+    val n   = count(lit(1)).cast("double")
+    val sx  = sum(x.cast(DecimalType(28, 4))).cast("double")
+    val sy  = sum(y.cast(DecimalType(28, 4))).cast("double")
+    val sxx = sum((x * x).cast(DecimalType(38, 6))).cast("double")
+    val syy = sum((y * y).cast(DecimalType(38, 6))).cast("double")
+    val sxy = sum((x * y).cast(DecimalType(38, 6))).cast("double")
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
   /** Coarse rounding for near-identical doubles (|err| ≲ 1e-10). */
   def r6(c: Column): Column = round(c, 6)
 
