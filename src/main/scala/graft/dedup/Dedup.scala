@@ -126,4 +126,44 @@ object Dedup {
     val uni = size(array_distinct(a)) + size(array_distinct(b)) - inter
     when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
   }
+
+  /** Connected components over an undirected pair list — the cluster
+    * canonicalization step after candidate-pair generation: every document
+    * in a near-dup cluster gets the cluster's MIN id as its component, so
+    * "keep one per cluster" is a filter, not another join cascade.
+    *
+    * Iterative min-label propagation: each round every node takes
+    * `min(own, min over neighbors)`; converges in O(component diameter)
+    * rounds (near-dup clusters are tiny, 1–2 rounds; a chain-shaped graph
+    * is the worst case). Each round is two hash-partitioned shuffles
+    * (join on neighbor, group by node) over the edge list — the standard
+    * large-graph formulation; no driver-side adjacency, so it runs at any
+    * edge count. Deterministic: min-semantics, no randomness. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).persist(lvl)
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges.join(labels.select(col("node").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("node")).agg(min("comp").as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .persist(lvl)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.select("node", "comp")
+      it += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

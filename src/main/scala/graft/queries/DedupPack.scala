@@ -83,6 +83,17 @@ object DedupPack extends QueryPack {
       Dedup.candidatePairs(Dedup.bandTable(augCorpus(s, d), "doc_id", "text"), "doc_id")
     },
 
+    // connected components over the LSH candidate pairs — near-dup CLUSTER
+    // canonicalization (keep-one-per-cluster is then a filter on
+    // comp == node). Distributed min-label propagation; the oracle replays
+    // the full pair derivation plus a recursive-CTE reachability closure.
+    "q85_dedup_components" -> { (s, d) =>
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandTable(augCorpus(s, d), "doc_id", "text"), "doc_id")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("comp").agg(count(lit(1)).as("n_members"))
+    },
+
     // SimHash signatures over token hashes.
     "q32_simhash" -> { (s, d) =>
       val hs = transform(TextOps.words(col("text")), TextOps.hash32(_))
@@ -118,6 +129,23 @@ object DedupPack extends QueryPack {
           ${bandSqlCtes("aug")}
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+
+    // q31's full pair replay + recursive reachability closure: component =
+    // min id reachable over the undirected pair graph.
+    "q85_dedup_components" ->
+      s"""WITH RECURSIVE $augCorpusSql,
+          ${bandSqlCtes("aug")},
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bandtab a JOIN bandtab b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+          reach(node, root) AS (SELECT src, src FROM ed
+                                UNION
+                                SELECT e.dst, r.root FROM reach r JOIN ed e ON e.src = r.node)
+          SELECT comp, COUNT(*) AS n_members FROM (
+            SELECT node, MIN(root) AS comp FROM reach GROUP BY node)
+          GROUP BY comp""",
 
     "q32_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

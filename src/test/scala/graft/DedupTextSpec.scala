@@ -162,4 +162,17 @@ class DedupTextSpec extends SparkSpec {
       .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
     assert(got == Set((3L, 2L), (7L, 1L)))
   }
+
+  test("connectedComponents labels every node with its cluster min") {
+    // chain 1-2-3-4-5 (worst-case diameter), triangle 10-11-12 with a
+    // redundant edge, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L), got.toString)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 10)
+  }
 }
