@@ -163,6 +163,30 @@ class DedupTextSpec extends SparkSpec {
     assert(got == Set((3L, 2L), (7L, 1L)))
   }
 
+  test("connectedComponents agrees with driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      // union-find roots are not guaranteed min-of-component; normalize both
+      // sides to (node → min node of its group)
+      val expGroups = expected.groupBy(_._2).values
+        .flatMap(g => { val m = g.keys.min; g.keys.map(_ -> m) }).toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b").as[(Long, Long)].collect().toMap
+      assert(got == expGroups, s"trial $trial: $got vs $expGroups")
+    }
+  }
+
   test("connectedComponents labels every node with its cluster min") {
     // chain 1-2-3-4-5 (worst-case diameter), triangle 10-11-12 with a
     // redundant edge, isolated pair 20-21
