@@ -145,25 +145,39 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("node")).distinct()
+    // CACHE DISCIPLINE: unpersist must target the exact persisted frame —
+    // Spark's non-cascading uncache matches by plan, so unpersisting a
+    // projection OVER a persisted frame is a silent no-op and every round
+    // would leak a full label-table cache. The loop therefore carries the
+    // 3-column persisted frame itself and releases it round-by-round. The
+    // final round's cache (one node→comp table) intentionally stays alive
+    // backing the returned projection — the one cache the result needs.
+    var round = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).persist(lvl)
-    labels.count()
+    round.count()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = edges.join(labels.select(col("node").as("dst"), col("comp")), "dst")
+      val nbrMin = edges.join(round.select(col("node").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("node")).agg(min("comp").as("nbr"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val nextPlan = round.select("node", "comp").join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // TRUNCATE LINEAGE each round: the round-N plan embeds round-N−1
+      // TWICE (neighbor join + label join), so carrying plans forward
+      // doubles the tree per round — a deep component (high diameter ⇒
+      // many rounds) then OOMs the DRIVER on plan compilation alone.
+      // Rebuilding from the RDD pins each round to a leaf plan; at
+      // cluster scale the same role is played by periodic checkpoints.
+      val next = round.sparkSession.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(lvl)
       changed = next.filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next.select("node", "comp")
+      round.unpersist()
+      round = next
       it += 1
     }
-    edges.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    edges.unpersist()
+    round.select("node", "comp")
   }
 }

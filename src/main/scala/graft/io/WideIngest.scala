@@ -38,8 +38,9 @@ object WideIngest {
     val genes = wide.schema.fieldNames.filterNot(_ == keyCol).toSeq
     withInterpretedPlans(spark) {
       // the vectorized reader sizes batches in ROWS: at 60k columns the
-      // default 4096-row batch is ~2 GB per scan task — scale the batch so
-      // width × batch stays ~16 MB
+      // default 4096-row batch is ~2 GB of decoded doubles per scan task —
+      // scale rows so width × batch × 8 B stays ~64 MiB decoded
+      // (138 rows at 60,483 columns; the measured-good configuration)
       val batch = math.max(16, 8 * 1024 * 1024 / math.max(1, genes.size))
       withConf(spark, "spark.sql.parquet.columnarReaderBatchSize", batch.toString) {
         // per-task decode cost at extreme width is dominated by per-row-group

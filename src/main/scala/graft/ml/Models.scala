@@ -135,11 +135,7 @@ object Models {
       score: DataFrame => Double)
       : (Seq[(Int, Int, Map[String, Any], Double)], Seq[(Int, Int, Map[String, Any], Double)]) = {
     import org.apache.spark.sql.functions._
-    val rng = new scala.util.Random(seed)
-    val keys = grid.keys.toSeq.sorted
-    val configs = (0 until nIter).map { _ =>
-      keys.map(k => k -> grid(k)(rng.nextInt(grid(k).size))).toMap
-    }.distinct
+    val configs = drawConfigs(grid, nIter, seed)
     val withFolds = df
       .withColumn("__ofold", DeterministicSplits.foldId(col(keyCol), outerK))
       .withColumn("__ifold", DeterministicSplits.foldId(col(keyCol) + lit(12345L), innerK))

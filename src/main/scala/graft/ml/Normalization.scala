@@ -122,8 +122,13 @@ object Normalization {
       * pass over whichever cache they keep, then release). */
     private def fitInternal(df0: DataFrame): (Double => TMMModel, DataFrame, Column) = {
       // the whole fit is CPU-bound map-side math over the scan — fan a
-      // single-split local file across the cluster first (no-op at scale)
+      // single-split local file across the cluster first (no-op at scale).
+      // PERSISTED because two actions read it (the colstats aggregate and
+      // the ratio-matrix cache build): an un-cached repartition re-runs
+      // the scan + shuffle per action (the recorded q54 2× trap); released
+      // below once the ratio matrix is materialized.
       val df = graft.relational.Scale.fanOut(df0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // bound the number of partial quantile states feeding any percentile
       // aggregate: a GK partial at accuracy 50k is nearly data-sized, so
       // the single-task final merge DEGRADES with partition count (measured
@@ -205,6 +210,7 @@ object Normalization {
         pctl(masked_("a"), 1 - absExprTrim).as("ae_hi")).head()
       val (lrLo, lrHi) = (tr.getDouble(0), tr.getDouble(1))
       val (aeLo, aeHi) = (tr.getDouble(2), tr.getDouble(3))
+      df.unpersist() // ratio matrix is materialized; the fanned source is done
 
       // 5. per-row trimmed mean; the geometric-mean symmetrization (6) is
       // the caller's one remaining pass — fit() runs it over the ratio
@@ -239,7 +245,16 @@ object Normalization {
       val gm = scored.select((Parity.dsum6(lnNf) / count(lit(1))).as("m")).head().getDouble(0)
       mat.unpersist()
       val model = mkModel(math.exp(gm))
-      (model, scored.withColumn(scaleCol, nf / lit(model.geoMean)))
+      // re-persist the FINAL frame and release the intermediate: Spark's
+      // non-cascading uncache matches by plan, so handing back a projection
+      // over the factor cache would leave the caller unable to release it
+      // (unpersist on the projection is a silent no-op). The extra pass is
+      // one cheap projection over the cached keys+factor rows.
+      val result = scored.withColumn(scaleCol, nf / lit(model.geoMean))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      scored.unpersist()
+      (model, result)
     }
   }
 

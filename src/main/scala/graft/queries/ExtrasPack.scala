@@ -21,7 +21,7 @@ object ExtrasPack extends QueryPack {
     * per sfDir (marker-guarded) so the benched queries measure the READ
     * path, not their own staging write. */
   private def stagedTsv(s: SparkSession, d: String): String =
-    Staging.ensure(Staging.dirFor("customer_tsv", d)) { dir =>
+    Staging.ensure(Staging.dirFor("customer_tsv", d), s"$d/customer.parquet") { dir =>
       Tables.customer(s, d)
         .withColumn("c_mktsegment",
           when(col("c_custkey") % 7 === 0, lit("'--")).otherwise(col("c_mktsegment")))
@@ -29,13 +29,13 @@ object ExtrasPack extends QueryPack {
     }
 
   private def stagedEventsCsv(s: SparkSession, d: String): String =
-    Staging.ensure(Staging.dirFor("events_by_type", d)) { dir =>
+    Staging.ensure(Staging.dirFor("events_by_type", d), s"$d/events.parquet") { dir =>
       Tables.events(s, d).select("event_id", "user_id", "event_type")
         .write.mode("overwrite").partitionBy("event_type").option("header", "true").csv(dir)
     }
 
   private def stagedJson(s: SparkSession, d: String): String =
-    Staging.ensure(Staging.dirFor("events_json", d)) { dir =>
+    Staging.ensure(Staging.dirFor("events_json", d), s"$d/events.parquet") { dir =>
       Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").json(dir)
     }
@@ -44,7 +44,7 @@ object ExtrasPack extends QueryPack {
     * format (predicate pushdown + column pruning, same as parquet). The
     * staging write exercises the ORC sink; q77 measures the read path. */
   private def stagedOrc(s: SparkSession, d: String): String =
-    Staging.ensure(Staging.dirFor("lineitem_orc", d)) { dir =>
+    Staging.ensure(Staging.dirFor("lineitem_orc", d), s"$d/lineitem.parquet") { dir =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linestatus", "l_shipdate", "l_quantity", "l_extendedprice")
         .write.mode("overwrite").orc(dir)

@@ -475,10 +475,15 @@ object MLPack extends QueryPack {
                        SUM(CASE WHEN (apr.scaling_factor IS NULL) != (exr.exact_sf IS NULL) THEN 1
                                 WHEN abs(apr.scaling_factor - exr.exact_sf) >= 1e-4 THEN 1
                                 ELSE 0 END) AS n_deviant
-                FROM apr JOIN exr USING (l_orderkey, l_linenumber, rn))
-          SELECT j.n AS n_rows,
-                 (j.n_deviant <= 0.001 * j.n) AS within_tol
-          FROM j""",
+                FROM apr JOIN exr USING (l_orderkey, l_linenumber, rn)),
+          -- n_rows is the EXACT side's count, NOT the pair count: a dump
+          -- missing K rows would still inner-join cleanly, so anchoring the
+          -- gate to the replay's own cardinality is what makes missing rows
+          -- (and any unpaired substitutions, via j.n) detectable.
+          ec AS (SELECT COUNT(*) AS n FROM ex)
+          SELECT ec.n AS n_rows,
+                 (j.n = ec.n AND j.n_deviant <= 0.001 * ec.n) AS within_tol
+          FROM j, ec""",
 
     // Split sizes replayed from the hash split; batch/step counts are the
     // protocol's fixed shape; accuracy recomputed from the dump.

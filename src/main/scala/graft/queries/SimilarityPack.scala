@@ -76,19 +76,33 @@ object SimilarityPack extends QueryPack {
     // SQL and must reproduce the cluster sizes exactly.
     "q80_kmeans_clusters" -> { (s, d) =>
       import graft.ml.{Models, PipelineStages}
+      import org.apache.spark.sql.expressions.Window
       val df = Tables.embeddings(s, d).select(col("vec_id"),
           PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       try {
         val fitted = Models.kmeans("features", k = 8).fit(df)
-        graft.util.OracleDump.dump(
+        val cents = graft.util.OracleDump.dump(
           s.createDataFrame(fitted.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
             (i.toLong, c.toArray.toSeq) }).toDF("cluster", "centroid"),
           "q80_centroids")
-        fitted.transform(df)
-          .groupBy(col("cluster").cast("long").as("cluster"))
-          .agg(count(lit(1)).as("n"))
+        // assignment is an EXPLICIT exact argmin over the dumped centroids
+        // (k-per-row broadcast cross, ties to lowest cluster id) — NOT
+        // model.transform: MLlib's findClosest uses the precomputed-norm
+        // dot-product shortcut with a ~1e-7 relative-error band, so a
+        // vector near-equidistant to two centroids could flip vs the
+        // oracle's exact replay. This computes the same left-to-right
+        // squared-distance sum the oracle's list_distance does.
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        val dist = sqrt(aggregate(
+          zip_with(col("v"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _))
+        val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster").asc)
+        emb.crossJoin(broadcast(cents)).withColumn("dist", dist)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("cluster").agg(count(lit(1)).as("n"))
       } finally df.unpersist()
     }
   )

@@ -83,7 +83,7 @@ object Streams {
     * Bench/Verify pre-stage so the benched queries measure the streaming
     * path, not this write. Returns the staging directory. */
   def prepareLateArrivalFiles(spark: SparkSession, sfDir: String): String =
-    graft.util.Staging.ensure(graft.util.Staging.dirFor("late", sfDir)) { dir =>
+    graft.util.Staging.ensure(graft.util.Staging.dirFor("late", sfDir), s"$sfDir/events.parquet") { dir =>
       import java.nio.file._
       import java.nio.file.attribute.FileTime
       val ev = graft.io.Tables.events(spark, sfDir)

@@ -25,15 +25,39 @@ object Staging {
 
   /** Run `write(dir)` unless `dir` already carries this version's marker;
     * returns `dir`. `write` must (re)create the directory (Spark's
-    * `mode("overwrite")` does). */
-  def ensure(dir: String)(write: String => Unit): String = {
-    val marker = Paths.get(dir, s"_STAGED_$Version")
+    * `mode("overwrite")` does). Pass `sourcePath` (the file/dir the
+    * artifact is derived from) so the marker is keyed by the source's
+    * fingerprint too — a regenerated corpus at the same path then
+    * re-stages instead of silently serving stale derived data while the
+    * oracle reads the new tables. */
+  def ensure(dir: String, sourcePath: String = "")(write: String => Unit): String = {
+    val fp = if (sourcePath.isEmpty) "" else s"_${fingerprint(sourcePath)}"
+    val marker = Paths.get(dir, s"_STAGED_$Version$fp")
     if (!Files.exists(marker)) {
-      deleteRecursive(dir) // drop partial/stale leftovers
+      deleteRecursive(dir) // drop partial/stale leftovers (incl. old markers)
       write(dir)
       Files.createFile(marker)
     }
     dir
+  }
+
+  /** Cheap content fingerprint of a file or directory: sizes + mtimes of
+    * the (first-level) entries, hashed. Not cryptographic — just enough to
+    * notice a rewritten source. */
+  def fingerprint(path: String): String = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return "absent"
+    val parts: Seq[String] =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.sortBy(_.toString).map(e =>
+            s"${e.getFileName}:${Files.size(e)}:${Files.getLastModifiedTime(e).toMillis}")
+        } finally s.close()
+      } else Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    java.lang.Long.toHexString(
+      parts.foldLeft(1125899906842597L)((acc, x) => acc * 31 + x.hashCode))
   }
 
   /** Canonical scratch location for an artifact derived from `sfDir`. */
