@@ -92,6 +92,20 @@ object TextPack extends QueryPack {
           sum(when(col("rn") <= cap, col("n_chars")).otherwise(0L)).as("kept_chars"))
     },
 
+    // feature hashing (the hashing-trick featurizer): token → fixed
+    // bucket via the PORTABLE md5-derived hash (MLlib's HashingTF uses
+    // murmur3, which DuckDB cannot replay), so the whole featurization is
+    // oracle-replayable. Fixed output dimensionality regardless of vocab
+    // size — the no-vocabulary-broadcast featurizer for unbounded corpora.
+    // Checked at the aggregate level: per-bucket term and document counts.
+    "q86_hashed_features" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .select(col("doc_id"), pmod(TextOps.hash32(col("term")), lit(64)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_terms"), countDistinct(col("doc_id")).as("n_docs"))
+    },
+
     // TF-IDF featurization: global top-20 (doc, term) pairs by smoothed
     // tf·idf — deterministic ordering on (rounded score desc, doc, term)
     // so the cut set is engine-portable.
@@ -145,6 +159,12 @@ object TextPack extends QueryPack {
                   FROM ws),
           hs AS (SELECT doc_id, ${TextOps.hash32Sql("pt")} AS h FROM pos)
           SELECT doc_id, CAST(bit_xor(h) AS BIGINT) AS fp FROM hs GROUP BY doc_id""",
+
+    "q86_hashed_features" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          b AS (SELECT doc_id, ${TextOps.hash32Sql("term")} % 64 AS bucket FROM t)
+          SELECT bucket, COUNT(*) AS n_terms, COUNT(DISTINCT doc_id) AS n_docs
+          FROM b GROUP BY bucket""",
 
     "q82_per_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars,
