@@ -83,7 +83,16 @@ object Bench {
     val memJson = results.map { case (k, _) => jstr(k) + ":" + memByQuery(k) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val memMib = if (memByQuery.isEmpty) 0L else memByQuery.values.max
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint)"}"""
+    println(json)
+    // Persist the COMPLETE artifact too: the driver stores only a ~2k tail
+    // of stdout, which truncated round 3's per-query seconds map out of
+    // BENCH_r03.json — the committed file is the durable record.
+    val outDir = java.nio.file.Paths.get("/root/repo/bench_results")
+    java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.write(
+      outDir.resolve(s"bench_full_${new java.io.File(sfDir).getName}.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -88,8 +88,14 @@ object Dedup {
     * The band table is persisted so both sides of the self-join reuse one
     * minhash computation, then RELEASED once the (much smaller) pair set is
     * materialized — holding the full band table cached across a session
-    * accumulates blocks at corpus scale. The pair set itself stays cached
-    * for the caller's action(s). */
+    * accumulates blocks at corpus scale.
+    *
+    * CALLER CONTRACT: the returned frame IS the persisted pair set (already
+    * materialized). A caller that fully consumes it — e.g. feeds it into
+    * [[connectedComponents]], which builds and materializes its own caches —
+    * must `unpersist()` the returned frame afterwards; a caller returning a
+    * plan over it to the driver leaves it cached for that plan's action
+    * (the session's `clearCache()` between bench runs reclaims it). */
   def candidatePairs(bandTab: DataFrame, idCol: String): DataFrame = {
     val bt = bandTab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bt.select(col(idCol).as("id_a"), col("band"), col("sig"))
@@ -127,6 +133,25 @@ object Dedup {
     when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
   }
 
+  /** Lineage-truncation strategy for [[connectedComponents]]' iterative
+    * rounds (each round's plan embeds the previous round TWICE, so carrying
+    * plans forward doubles the tree per round and OOMs the DRIVER on plan
+    * compilation alone for deep components). */
+  sealed trait Lineage
+  object Lineage {
+    /** Rebuild each round's DataFrame from its RDD: pins the round to a
+      * leaf plan, but keeps the full RDD recompute chain — on a real
+      * cluster a lost executor late in a deep run recomputes every prior
+      * round. The local default (zero disk traffic). */
+    case object RddRebuild extends Lineage
+    /** Checkpoint each round: truncates BOTH the plan and the RDD lineage,
+      * so a lost executor re-reads the last round from (reliable or local)
+      * storage instead of recomputing the chain — the cluster-scale mode.
+      * Uses `checkpoint()` when the context has a checkpoint dir (survives
+      * executor loss), `localCheckpoint()` otherwise (executor-local). */
+    case object Checkpoint extends Lineage
+  }
+
   /** Connected components over an undirected pair list — the cluster
     * canonicalization step after candidate-pair generation: every document
     * in a near-dup cluster gets the cluster's MIN id as its component, so
@@ -138,10 +163,18 @@ object Dedup {
     * is the worst case). Each round is two hash-partitioned shuffles
     * (join on neighbor, group by node) over the edge list — the standard
     * large-graph formulation; no driver-side adjacency, so it runs at any
-    * edge count. Deterministic: min-semantics, no randomness. */
+    * edge count. Deterministic: min-semantics, no randomness; both
+    * [[Lineage]] modes produce identical components (asserted in
+    * DedupTextSpec).
+    *
+    * The returned frame IS its own persisted, materialized cache — callers
+    * may `unpersist()` it when done. All intermediate caches (edges, loop
+    * rounds) are released before returning, on failure too. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          lineage: Lineage = Lineage.RddRebuild): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
@@ -149,35 +182,55 @@ object Dedup {
     // Spark's non-cascading uncache matches by plan, so unpersisting a
     // projection OVER a persisted frame is a silent no-op and every round
     // would leak a full label-table cache. The loop therefore carries the
-    // 3-column persisted frame itself and releases it round-by-round. The
-    // final round's cache (one node→comp table) intentionally stays alive
-    // backing the returned projection — the one cache the result needs.
+    // 3-column persisted frame itself and releases it round-by-round.
     var round = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).persist(lvl)
-    round.count()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = edges.join(round.select(col("node").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("node")).agg(min("comp").as("nbr"))
-      val nextPlan = round.select("node", "comp").join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // TRUNCATE LINEAGE each round: the round-N plan embeds round-N−1
-      // TWICE (neighbor join + label join), so carrying plans forward
-      // doubles the tree per round — a deep component (high diameter ⇒
-      // many rounds) then OOMs the DRIVER on plan compilation alone.
-      // Rebuilding from the RDD pins each round to a leaf plan; at
-      // cluster scale the same role is played by periodic checkpoints.
-      val next = round.sparkSession.createDataFrame(nextPlan.rdd, nextPlan.schema)
-        .persist(lvl)
-      changed = next.filter(col("comp") =!= col("old")).count()
-      round.unpersist()
-      round = next
-      it += 1
+    try {
+      round.count()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val nbrMin = edges.join(round.select(col("node").as("dst"), col("comp")), "dst")
+          .groupBy(col("src").as("node")).agg(min("comp").as("nbr"))
+        val nextPlan = round.select("node", "comp").join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("comp").as("old"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        val next = lineage match {
+          case Lineage.RddRebuild =>
+            spark.createDataFrame(nextPlan.rdd, nextPlan.schema).persist(lvl)
+          case Lineage.Checkpoint =>
+            if (spark.sparkContext.getCheckpointDir.isDefined) nextPlan.checkpoint(eager = true)
+            else nextPlan.localCheckpoint(eager = true)
+        }
+        changed = next.filter(col("comp") =!= col("old")).count()
+        release(round)
+        round = next
+        it += 1
+      }
+      require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+      // re-materialize the 2-column result as ITS OWN cache and release the
+      // loop's 3-column frame: handing back a projection over the loop cache
+      // would leave callers unable to release it (plan-matching no-op trap).
+      val result = round.select("node", "comp").persist(lvl)
+      result.count()
+      result
+    } finally {
+      edges.unpersist()
+      release(round) // final round released here on success; failed round on error
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    edges.unpersist()
-    round.select("node", "comp")
+  }
+
+  /** Release a loop round regardless of how it was materialized:
+    * `unpersist()` covers CacheManager-backed persistence, but a
+    * `localCheckpoint`ed round is persisted at the RDD level UNDER a
+    * `LogicalRDD` leaf — Dataset.unpersist is a silent no-op there, so the
+    * backing RDD is unpersisted directly (no-op for non-persisted RDDs,
+    * e.g. the RddRebuild-mode leaves). */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 }

@@ -90,8 +90,13 @@ object DedupPack extends QueryPack {
     "q85_dedup_components" -> { (s, d) =>
       val pairs = Dedup.candidatePairs(
         Dedup.bandTable(augCorpus(s, d), "doc_id", "text"), "doc_id")
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .groupBy("comp").agg(count(lit(1)).as("n_members"))
+      // CC materializes its own result cache, so the pair cache has no
+      // further reader (candidatePairs caller contract) — release it even
+      // if CC throws.
+      val comps =
+        try Dedup.connectedComponents(pairs, "id_a", "id_b")
+        finally pairs.unpersist()
+      comps.groupBy("comp").agg(count(lit(1)).as("n_members"))
     },
 
     // SimHash signatures over token hashes.

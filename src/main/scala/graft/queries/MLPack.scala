@@ -270,9 +270,18 @@ object MLPack extends QueryPack {
         model.transform(test, "features").select(col("vec_id"), col("label"), col("prediction")),
         "q76_inc_preds")
       val acc = Models.accuracy("label").evaluate(preds)
+      // sanity_ok is CLAIMED true here and recomputed independently by the
+      // oracle (dump-derived accuracy ≥ the SQL-replayed majority-class
+      // share of the test split, AND non-constant predictions): the
+      // accuracy column alone is self-referential (recomputed from our own
+      // dump), so a degenerate constant-prediction model would otherwise
+      // still pass the gate. ≥ not >: at sf0.01 a healthy model can TIE the
+      // majority share on 150 test rows; a constant predictor still fails
+      // the distinct-prediction clause.
       s.createDataFrame(Seq((train.count(), test.count(), 3L, model.steps.toLong, acc)))
         .toDF("n_train", "n_test", "n_batches", "n_steps", "accuracy")
         .withColumn("accuracy", round(col("accuracy"), 6))
+        .withColumn("sanity_ok", lit(true))
     },
 
     // The reference's flagship workload end-to-end (SURVEY §7.5 minimum
@@ -486,15 +495,28 @@ object MLPack extends QueryPack {
           FROM j, ec""",
 
     // Split sizes replayed from the hash split; batch/step counts are the
-    // protocol's fixed shape; accuracy recomputed from the dump.
+    // protocol's fixed shape; accuracy recomputed from the dump, and gated
+    // against the INDEPENDENTLY derived majority-class share of the test
+    // split — a degenerate model (constant predictions, broken gradient
+    // step) flips sanity_ok to false and hash-mismatches the gate: a
+    // constant predictor either scores below the majority share or (if it
+    // predicts the majority class) fails the distinct-prediction clause.
     "q76_incremental_fit" ->
-      s"""SELECT
+      s"""WITH maj AS (
+            SELECT MAX(c) * 1.0 / SUM(c) AS share FROM (
+              SELECT COUNT(*) AS c FROM embeddings
+              WHERE ${unitHashSql("vec_id")} >= 0.7 GROUP BY label))
+          SELECT
             (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
             (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
             CAST(3 AS BIGINT) AS n_batches,
             CAST(24 AS BIGINT) AS n_steps,
             (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
-             FROM ${OracleDump.sqlGlob("q76_inc_preds")}) AS accuracy""",
+             FROM ${OracleDump.sqlGlob("q76_inc_preds")}) AS accuracy,
+            ((SELECT AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END)
+              FROM ${OracleDump.sqlGlob("q76_inc_preds")}) >= (SELECT share FROM maj)
+             AND (SELECT COUNT(DISTINCT prediction)
+                  FROM ${OracleDump.sqlGlob("q76_inc_preds")}) > 1) AS sanity_ok""",
 
     // Full SQL replay of the pipeline's deterministic spine — the feature
     // matrix (exp·10), the UpperQuartile row factors (type-7 q75 / ordered

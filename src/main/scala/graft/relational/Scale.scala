@@ -77,15 +77,30 @@ object Scale {
   }
 
   def repartitionToBytes(df: DataFrame, targetBytes: Long,
-                         sampleRows: Int = 1000): (DataFrame, Int) = {
-    val sampled = df.limit(sampleRows).queryExecution.toRdd
-      .map {
-        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getSizeInBytes.toLong
-        case r => r.numFields * 8L // non-unsafe fallback: field-count floor
-      }.collect()
-    require(sampled.nonEmpty, "cannot size an empty DataFrame")
-    val avgRow = sampled.sum.toDouble / sampled.length
-    val rows = df.count()
+                         samplePerPartition: Int = 64): (DataFrame, Int) = {
+    // ONE job over the full input: count every row, and size the head of
+    // EVERY partition. The former `limit(n)` sample drew all n rows from
+    // one partition — a source clustered by row size (variable-length
+    // text/arrays sorted or partitioned by length) biased the estimate —
+    // and `df.count()` added a second full pass; per-partition heads cover
+    // the key space and ride along with the count for free.
+    val stats = df.queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L; var bytes = 0L; var k = 0L
+      it.foreach { r =>
+        n += 1
+        if (k < samplePerPartition) {
+          bytes += (r match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getSizeInBytes.toLong
+            case other => other.numFields * 8L // non-unsafe fallback: field-count floor
+          })
+          k += 1
+        }
+      }
+      Iterator.single((n, bytes, k))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    val (rows, sampledBytes, sampledRows) = stats
+    require(rows > 0, "cannot size an empty DataFrame")
+    val avgRow = sampledBytes.toDouble / sampledRows
     val parts = math.max(1, math.ceil(rows * avgRow / targetBytes).toInt)
     (df.repartition(parts), parts)
   }

@@ -34,13 +34,23 @@ object Streams {
   }
 
   /** Drain a (bounded) stream into a memory sink and return the result.
-    * `outputMode` complete for aggregations, append for row streams. */
+    * `outputMode` complete for aggregations, append for row streams.
+    *
+    * Scratch discipline: the checkpoint path is keyed by `name` (not a
+    * nanoTime suffix) and wiped at the start of every invocation — a fresh
+    * query MUST NOT resume a stale checkpoint's offsets (it would skip the
+    * replay), and per-invocation unique dirs accumulated without bound
+    * across a long session (the round-3 leak). The memory-sink VIEW name
+    * stays invocation-unique: two sequential drains of the same query must
+    * not race on one temp view. */
   def drainToTable(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val spark = df.sparkSession
-    val qname = s"${name}_${System.nanoTime()}" // unique per invocation
+    val qname = s"${name}_${System.nanoTime()}"
+    val ckpt = s"/root/repo/target/scratch/ckpt_$name"
+    graft.util.Staging.deleteRecursive(ckpt)
     val q = df.writeStream
       .format("memory").queryName(qname).outputMode(outputMode)
-      .option("checkpointLocation", s"/root/repo/target/scratch/ckpt_$qname")
+      .option("checkpointLocation", ckpt)
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(qname)
@@ -53,12 +63,19 @@ object Streams {
     * append mode accumulates finalized rows. */
   def drainToParquet(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val spark = df.sparkSession
-    val qname = s"${name}_${System.nanoTime()}"
-    val path = s"/root/repo/target/scratch/sink_$qname"
-    graft.util.Staging.deleteRecursive(path) // defensive: append mode re-reads anything already under the sink path
+    // sink + checkpoint paths keyed by `name` and wiped up front: repeats
+    // overwrite one slot instead of accumulating nanoTime-unique copies of
+    // full row streams (the round-3 scratch leak), and append mode never
+    // re-reads a previous run's rows. The returned frame reads the sink
+    // lazily, so deletion happens at the NEXT invocation — by which time
+    // the (sequential) caller has consumed the result.
+    val path = s"/root/repo/target/scratch/sink_$name"
+    val ckpt = s"/root/repo/target/scratch/ckpt_$name"
+    graft.util.Staging.deleteRecursive(path)
+    graft.util.Staging.deleteRecursive(ckpt)
     val fileMode = if (outputMode == "complete") "overwrite" else "append"
     val q = df.writeStream.outputMode(outputMode)
-      .option("checkpointLocation", s"/root/repo/target/scratch/ckpt_$qname")
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.write.mode(fileMode).parquet(path); ()
       }

@@ -187,6 +187,37 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: Checkpoint lineage mode produces identical components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val viaRdd = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      lineage = Dedup.Lineage.RddRebuild)
+    val viaCkpt = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      lineage = Dedup.Lineage.Checkpoint)
+    try {
+      assert(viaRdd.as[(Long, Long)].collect().toMap ==
+        viaCkpt.as[(Long, Long)].collect().toMap)
+    } finally { viaRdd.unpersist(); viaCkpt.unpersist() }
+  }
+
+  test("connectedComponents releases every intermediate cache, incl. on failure") {
+    val sc = spark.sparkContext
+    def cachedBlocks(): Int = sc.getPersistentRDDs.size
+    val before = cachedBlocks()
+    val res = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(cachedBlocks() == before + 1, "only the returned result should stay cached")
+    res.unpersist()
+    assert(cachedBlocks() == before)
+    // non-convergence path (maxIter 0 can't converge a real edge set) must
+    // not leak the edge or round caches either
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 1)
+    }
+    assert(cachedBlocks() == before, "failure path leaked a cache")
+  }
+
   test("connectedComponents labels every node with its cluster min") {
     // chain 1-2-3-4-5 (worst-case diameter), triangle 10-11-12 with a
     // redundant edge, isolated pair 20-21
