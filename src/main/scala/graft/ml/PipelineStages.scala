@@ -65,26 +65,45 @@ object PipelineStages {
   def arrayToVector(c: Column): Column =
     org.apache.spark.ml.functions.array_to_vector(c)
 
-  /** Quantile discretization (the KBinsDiscretizer shape): bucket `c` by
-    * its exact type-7 quartile breaks — ONE aggregation pass for the
-    * breaks, assignment via a broadcast 1-row cross, never a per-row
-    * subquery. Bucket boundaries interpolate strictly between adjacent
-    * sorted data values, so assignment is ULP-robust across engines (no
-    * data value can sit between two engines' versions of a break). At
-    * 100 TB swap the exact percentile for `approx_percentile` (mergeable
-    * sketch) — same plan shape. */
-  def quantileBin(df: DataFrame, c: String, out: String): DataFrame = {
+  /** Quartile break points of `c` as a 1-row (b1, b2, b3) frame.
+    *
+    * `exact=true` → Spark's interpolating `percentile`: bit-matches the
+    * oracle's `quantile_cont`, and boundaries interpolate strictly between
+    * adjacent sorted data values, so assignment is ULP-robust across
+    * engines — but it buffers EVERY value into one aggregation state
+    * (oracle-only at 100 TB). `exact=false` → `approx_percentile`
+    * (mergeable single-pass GK sketch, rank error ≤ 1/accuracy, returns
+    * real data values): the scale mode, tolerance-gated by q87's oracle —
+    * the same exact/approx split as TMM (`Normalization.pctl`). */
+  def quantileBreaks(df: DataFrame, c: String,
+                     exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     // breaks agg NOT fanned: the exact percentile's partial buffering
     // parallelizes only modestly (merge is a concat), and the fan-out
     // shuffle of the raw column measured NET-negative cold
     // (2.5 → 3.2 s at sf0.1)
-    val breaks = df.agg(expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__bks"))
+    val agg =
+      if (exact) expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+      else expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), $accuracy)")
+    df.agg(agg.as("__bks"))
+      .select(col("__bks")(0).cast("double").as("b1"),
+        col("__bks")(1).cast("double").as("b2"),
+        col("__bks")(2).cast("double").as("b3"))
+  }
+
+  /** Bucket `c` by a precomputed (b1, b2, b3) break frame: assignment via a
+    * broadcast 1-row cross, never a per-row subquery. */
+  def binByBreaks(df: DataFrame, c: String, out: String, breaks: DataFrame): DataFrame =
     df.crossJoin(broadcast(breaks))
       .withColumn(out,
-        when(col(c) <= col("__bks")(0), 0L)
-          .when(col(c) <= col("__bks")(1), 1L)
-          .when(col(c) <= col("__bks")(2), 2L)
+        when(col(c) <= col("b1"), 0L)
+          .when(col(c) <= col("b2"), 1L)
+          .when(col(c) <= col("b3"), 2L)
           .otherwise(3L))
-      .drop("__bks")
-  }
+      .drop("b1", "b2", "b3")
+
+  /** Quantile discretization (the KBinsDiscretizer shape): ONE aggregation
+    * pass for the breaks, then [[binByBreaks]] assignment. */
+  def quantileBin(df: DataFrame, c: String, out: String,
+                  exact: Boolean = true, accuracy: Int = 10000): DataFrame =
+    binByBreaks(df, c, out, quantileBreaks(df, c, exact, accuracy))
 }

@@ -167,6 +167,26 @@ object ExtrasPack extends QueryPack {
           col("qs")(2).as("q75"), col("qs")(3).as("q95"))
     },
 
+    // q72's APPROX (scale-mode) twin: grouped `approx_percentile` probes —
+    // at 100 TB each l_returnflag group holds billions of values, and the
+    // exact percentile buffers ALL of them into one aggregation state per
+    // group; the GK sketch is fixed-size and mergeable. Tolerance-gated
+    // (q28 pattern): the per-group sketch quantiles are dumped, echoed as
+    // the claimed result, and the oracle independently asserts each dumped
+    // value's empirical rank WITHIN ITS GROUP is inside 0.005 of the
+    // target quantile (50× the sketch's 1e-4 rank-error contract).
+    "q88_grouped_quantiles_approx" -> { (s, d) =>
+      graft.util.OracleDump.dump(
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, array(0.25d, 0.5d, 0.75d, 0.95d), 10000)").as("qs"))
+          .select(col("l_returnflag"),
+            col("qs")(0).cast("double").as("q25"), col("qs")(1).cast("double").as("median"),
+            col("qs")(2).cast("double").as("q75"), col("qs")(3).cast("double").as("q95")),
+        "q88_gq")
+      s.read.parquet(s"${graft.util.OracleDump.dir}/q88_gq")
+        .withColumn("within_tol", lit(true))
+    },
+
     // S4 — JSON scan end-to-end (`brca_data_prep.ipynb` cell-5/6 shape):
     // events sample written as JSON lines, re-read with schema inference
     // (spark.read.json), then a broadcast dictionary remap + aggregate.
@@ -321,6 +341,24 @@ object ExtrasPack extends QueryPack {
            quantile_cont(l_extendedprice, 0.75) AS q75,
            quantile_cont(l_extendedprice, 0.95) AS q95
          FROM lineitem GROUP BY l_returnflag""",
+
+    // Approx-mode gate: dumped per-group sketch quantiles echoed as the
+    // claimed rows; within_tol independently recomputed as the empirical
+    // in-group rank of every dumped value sitting within 0.005 of its
+    // probe. A drifting sketch or a probe misrouted to the wrong group
+    // flips the boolean and hash-mismatches.
+    "q88_grouped_quantiles_approx" ->
+      s"""WITH ap AS (SELECT * FROM ${graft.util.OracleDump.sqlGlob("q88_gq")}),
+          rk AS (SELECT l.l_returnflag,
+                   SUM(CASE WHEN l.l_extendedprice <= a.q25 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r25,
+                   SUM(CASE WHEN l.l_extendedprice <= a.median THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r50,
+                   SUM(CASE WHEN l.l_extendedprice <= a.q75 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r75,
+                   SUM(CASE WHEN l.l_extendedprice <= a.q95 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r95
+                 FROM lineitem l JOIN ap a USING (l_returnflag) GROUP BY l.l_returnflag)
+          SELECT a.l_returnflag, a.q25, a.median, a.q75, a.q95,
+                 (ABS(rk.r25 - 0.25) <= 0.005 AND ABS(rk.r50 - 0.5) <= 0.005
+                  AND ABS(rk.r75 - 0.75) <= 0.005 AND ABS(rk.r95 - 0.95) <= 0.005) AS within_tol
+          FROM ap a JOIN rk USING (l_returnflag)""",
 
     "q63_json_scan" ->
       s"""SELECT CASE event_type

