@@ -67,6 +67,33 @@ object MLPack extends QueryPack {
         .withColumn("within_tol", lit(true))
     },
 
+    // M1 as a FIRST-CLASS MLlib stage (the reference's transformers are
+    // sklearn-protocol citizens, `feature_selection_and_normalization
+    // .py:8,34` — ours are Estimator/Model with ParamMap + MLWritable):
+    // fit a stock ml.Pipeline(UpperQuartileNormalizer) on the lineitem
+    // width-4 matrix, SAVE the PipelineModel, RE-LOAD it through MLlib's
+    // reflective reader, transform with the loaded copy. The oracle
+    // replays the scaled first feature from the UQ algebra — a wrapper
+    // that drifted from the engine, or persistence that lost a model
+    // field, hash-mismatches.
+    "q89_uq_estimator_persist" -> { (s, d) =>
+      // fan + cache as in q18: the fit's stat jobs are CPU-bound row math
+      val li = graft.relational.Scale.fanOut(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
+              lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))).as("features")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pipe = new org.apache.spark.ml.Pipeline().setStages(Array(
+        new org.apache.spark.ml.graft.UpperQuartileNormalizer()
+          .setQuantile(0.75).setFeaturesCol("features")))
+      val fitted = pipe.fit(li)
+      val dir = s"/root/repo/target/scratch/uq_model_${math.abs(d.hashCode)}"
+      fitted.write.overwrite().save(dir)
+      val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+      loaded.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        round(element_at(col("features"), 1), 6).as("f1_scaled"))
+    },
+
     // M3 — seeded 70/30 train/test split as a pure key function.
     "q20_hash_split" -> { (s, d) =>
       Tables.orders(s, d)
@@ -426,6 +453,25 @@ object MLPack extends QueryPack {
     "q19_standardized_prices" ->
       s"""WITH s AS (SELECT ${Sql.davg("o_totalprice")} AS mu, ${Sql.dvar("o_totalprice")} AS v FROM orders)
           SELECT o_orderkey, round((o_totalprice - mu) / sqrt(v), 6) AS z FROM orders, s""",
+
+    // UQ algebra replay (the q18 CTEs) applied to the transform output:
+    // the loaded model must scale f1 by exactly norm_factor/geo_mean.
+    "q89_uq_estimator_persist" ->
+      """WITH m AS (
+           SELECT l_orderkey, l_linenumber,
+                  [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+                   CAST(1.0 + l_discount AS DOUBLE), CAST(1.0 + l_tax AS DOUBLE)] AS arr
+           FROM lineitem),
+         f AS (
+           SELECT l_orderkey, l_linenumber, arr,
+                  (ls[3] + (ls[4] - ls[3]) * 0.25) / (arr[1] + arr[2] + arr[3] + arr[4]) AS norm_factor
+           FROM (SELECT *, list_sort(arr) AS ls FROM m)),
+         g AS (
+           SELECT exp(CAST(SUM(CAST(ln(CASE WHEN norm_factor = 0 THEN 1 ELSE norm_factor END) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) AS gm
+           FROM f)
+         SELECT l_orderkey, l_linenumber,
+                round(arr[1] * (norm_factor / gm), 6) AS f1_scaled
+         FROM f, g""",
 
     "q20_hash_split" ->
       s"""SELECT CASE WHEN ${unitHashSql("o_orderkey")} < 0.7 THEN 'train' ELSE 'test' END AS split,
