@@ -39,6 +39,21 @@ object Models {
     new GBTRegressor().setLabelCol(labelCol).setFeaturesCol(featuresCol)
       .setMaxIter(20).setSeed(Seed)
 
+  /** TRUE multiclass gradient boosting: MLlib's GBTClassifier is
+    * binary-only, so the reference's multiclass `XGBClassifier`
+    * (`functions/dask_pipeline.py:83`) maps to one-vs-rest over K seeded
+    * binary GBTs (SURVEY §7.3). The K fits are independent Spark jobs —
+    * `parallelism` submits them concurrently, the exact shape of the
+    * engine's concurrent CV/search fits; at cluster scale the K jobs'
+    * stages interleave across executors. RF stays the cheaper multiclass
+    * default; this is the boosting-family option. */
+  def ovrGbt(labelCol: String, featuresCol: String, maxIter: Int = 10,
+             parallelism: Int = 8): org.apache.spark.ml.classification.OneVsRest =
+    new org.apache.spark.ml.classification.OneVsRest()
+      .setClassifier(new GBTClassifier().setMaxIter(maxIter).setSeed(Seed))
+      .setLabelCol(labelCol).setFeaturesCol(featuresCol)
+      .setParallelism(parallelism)
+
   def rfRegressor(labelCol: String, featuresCol: String): RandomForestRegressor =
     new RandomForestRegressor().setLabelCol(labelCol).setFeaturesCol(featuresCol)
       .setNumTrees(50).setSeed(Seed)

@@ -148,6 +148,28 @@ object MLPack extends QueryPack {
         .withColumn("accuracy", round(col("accuracy"), 6))
     },
 
+    // M8 at the reference's TRUE multiclass shape: the reference's
+    // XGBClassifier handles the 10-class task natively
+    // (`dask_pipeline.py:83`); MLlib's GBTClassifier is binary-only, so
+    // this is OneVsRest(GBT) — 10 concurrent seeded binary fits (SURVEY
+    // §7.3), the boosting-family sibling of the q24/q25 RF default.
+    // Accuracy + per-class prediction counts are differential-oracled from
+    // the dumped predictions; split sizes replayed from the hash split;
+    // the oracle's degeneracy clause (non-constant predictions) gates a
+    // broken OVR margin comparison independently of our own evaluator.
+    "q90_ovr_gbt_multiclass" -> { (s, d) =>
+      val (train, test) = embeddingsML(s, d)
+      val model = Models.ovrGbt("label", "features", maxIter = 10).fit(train)
+      val preds = OracleDump.dump(
+        model.transform(test).select(col("vec_id"), col("label"), col("prediction")),
+        "q90_ovr_preds")
+      val acc = Models.accuracy("label").evaluate(preds)
+      s.createDataFrame(Seq(("ovr_gbt_embeddings", train.count(), test.count(), acc)))
+        .toDF("model", "n_train", "n_test", "accuracy")
+        .withColumn("accuracy", round(col("accuracy"), 6))
+        .withColumn("sanity_ok", lit(true))
+    },
+
     // M7 — parallel K-fold CV (concurrent fold jobs) with logistic
     // regression; per-fold sizes + accuracy. Fold sizes are SQL-derived
     // from the fold-hash replay; accuracies are differential-oracled from
@@ -505,6 +527,19 @@ object MLPack extends QueryPack {
             (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
             (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
              FROM ${OracleDump.sqlGlob("q25_rf_preds")}) AS accuracy""",
+
+    "q90_ovr_gbt_multiclass" ->
+      s"""WITH pd AS (
+            SELECT COUNT(DISTINCT prediction) AS n_distinct,
+                   MAX(c) * 1.0 / SUM(c) AS top_share
+            FROM (SELECT prediction, COUNT(*) AS c
+                  FROM ${OracleDump.sqlGlob("q90_ovr_preds")} GROUP BY prediction))
+          SELECT 'ovr_gbt_embeddings' AS model,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} < 0.7) AS n_train,
+            (SELECT COUNT(*) FROM embeddings WHERE ${unitHashSql("vec_id")} >= 0.7) AS n_test,
+            (SELECT round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6)
+             FROM ${OracleDump.sqlGlob("q90_ovr_preds")}) AS accuracy,
+            (SELECT n_distinct > 1 AND top_share < 0.9 FROM pd) AS sanity_ok""",
 
     "q26_cv_scores" ->
       s"""WITH acc AS (SELECT fold, round(AVG(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6) AS accuracy
