@@ -7,31 +7,39 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted in per-partition
   * batches.
   *
-  * Architecture (the part that is real and tested):
+  * Architecture:
   *  - media travels as a `BinaryType` column next to its id/metadata;
   *  - decode runs via `Dataset.mapPartitions` — the JVM analog of
   *    `mapInPandas`: one decoder instance per partition, streaming over an
   *    iterator, so codec init cost amortizes and memory stays bounded;
   *  - output is a typed case class ⇒ stable schema for downstream SQL.
   *
-  * ==== STUB ====
-  * The actual image/audio codecs are NOT in this container, so
-  * [[StubDecoder]] is a clearly-marked deterministic fake: it derives
-  * "decoded" dimensions from an md5 of the bytes. Swap in a real codec by
-  * implementing [[MediaDecoder]] — nothing else changes.
+  * The IMAGE path is real: [[ImageIODecoder]] / [[resizeImages]] decode and
+  * resample actual PNG pixel data with the JDK's `javax.imageio` + Java2D
+  * (staged deterministically per corpus by [[prepareImageFiles]], so the
+  * oracle can replay geometry and channel statistics from `doc_id` alone).
+  *
+  * ==== STUB (audio/video only) ====
+  * Audio/video codecs are NOT in this container, so [[StubDecoder]] remains
+  * the clearly-marked deterministic fake for the multi-frame (video) shape:
+  * it derives "decoded" dimensions from an md5 of the bytes. Swap in a real
+  * codec by implementing [[MediaDecoder]] — nothing else changes (that
+  * boundary is exactly how [[ImageIODecoder]] slotted in).
   */
 object Multimodal {
 
   case class MediaItem(id: Long, media: Array[Byte])
-  case class DecodedMeta(id: Long, n_bytes: Long, width: Long, height: Long, n_frames: Long)
+  case class DecodedMeta(id: Long, n_bytes: Long, width: Long, height: Long,
+                         n_frames: Long, mean_r: Double)
 
   /** Decoder contract: one instance per partition, called per item. */
   trait MediaDecoder extends Serializable {
     def decode(item: MediaItem): DecodedMeta
   }
 
-  /** Deterministic fake decode: md5-derived dimensions. Replace with a real
-    * codec (javax.imageio / ffmpeg bindings) outside this container. */
+  /** Deterministic fake decode: md5-derived dimensions. Stands in for the
+    * audio/video codecs that aren't in this container; images use the real
+    * [[ImageIODecoder]]. */
   object StubDecoder extends MediaDecoder {
     def hash32(bytes: Array[Byte]): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -45,8 +53,131 @@ object Multimodal {
         n_bytes = item.media.length.toLong,
         width = 16L + h % 1920L,
         height = 16L + (h / 1920L) % 1080L,
-        n_frames = 1L + h % 16L)
+        n_frames = 1L + h % 16L,
+        mean_r = (h % 256L).toDouble)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real image path (JDK-only: javax.imageio + Java2D)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic PNG keyed by `docId`: geometry
+    * `(16 + 37·id mod 120) × (16 + 53·id mod 88)`, red channel CONSTANT at
+    * `id mod 256`, green/blue x/y gradients. The constant red channel is
+    * the oracle hook: any correct decode (and any sane resample) must
+    * report mean(R) == id mod 256 exactly, which plain SQL can state
+    * without being able to parse PNG. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (16 + (docId * 37) % 120).toInt
+    val h = (16 + (docId * 53) % 88).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+    val r = (docId % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { data(y * w + x) = (r << 16) | ((x % 256) << 8) | (y % 256); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Stage a `(doc_id, media)` parquet table of synthetic PNGs — one per
+    * document — under the corpus' scratch dir (idempotent, marker-guarded;
+    * encode parallelized across partitions). This is the image corpus the
+    * real-decode queries read. */
+  def prepareImageFiles(spark: SparkSession, sfDir: String): String =
+    graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("media", sfDir), s"$sfDir/documents.parquet") { dir =>
+      import spark.implicits._
+      graft.relational.Scale.fanOut(
+          graft.io.Tables.documents(spark, sfDir).select(col("doc_id").cast("long")))
+        .as[Long]
+        .mapPartitions(it => it.map(id => (id, syntheticPng(id))))
+        .toDF("doc_id", "media")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** The staged image corpus as a typed media dataset. */
+  def imageTable(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.read.parquet(prepareImageFiles(spark, sfDir))
+      .select(col("doc_id").as("id"), col("media")).as[MediaItem]
+  }
+
+  /** REAL image decode via the JDK's ImageIO: true width/height from the
+    * decoded raster, frame count from the container (PNG → 1; an animated
+    * container would report its true count), and the red-channel mean
+    * summed over every decoded pixel — the content statistic the oracle
+    * checks. One reader per item, streamed per partition. */
+  object ImageIODecoder extends MediaDecoder {
+    override def decode(item: MediaItem): DecodedMeta = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(item.media))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no image reader for id ${item.id}")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sumR = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) { sumR += (row(x) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          DecodedMeta(item.id, item.media.length.toLong, w.toLong, h.toLong,
+            reader.getNumImages(true).toLong, sumR.toDouble / (w.toLong * h))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
+
+  case class ResizedImage(id: Long, width: Long, height: Long,
+                          thumb_w: Long, thumb_h: Long, thumb_mean_r: Double)
+
+  /** REAL image resize: decode → fit-within-`box` geometry (never
+    * upscaling) → Java2D nearest-neighbor resample into a fresh raster →
+    * red-channel mean over the RESAMPLED pixels. Nearest-neighbor is exact
+    * on the constant red channel, which keeps thumb_mean_r SQL-replayable;
+    * the pixel work (decode + per-pixel resample + channel statistics) is
+    * genuine. Composes as a single mapPartitions pass — no shuffle. */
+  def resizeImages(media: Dataset[MediaItem], box: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { item =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.media))
+      require(img != null, s"undecodable image for id ${item.id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0, math.min(box.toDouble / w, box.toDouble / h))
+      val tw = math.max(1, math.floor(w * scale).toInt)
+      val th = math.max(1, math.floor(h * scale).toInt)
+      val thumb = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, tw, th, null)
+      } finally g.dispose()
+      var sumR = 0L
+      val row = new Array[Int](tw)
+      var y = 0
+      while (y < th) {
+        thumb.getRGB(0, y, tw, 1, row, 0, tw)
+        var x = 0
+        while (x < tw) { sumR += (row(x) >> 16) & 0xFF; x += 1 }
+        y += 1
+      }
+      ResizedImage(item.id, w.toLong, h.toLong, tw.toLong, th.toLong,
+        sumR.toDouble / (tw.toLong * th))
+    })
   }
 
   /** Batch decode over partitions (mapInPandas-shaped: iterator in,

@@ -137,6 +137,38 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(got == Set((100L, 200L), (102L, -1L)))
   }
 
+  test("ImageIO decode reads true geometry and channel stats from real PNG bytes") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 7L, 300L, 499L)
+    val media = ids.map(id => Multimodal.MediaItem(id, Multimodal.syntheticPng(id))).toDS()
+    val out = Multimodal.decodeAll(media, Multimodal.ImageIODecoder)
+      .collect().map(m => m.id -> m).toMap
+    ids.foreach { id =>
+      val m = out(id)
+      assert(m.width == 16 + (id * 37) % 120 && m.height == 16 + (id * 53) % 88)
+      assert(m.n_frames == 1L)
+      assert(m.mean_r == (id % 256).toDouble) // constant-R channel survives decode exactly
+      assert(m.n_bytes == Multimodal.syntheticPng(id).length.toLong)
+    }
+  }
+
+  test("resizeImages fits within the box, never upscales, and preserves the constant channel") {
+    import graft.multimodal.Multimodal
+    // box 64 < max dims (135×103) so several of these genuinely downscale
+    val media = Seq(3L, 13L, 35L, 499L)
+      .map(id => Multimodal.MediaItem(id, Multimodal.syntheticPng(id))).toDS()
+    val out = Multimodal.resizeImages(media, 64).collect()
+    out.foreach { r =>
+      assert(r.thumb_w <= 64 && r.thumb_h <= 64)
+      assert(r.thumb_w <= r.width && r.thumb_h <= r.height) // never upscale
+      val scale = math.min(1.0, math.min(64.0 / r.width, 64.0 / r.height))
+      assert(r.thumb_w == math.max(1, math.floor(r.width * scale).toInt))
+      assert(r.thumb_h == math.max(1, math.floor(r.height * scale).toInt))
+      assert(r.thumb_mean_r == (r.id % 256).toDouble) // nearest-neighbor exact on constant R
+    }
+    assert(out.exists(r => r.thumb_w < r.width), "at least one image must actually downscale")
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Multimodal.decodeAll(
