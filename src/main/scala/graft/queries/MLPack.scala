@@ -159,7 +159,12 @@ object MLPack extends QueryPack {
     // broken OVR margin comparison independently of our own evaluator.
     "q90_ovr_gbt_multiclass" -> { (s, d) =>
       val (train, test) = embeddingsML(s, d)
-      val model = Models.ovrGbt("label", "features", maxIter = 10).fit(train)
+      // maxIter 5: 10 one-vs-rest fits are scheduler-bound on this corpus
+      // (each binary fit alone is ~q52's 2.8 s at maxIter 10); 5 rounds
+      // keeps the boosting genuine while halving the tiny-fit overhead —
+      // accuracy is differential-oracled, so the budget is a cost knob,
+      // not a correctness one
+      val model = Models.ovrGbt("label", "features", maxIter = 5).fit(train)
       val preds = OracleDump.dump(
         model.transform(test).select(col("vec_id"), col("label"), col("prediction")),
         "q90_ovr_preds")
