@@ -317,6 +317,30 @@ object MLPack extends QueryPack {
       s.createDataFrame(Seq((dumped.count(), true))).toDF("n_rows", "within_tol")
     },
 
+    // M2 as a FIRST-CLASS MLlib stage (the TMM sibling of q89): fit
+    // Pipeline(TMMNormalizer) in exact mode on the q64 slice, save the
+    // PipelineModel, re-load it reflectively, transform with the loaded
+    // copy. The loaded model must scale f1 by exactly factor/geo_mean —
+    // replayed by the same full TMM-estimator SQL as q64, so persistence
+    // that lost ANY model field (pseudoref, trims, kept mask, geo-mean)
+    // hash-mismatches.
+    "q91_tmm_estimator_persist" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ArrayOps.toArray(Seq(col("l_quantity"), col("l_extendedprice"),
+            lit(1.0) + col("l_discount"), lit(1.0) + col("l_tax"))).as("features"))
+      val pipe = new org.apache.spark.ml.Pipeline().setStages(Array(
+        new org.apache.spark.ml.graft.TMMNormalizer()
+          .setLogRatioTrim(0.3).setAbsExprTrim(0.05).setExact(true)
+          .setFeaturesCol("features")))
+      val fitted = pipe.fit(li)
+      val dir = s"/root/repo/target/scratch/tmm_model_${math.abs(d.hashCode)}"
+      fitted.write.overwrite().save(dir)
+      val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+      loaded.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        round(element_at(col("features"), 1), 6).as("f1_scaled"))
+    },
+
     // M15 — the incremental-fit protocol (`functions/dask_cv.py:10-19`:
     // partial-fit estimators with `classes=` declared up front). The train
     // split arrives as 3 sequential hash-fold batches; IncrementalSGD
@@ -433,7 +457,7 @@ object MLPack extends QueryPack {
                       (SELECT quantile_cont(v, 0.7) FROM lrv) AS lr_hi,
                       (SELECT quantile_cont(v, 0.05) FROM aev) AS ae_lo,
                       (SELECT quantile_cont(v, 0.95) FROM aev) AS ae_hi),
-        fct AS (SELECT l_orderkey, l_linenumber,
+        fct AS (SELECT l_orderkey, l_linenumber, f1,
                   CASE WHEN ($cnt) > 0 THEN ($ssum) / ($cnt) END AS factor
                 FROM lra, tr),
         gm AS (SELECT exp(CAST(SUM(CAST(ln(CASE WHEN factor = 0 THEN 1.0 ELSE factor END) AS DECIMAL(28,6))) AS DOUBLE)
@@ -591,6 +615,14 @@ object MLPack extends QueryPack {
     "q64_tmm_exact" ->
       s"""${tmmExactCtes("WHERE l_orderkey % 20 = 0")}
           SELECT l_orderkey, l_linenumber, round(factor / gm.gm, 6) AS scaling_factor
+          FROM fct, gm""",
+
+    // The q64 replay applied to the loaded model's TRANSFORM output:
+    // f1 scaled by factor/geo_mean (null factor → null scaled value).
+    "q91_tmm_estimator_persist" ->
+      s"""${tmmExactCtes("WHERE l_orderkey % 20 = 0")}
+          SELECT l_orderkey, l_linenumber,
+                 round(f1 * (factor / gm.gm), 6) AS f1_scaled
           FROM fct, gm""",
 
     // Tolerance gate for the approx (scale) mode: replay the EXACT
