@@ -16,7 +16,9 @@ object StreamPack extends QueryPack {
   /** Pre-stage the late-arrival micro-batch files (q61/q66) so their write
     * cost stays out of the benched streaming path. */
   override def stage(s: SparkSession, d: String): Unit = {
-    Streams.prepareLateArrivalFiles(s, d); ()
+    Streams.prepareLateArrivalFiles(s, d)
+    Streams.prepareSealedReplayFiles(s, d)
+    ()
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,6 +125,25 @@ object StreamPack extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // stream-stream LEFT OUTER join — the watermark-DRIVEN emission shape:
+    // matches emit eagerly like q78, but a view with no click inside the
+    // horizon emits with a null click only once the watermark proves a
+    // match impossible (W > v_ts + horizon), and a view whose horizon is
+    // still open when the stream ends NEVER emits. Runs over the staged
+    // 3-micro-batch late-arrival replay (the q61/q66 harness): batch-3
+    // late rows fall below the watermark and are dropped from BOTH join
+    // inputs; the final no-data batch seals with W_final = max on-time ts
+    // − 1h. All three behaviors are replayed arithmetically by the oracle.
+    "q92_stream_stream_outer_join" -> { (s, d) =>
+      val dir = Streams.prepareSealedReplayFiles(s, d)
+      val src = Streams.lateArrivalStream(s, dir)
+      val pairs = Streams.viewClickJoin(
+        src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"), "1 HOUR", "left_outer")
+      Streams.drainToParquet(pairs, "sjoin_outer", "append")
+        .select(col("view_id"), col("click_id"))
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -224,6 +245,77 @@ object StreamPack extends QueryPack {
           FROM v JOIN c ON v.user_id = c.user_id
             AND c.t >= v.t AND c.t <= v.t + INTERVAL 1 HOUR
           GROUP BY v.user_id""",
+
+    // Outer-join emission model — Spark's interval-join STATE MACHINE
+    // replayed arithmetically (every clause below was pinned against an
+    // actual replay; this extends the q61/q66 lagged-watermark model to
+    // joins):
+    //  * the watermark is PER-SIDE MIN: each join input filters
+    //    event_type BEFORE withWatermark, so the view-side watermark
+    //    tracks only view timestamps, the click side only clicks, and the
+    //    engine's global watermark is min(max view ts, max click ts) − 1h
+    //    — NOT max over all events (pinned by sf0.001, where the max
+    //    on-time view is itself unmatched: its horizon never closes under
+    //    the view-bounded watermark, so it must NOT emit).
+    //  * batch-3 rows are filtered by the LAGGED batch-1 watermark w1,
+    //    each side under its STATE-CONSTRAINT predicate, not plain
+    //    lateness: a late VIEW is admitted while its horizon is still
+    //    open (v_ts + 1h ≥ w1 — it could still match a future click); a
+    //    late CLICK is admitted only if c_ts ≥ w1 (it can only match
+    //    OLDER views). Admitted late rows join against what survives the
+    //    end-of-batch-2 state cleanup (views with open horizons, clicks
+    //    with c_ts ≥ w1).
+    //  * matched pairs: the plain interval join over on-time rows (eager
+    //    emission — batch-2 clicks join batch-1 views BEFORE cleanup),
+    //    plus the admitted-late clauses above.
+    //  * null-click rows: views (on-time or admitted-late) with no
+    //    emittable match whose horizon closed under the FINAL min-side
+    //    watermark; an unmatched view with an open horizon never emits.
+    "q92_stream_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          ontime AS (SELECT e.* FROM e, b
+                     WHERE (t < b.t1 AND event_id % 10 <> 0) OR (t >= b.t1 AND t < b.t2)),
+          w1 AS (SELECT LEAST(
+                   (SELECT MAX(t) FROM e, b WHERE t < b.t1 AND event_id % 10 <> 0 AND event_type = 'view'),
+                   (SELECT MAX(t) FROM e, b WHERE t < b.t1 AND event_id % 10 <> 0 AND event_type = 'click'))
+                 - INTERVAL 1 HOUR AS w),
+          wm AS (SELECT LEAST(
+                   (SELECT MAX(t) FROM ontime WHERE event_type = 'view'),
+                   (SELECT MAX(t) FROM ontime WHERE event_type = 'click'))
+                 - INTERVAL 1 HOUR AS w),
+          v AS (SELECT user_id, t, event_id FROM ontime WHERE event_type = 'view'),
+          c AS (SELECT user_id, t, event_id FROM ontime WHERE event_type = 'click'),
+          vlate AS (SELECT e.user_id, e.t, e.event_id FROM e, b, w1
+                    WHERE e.event_type = 'view' AND e.t < b.t1 AND e.event_id % 10 = 0
+                      AND e.t + INTERVAL 1 HOUR >= w1.w),
+          clate AS (SELECT e.user_id, e.t, e.event_id FROM e, b, w1
+                    WHERE e.event_type = 'click' AND e.t < b.t1 AND e.event_id % 10 = 0
+                      AND e.t >= w1.w),
+          matched AS (SELECT v.event_id AS view_id, c.event_id AS click_id
+                      FROM v JOIN c ON v.user_id = c.user_id
+                        AND c.t >= v.t AND c.t <= v.t + INTERVAL 1 HOUR),
+          latematched AS (SELECT lv.event_id AS view_id, c.event_id AS click_id
+                          FROM vlate lv JOIN c ON c.user_id = lv.user_id
+                            AND c.t >= lv.t AND c.t <= lv.t + INTERVAL 1 HOUR
+                          JOIN w1 ON c.t >= w1.w),
+          latematched2 AS (SELECT v.event_id AS view_id, lc.event_id AS click_id
+                           FROM clate lc JOIN v ON v.user_id = lc.user_id
+                             AND lc.t >= v.t AND lc.t <= v.t + INTERVAL 1 HOUR
+                           JOIN w1 ON v.t + INTERVAL 1 HOUR >= w1.w),
+          allv AS (SELECT * FROM v UNION ALL SELECT * FROM vlate),
+          emitted AS (SELECT view_id FROM matched
+                      UNION ALL SELECT view_id FROM latematched
+                      UNION ALL SELECT view_id FROM latematched2),
+          unmatched AS (SELECT av.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id
+                        FROM allv av, wm
+                        WHERE NOT EXISTS (SELECT 1 FROM emitted m WHERE m.view_id = av.event_id)
+                          AND av.t + INTERVAL 1 HOUR < wm.w)
+          SELECT view_id, click_id FROM matched
+          UNION ALL SELECT view_id, click_id FROM latematched
+          UNION ALL SELECT view_id, click_id FROM latematched2
+          UNION ALL SELECT view_id, click_id FROM unmatched""",
 
     // Same lagged-late-filter model as q61, on row timestamps: batch-3
     // rows survive iff t > max(batch-1 ts) − 1h; dedup emits on arrival

@@ -127,6 +127,48 @@ object Streams {
       }
     }
 
+  /** The late-arrival staging plus a 4th SEAL file — for queries whose
+    * final output depends on end-of-stream state eviction (the outer
+    * join): `processAllAvailable` only guarantees DATA batches, so whether
+    * a trailing no-data batch runs the last eviction is a race (observed:
+    * sealed at sf0.01, unsealed at sf0.001). The seal file's single row is
+    * a `purchase` event copied from inside the batch-2 time range: it is
+    * filtered out of both join inputs (so results are untouched) and
+    * advances NO watermark (its ts ≤ max batch-2 ts) — but it forces a
+    * 4th data batch whose state cleanup runs at the final watermark, and
+    * because the watermark can never move past it, any further no-data
+    * batches evict nothing new. Final state is deterministic either way. */
+  def prepareSealedReplayFiles(spark: SparkSession, sfDir: String): String =
+    graft.util.Staging.ensure(graft.util.Staging.dirFor("late4", sfDir), s"$sfDir/events.parquet") { dir =>
+      import java.nio.file._
+      import java.nio.file.attribute.FileTime
+      val src = prepareLateArrivalFiles(spark, sfDir)
+      val base = Files.createDirectories(Paths.get(dir))
+      val mtime0 = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val dst = base.resolve(s"$i.parquet")
+        Files.copy(Paths.get(src, s"$i.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + i * 2000L))
+      }
+      val ev = graft.io.Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val t0 = ev.agg(date_trunc("DAY", min(col("ts"))).as("t0")).head().getTimestamp(0)
+      val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+      val t2 = new java.sql.Timestamp(t0.getTime + 14L * 86400 * 1000)
+      val seal = ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2) &&
+          !col("event_type").isin("view", "click"))
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+      val tmp = s"$dir/_tmpseal"
+      seal.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = base.resolve("4.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + 8000L))
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+
   /** Stream the staged late-arrival files one per micro-batch. */
   def lateArrivalStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
