@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.DedupPack,
     _root_.graft.queries.SimilarityPack,
     _root_.graft.queries.TextPack,
+    _root_.graft.queries.TrainPack,
     _root_.graft.queries.StreamPack,
     _root_.graft.queries.MultimodalPack,
     _root_.graft.queries.SinkPack,

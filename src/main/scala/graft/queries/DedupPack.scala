@@ -99,6 +99,37 @@ object DedupPack extends QueryPack {
       comps.groupBy("comp").agg(count(lit(1)).as("n_members"))
     },
 
+    // canonical-document selection: for every near-dup cluster keep the
+    // HIGHEST-QUALITY member (tie-break: lowest id) — the
+    // dedup-with-taste policy real corpus pipelines want instead of
+    // keep-first. Components come from the same LSH pair derivation as
+    // q85; quality is the shared q37 formula, joined per member and
+    // reduced by one per-cluster window (clusters are tiny, so the
+    // window partitions are too).
+    "q96_canonical_selection" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val corpus = augCorpus(s, d)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandTable(corpus, "doc_id", "text"), "doc_id")
+      val comps =
+        try Dedup.connectedComponents(pairs, "id_a", "id_b")
+        finally pairs.unpersist()
+      val w = TextOps.words(col("text"))
+      val quality = corpus.select(col("doc_id"),
+        TextOps.qualityScore(size(w), size(array_distinct(w)),
+          TextOps.profileHits(w, TextOps.DefaultStoplist)).as("quality"))
+      val members = comps.join(quality, comps("node") === quality("doc_id"))
+        .select(col("comp"), col("node"), col("quality"))
+      val win = Window.partitionBy("comp")
+        .orderBy(col("quality").desc, col("node").asc)
+      val canon = members.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("comp"), col("node").as("canonical_id"),
+          graft.util.Parity.r6(col("quality")).as("best_quality"))
+      canon.join(
+        members.groupBy("comp").agg(count(lit(1)).as("n_members")), "comp")
+    },
+
     // SimHash signatures over token hashes.
     "q32_simhash" -> { (s, d) =>
       val hs = transform(TextOps.words(col("text")), TextOps.hash32(_))
@@ -151,6 +182,36 @@ object DedupPack extends QueryPack {
           SELECT comp, COUNT(*) AS n_members FROM (
             SELECT node, MIN(root) AS comp FROM reach GROUP BY node)
           GROUP BY comp""",
+
+    "q96_canonical_selection" -> {
+      val stop = TextOps.DefaultStoplist.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE $augCorpusSql,
+          ${bandSqlCtes("aug")},
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bandtab a JOIN bandtab b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+          reach(node, root) AS (SELECT src, src FROM ed
+                                UNION
+                                SELECT e.dst, r.root FROM reach r JOIN ed e ON e.src = r.node),
+          comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+          q AS (SELECT doc_id,
+                  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + (CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                    + least((CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.3 AS quality
+                FROM (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+                        len(list_filter(w, t -> t IN ($stop))) AS stop_hits
+                      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug))),
+          m AS (SELECT c.comp, c.node, q.quality FROM comp c JOIN q ON q.doc_id = c.node),
+          r AS (SELECT comp, node, quality,
+                  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY quality DESC, node) AS rn
+                FROM m),
+          sz AS (SELECT comp, COUNT(*) AS n_members FROM m GROUP BY comp)
+          SELECT r.comp, r.node AS canonical_id, round(r.quality, 6) AS best_quality,
+                 sz.n_members
+          FROM r JOIN sz USING (comp) WHERE rn = 1"""
+    },
 
     "q32_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -25,7 +25,7 @@ object TextPack extends QueryPack {
     "fr" -> Seq("le", "la", "join", "sort"),
     "zh" -> Seq("spark", "stream", "batch"))
 
-  private val stoplist = Seq("the", "a", "data", "key", "join")
+  private val stoplist = TextOps.DefaultStoplist
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace + BPE-ish subword regex) + diversity.

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.text.TextOps
+import graft.util.Parity
+
+/** Training-data pipeline surface, wave 2: context-window chunking, PII
+  * redaction, benchmark decontamination, within-document repetition
+  * filters, reshape/melt, deterministic temperature-mixture sampling, and
+  * concat-and-split sequence packing. Everything here is the Spark-shaped
+  * version of the op a 100 TB corpus needs:
+  *
+  *  - chunking / repetition / redaction are row-local projection
+  *    expressions (scan speed, no shuffle);
+  *  - decontamination is a semi-join on hashed shingles with the
+  *    benchmark side broadcast (never an all-pairs text comparison);
+  *  - mixture sampling is a pure hash-threshold filter — no per-group
+  *    window, no second pass, rates derived from a ~|sources|-row
+  *    aggregate that broadcasts;
+  *  - packing is one partitioned window cumsum — bins never materialize.
+  *
+  * All hashing/sampling is md5/keyHash-derived so the DuckDB oracle
+  * replays every decision bit-for-bit ([[TextOps.hash32]],
+  * [[Parity.keyHash]]).
+  */
+object TrainPack extends QueryPack {
+
+  /** Context-window size / stride (tokens) for q93. */
+  private val ChunkLen = 40
+  private val ChunkStride = 30
+
+  /** Token budget per packed sequence for q100. */
+  private val PackBudget = 256L
+
+  /** PII patterns — constructs that behave identically under Java regex
+    * (Spark) and RE2 (DuckDB): classes, alternation-free, bounded reps. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val NumRe = "[0-9]{9,}"
+
+  /** Deterministically plant PII into the corpus text (the synthetic
+    * corpus has none): one email per doc, a second for every 4th doc, and
+    * a 10-digit account-number tail. Both engines build the same string. */
+  private def piiText: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"), lit("@ex-host.org"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" cc u"), col("doc_id").cast("string"), lit("b@alt-mail.net")))
+        .otherwise(lit("")),
+      lit(" ref 9"), lpad(col("doc_id").cast("string"), 9, "0"))
+
+  private val piiTextSql =
+    """text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-host.org' ||
+       CASE WHEN doc_id % 4 = 0
+            THEN ' cc u' || CAST(doc_id AS VARCHAR) || 'b@alt-mail.net'
+            ELSE '' END ||
+       ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q93: context-window chunking -------------------------------
+    // Split every document into ChunkLen-token windows advancing by
+    // ChunkStride (trailing windows may be short). Pure per-row
+    // sequence+posexplode — a projection, not a shuffle; at 100 TB this
+    // runs at scan speed and output partitioning inherits the input's.
+    "q93_doc_chunking" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(1), size(col("w")), lit(ChunkStride)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(ChunkLen), size(col("w")) - col("start") + 1)
+            .cast("long").as("n_chunk_tokens"),
+          TextOps.hash32(array_join(slice(col("w"), col("start"), lit(ChunkLen)), " "))
+            .as("chunk_hash"))
+    },
+
+    // ---- q94: PII redaction -----------------------------------------
+    // Regex scrub (emails, long digit runs) with per-doc match counts and
+    // a hash of the redacted text. Row-local regexp_replace — scan speed.
+    "q94_pii_redaction" -> { (s, d) =>
+      val red1 = regexp_replace(col("pii"), EmailRe, "<EMAIL>")
+      Tables.documents(s, d)
+        .select(col("doc_id"), piiText.as("pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(red1, lit(NumRe), lit(0)))
+            .cast("long").as("n_long_nums"),
+          md5(regexp_replace(red1, NumRe, "<NUM>")).as("redacted_hash"))
+    },
+
+    // ---- q95: benchmark decontamination -----------------------------
+    // Flag training documents sharing any 5-gram with a held-out
+    // benchmark set (doc_id % 17 == 0). Grams are hashed to longs so the
+    // join key is fixed-width; the benchmark gram set is DISTINCT'd and
+    // broadcast — the 100 TB side is touched once, map-side only.
+    "q95_decontamination" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+      val grams = base.select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          transform(TextOps.wordNgrams(col("w"), 5), TextOps.hash32(_)))).as("g"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select("g").distinct()
+      val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_shared"))
+      val totals = base.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .groupBy("source").agg(count(lit(1)).as("n_train"))
+      totals.join(
+          flagged.groupBy("source").agg(
+            count(lit(1)).as("n_contaminated"), sum("n_shared").as("shared_grams")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+    },
+
+    // ---- q97: within-document repetition filter ---------------------
+    // Gopher-style repetition signals: duplicate-bigram fraction (row
+    // local) and top-token frequency share (one keyed agg). keep is
+    // derived from the ROUNDED signals so the cut is engine-portable.
+    "q97_repetition_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      val bi = TextOps.wordNgrams(col("w"), 2)
+      val rowStats = docs.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        Parity.r6(when(size(bi) > 0,
+            lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi).cast("double"))
+          .otherwise(lit(0.0))).as("dup_bigram_frac"))
+      val topTok = docs.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
+        .select(col("doc_id"),
+          Parity.r6(col("top").cast("double") / col("n").cast("double")).as("top_token_frac"))
+      rowStats.join(topTok, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"), col("top_token_frac"),
+          (col("dup_bigram_frac") <= 0.2 && col("top_token_frac") <= 0.2)
+            .cast("int").as("keep"))
+    },
+
+    // ---- q98: unpivot / melt ----------------------------------------
+    // Wide→long reshape via the native unpivot operator (no UNION ALL
+    // rescan of the input — one pass, generates |values| rows per input
+    // row).
+    "q98_unpivot_melt" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+    },
+
+    // ---- q99: temperature-mixture sampling --------------------------
+    // Deterministic source-mixture resampling at temperature α = 0.5
+    // (multilingual-LM style): target_s ∝ sqrt(n_s), keep-rate
+    // min(1, target_s / n_s), membership by hash threshold — a pure
+    // filter on the corpus scan. The per-source weight sum runs through
+    // an exact DECIMAL accumulator so the rate (and therefore every
+    // keep decision) is independent of double-summation order — the
+    // oracle replays it bit-for-bit.
+    "q99_mixture_sampling" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .withColumn("w", round(sqrt(col("n_total").cast("double")), 6))
+      val tots = counts.agg(
+        sum(col("n_total")).as("n_all"),
+        sum(col("w").cast("decimal(28,6)")).as("tot_dec"))
+      val rates = counts.crossJoin(broadcast(tots))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.6) * col("n_all").cast("double") * col("w")
+            / col("tot_dec").cast("double") / col("n_total").cast("double")))
+        .withColumn("thr", floor(col("rate") * 1000000).cast("long"))
+      val kept = docs.join(broadcast(rates.select("source", "thr")), "source")
+        .filter(pmod(Parity.keyHash(col("doc_id")), lit(1000000L)) < col("thr"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rates.select("source", "n_total", "thr").join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("thr"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
+    // ---- q100: sequence packing (concat-and-split) ------------------
+    // Pack documents into PackBudget-token training sequences by
+    // cumulative token count in deterministic hash order, per source: a
+    // doc's bin is where its first token lands. One window cumsum per
+    // source partition — no greedy driver loop, no bin materialization.
+    "q100_sequence_packing" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+      val win = Window.partitionBy("source")
+        .orderBy(Parity.keyHash(col("doc_id")).asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum("n_tok").over(win))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")).cast("double") / lit(PackBudget.toDouble))
+            .cast("long"))
+        .groupBy("source")
+        .agg(countDistinct("bin").as("n_bins"), count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"))
+        .select(col("source"), col("n_bins"), col("n_docs"), col("total_tokens"),
+          Parity.r6(col("total_tokens").cast("double") / col("n_bins").cast("double"))
+            .as("avg_bin_tokens"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q93_doc_chunking" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start FROM ws),
+          ch AS (SELECT doc_id,
+                   CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+                   CAST(least($ChunkLen, len(w) - start + 1) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(list_slice(w, start, start + ${ChunkLen - 1}), ' ') AS chunk
+                 FROM st)
+          SELECT doc_id, chunk_idx, n_chunk_tokens,
+                 ${TextOps.hash32Sql("chunk")} AS chunk_hash
+          FROM ch""",
+
+    "q94_pii_redaction" ->
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS pii FROM documents),
+          r1 AS (SELECT doc_id, pii,
+                   regexp_replace(pii, '$EmailRe', '<EMAIL>', 'g') AS red1
+                 FROM p)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pii, '$EmailRe')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(red1, '$NumRe')) AS BIGINT) AS n_long_nums,
+                 md5(regexp_replace(red1, '$NumRe', '<NUM>', 'g')) AS redacted_hash
+          FROM r1""",
+
+    "q95_decontamination" -> {
+      val ngrams = TextOps.wordNgramsSql("w", 5)
+      s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+          gr AS (SELECT doc_id, source, unnest(list_distinct($ngrams)) AS s FROM ws),
+          gh AS (SELECT doc_id, source, ${TextOps.hash32Sql("s")} AS g FROM gr),
+          bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 17 = 0),
+          fl AS (SELECT doc_id, source, COUNT(*) AS n_shared
+                 FROM gh JOIN bench USING (g) WHERE doc_id % 17 <> 0
+                 GROUP BY doc_id, source),
+          tot AS (SELECT source, COUNT(*) AS n_train FROM ws
+                  WHERE doc_id % 17 <> 0 GROUP BY source),
+          agg AS (SELECT source, COUNT(*) AS n_contaminated,
+                    SUM(n_shared) AS shared_grams
+                  FROM fl GROUP BY source)
+          SELECT t.source, t.n_train,
+                 CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                 CAST(COALESCE(a.shared_grams, 0) AS BIGINT) AS shared_grams
+          FROM tot t LEFT JOIN agg a ON a.source = t.source"""
+    },
+
+    "q97_repetition_filter" -> {
+      val bigrams = TextOps.wordNgramsSql("w", 2)
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          bi AS (SELECT doc_id, w, $bigrams AS b FROM ws),
+          rowstats AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                         round(CASE WHEN len(b) > 0
+                           THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / CAST(len(b) AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_bigram_frac
+                       FROM bi),
+          tk AS (SELECT doc_id, unnest(w) AS t FROM ws),
+          tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY doc_id, t),
+          tt AS (SELECT doc_id,
+                   round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
+                 FROM tc GROUP BY doc_id)
+          SELECT doc_id, n_tokens, dup_bigram_frac, top_token_frac,
+                 CAST(CASE WHEN dup_bigram_frac <= 0.2 AND top_token_frac <= 0.2
+                      THEN 1 ELSE 0 END AS INT) AS keep
+          FROM rowstats JOIN tt USING (doc_id)"""
+    },
+
+    "q98_unpivot_melt" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""",
+
+    "q99_mixture_sampling" ->
+      s"""WITH counts AS (SELECT source, COUNT(*) AS n_total,
+                   round(sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS w
+                 FROM documents GROUP BY source),
+          tots AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n_all,
+                     SUM(CAST(w AS DECIMAL(28,6))) AS tot_dec
+                   FROM counts),
+          rates AS (SELECT source, n_total,
+                      CAST(floor(least(1.0,
+                        0.6 * CAST(n_all AS DOUBLE) * w
+                          / CAST(tot_dec AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS thr
+                    FROM counts, tots),
+          kept AS (SELECT d.source, COUNT(*) AS n_kept
+                   FROM documents d JOIN rates r ON r.source = d.source
+                   WHERE ${graft.util.Parity.keyHashSql("d.doc_id")} % 1000000 < r.thr
+                   GROUP BY d.source)
+          SELECT r.source, r.n_total, r.thr,
+                 CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+          FROM rates r LEFT JOIN kept k ON k.source = r.source""",
+
+    "q100_sequence_packing" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+          cums AS (SELECT source, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY source
+                       ORDER BY ${graft.util.Parity.keyHashSql("doc_id")}, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM docs),
+          binned AS (SELECT source, n_tok,
+                       CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget.0) AS BIGINT) AS bin
+                     FROM cums)
+          SELECT source, CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+                 COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                 round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(DISTINCT bin) AS DOUBLE), 6) AS avg_bin_tokens
+          FROM binned GROUP BY source"""
+  )
+}

@@ -51,6 +51,11 @@ object TextOps {
   def profileHits(w: Column, profile: Seq[String]): Column =
     size(filter(w, t => t.isin(profile.map(lit(_)): _*)))
 
+  /** Shared stopword list for the quality-score signal (TextPack q37 and
+    * the dedup canonical-selection query both score with it, so the two
+    * oracles replay the same formula). */
+  val DefaultStoplist: Seq[String] = Seq("the", "a", "data", "key", "join")
+
   /** Heuristic quality score in [0,1]: length saturation, lexical diversity
     * and stopword presence (the shape of reference-free quality filters in
     * public LLM-data pipelines). Pure row-level double math. */
