@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * (staged deterministically per corpus by [[prepareImageFiles]], so the
   * oracle can replay geometry and channel statistics from `doc_id` alone).
   *
-  * ==== STUB (audio/video only) ====
-  * Audio/video codecs are NOT in this container, so [[StubDecoder]] remains
-  * the clearly-marked deterministic fake for the multi-frame (video) shape:
-  * it derives "decoded" dimensions from an md5 of the bytes. Swap in a real
-  * codec by implementing [[MediaDecoder]] — nothing else changes (that
-  * boundary is exactly how [[ImageIODecoder]] slotted in).
+  * The VIDEO path is real too: [[syntheticVideo]] stages a length-prefixed
+  * PNG container ("GVID") and [[sampleVideoFrames]] parses it, seeks via
+  * the length fields, and ImageIO-decodes ONLY the sampled frames. So is
+  * AUDIO: [[syntheticWav]] stages PCM WAVs and [[decodeAudio]] parses them
+  * with `javax.sound.sampled`, reading every 16-bit sample.
+  *
+  * [[StubDecoder]] survives purely as the [[MediaDecoder]] trait fixture
+  * (q69 exercises the 1→N explode through it): a deterministic fake that
+  * derives "decoded" dimensions from an md5 of the bytes. Every shipped
+  * media format (PNG image, GVID video, WAV audio) decodes for real.
   */
 object Multimodal {
 
@@ -177,6 +181,194 @@ object Multimodal {
       }
       ResizedImage(item.id, w.toLong, h.toLong, tw.toLong, th.toLong,
         sumR.toDouble / (tw.toLong * th))
+    })
+  }
+
+  // ---------------------------------------------------------------------
+  // Real video path: length-prefixed PNG container ("GVID"), JDK-only
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic "video" for `docId`: magic `GVID` + 4-byte
+    * big-endian frame count, then per frame a 4-byte length + a real PNG.
+    * Frames share the doc's geometry `(16 + id mod 13) × (16 + id mod 11)`
+    * and carry a CONSTANT red channel `(7·id + 31·frame) mod 256` — the
+    * per-frame content statistic the oracle replays from (id, frame)
+    * alone, same hook as [[syntheticPng]]. */
+  def syntheticVideo(docId: Long): Array[Byte] = {
+    val nf = (2 + docId % 7).toInt
+    val w = (16 + docId % 13).toInt
+    val h = (16 + docId % 11).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(nf)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+      val r = ((docId * 7 + 31L * f) % 256).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { data(y * w + x) = (r << 16) | ((x % 256) << 8) | (y % 256); x += 1 }
+        y += 1
+      }
+      val frame = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frame)
+      val bytes = frame.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Stage a `(doc_id, media)` parquet table of GVID containers — one per
+    * document (idempotent, marker-guarded, encode parallelized). */
+  def prepareVideoFiles(spark: SparkSession, sfDir: String): String =
+    graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("gvid", sfDir), s"$sfDir/documents.parquet") { dir =>
+      import spark.implicits._
+      graft.relational.Scale.fanOut(
+          graft.io.Tables.documents(spark, sfDir).select(col("doc_id").cast("long")))
+        .as[Long]
+        .mapPartitions(it => it.map(id => (id, syntheticVideo(id))))
+        .toDF("doc_id", "media")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** The staged video corpus as a typed media dataset. */
+  def videoTable(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.read.parquet(prepareVideoFiles(spark, sfDir))
+      .select(col("doc_id").as("id"), col("media")).as[MediaItem]
+  }
+
+  case class SampledFrame(id: Long, n_frames: Long, frame_idx: Long,
+                          width: Long, height: Long, mean_r: Double)
+
+  /** REAL frame sampling over the GVID container: parse the header, then
+    * SEEK frame-by-frame via the length prefixes and ImageIO-decode ONLY
+    * the sampled frames (stride = ceil(n/maxFrames)) — the property that
+    * matters when a "video" blob holds thousands of frames and the
+    * pipeline wants 4: skipped frames cost a length-field read, not a
+    * decode. 1→N in-partition flatMap; no shuffle. */
+  def sampleVideoFrames(media: Dataset[MediaItem], maxFrames: Int): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.flatMap { item =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(item.media))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GVID", s"bad container for id ${item.id}")
+      val nf = in.readInt()
+      val stride = math.ceil(nf.toDouble / maxFrames).toInt
+      var idx = 0
+      val out = Seq.newBuilder[SampledFrame]
+      while (idx < nf) {
+        val len = in.readInt()
+        if (idx % stride == 0) {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable frame $idx for id ${item.id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sumR = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) { sumR += (row(x) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          out += SampledFrame(item.id, nf.toLong, idx.toLong, w.toLong, h.toLong,
+            sumR.toDouble / (w.toLong * h))
+        } else {
+          in.skipBytes(len) // container-level seek: no decode for skipped frames
+        }
+        idx += 1
+      }
+      out.result()
+    })
+  }
+
+  // ---------------------------------------------------------------------
+  // Real audio path: PCM WAV via javax.sound.sampled, JDK-only
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic WAV for `docId`: 16-bit signed PCM, mono,
+    * 8 kHz, `500 + id mod 257` samples with
+    * `sample[i] = ((31·id + 7·i) mod 2003) − 1001` — integer math plain
+    * SQL can average exactly, so the oracle verifies real sample decode
+    * (not just header parsing) from `doc_id` alone. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (500 + docId % 257).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 31 + 7L * i) % 2003) - 1001).toShort
+      pcm(2 * i) = (s & 0xFF).toByte         // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Stage a `(doc_id, media)` parquet table of synthetic WAVs
+    * (idempotent, marker-guarded, encode parallelized). */
+  def prepareAudioFiles(spark: SparkSession, sfDir: String): String =
+    graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("wav", sfDir), s"$sfDir/documents.parquet") { dir =>
+      import spark.implicits._
+      graft.relational.Scale.fanOut(
+          graft.io.Tables.documents(spark, sfDir).select(col("doc_id").cast("long")))
+        .as[Long]
+        .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+        .toDF("doc_id", "media")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** The staged audio corpus as a typed media dataset. */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.read.parquet(prepareAudioFiles(spark, sfDir))
+      .select(col("doc_id").as("id"), col("media")).as[MediaItem]
+  }
+
+  case class AudioMeta(id: Long, sample_rate: Long, channels: Long,
+                       bits: Long, n_samples: Long, mean_amp: Double)
+
+  /** REAL audio decode via `javax.sound.sampled`: container/format fields
+    * from the parsed WAV header, then every PCM sample read and averaged —
+    * the content statistic the oracle replays arithmetically. One decoder
+    * pass per partition, no shuffle. */
+  def decodeAudio(media: Dataset[MediaItem]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { item =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(item.media))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected PCM layout for id ${item.id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          sum += ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        AudioMeta(item.id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+          fmt.getSampleSizeInBits.toLong, n.toLong, sum.toDouble / n)
+      } finally ais.close()
     })
   }
 

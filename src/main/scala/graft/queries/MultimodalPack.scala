@@ -25,6 +25,8 @@ object MultimodalPack extends QueryPack {
 
   override def stage(spark: SparkSession, sfDir: String): Unit = {
     Multimodal.prepareImageFiles(spark, sfDir)
+    Multimodal.prepareVideoFiles(spark, sfDir)
+    Multimodal.prepareAudioFiles(spark, sfDir)
     ()
   }
 
@@ -56,6 +58,28 @@ object MultimodalPack extends QueryPack {
     "q69_frame_sample" -> { (s, d) =>
       val media = Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")
       Multimodal.sampleFrames(Multimodal.decodeAll(media, Multimodal.StubDecoder), 4)
+        .toDF().withColumnRenamed("id", "doc_id")
+    },
+
+    // REAL video frame sampling: parse the staged GVID container (magic +
+    // frame count + length-prefixed PNG frames), seek via the length
+    // fields, and ImageIO-decode ONLY the sampled frames — skipped frames
+    // cost a length-field read, not a decode. Geometry and per-frame
+    // mean(R) are replayed by the oracle from the staging formulas; a
+    // sampler that decoded the wrong frames (or faked the pixels)
+    // hash-mismatches on mean_r.
+    "q102_video_frames" -> { (s, d) =>
+      Multimodal.sampleVideoFrames(Multimodal.videoTable(s, d), 4)
+        .toDF().withColumnRenamed("id", "doc_id")
+    },
+
+    // REAL audio decode: javax.sound.sampled parses the staged WAV
+    // container (format fields from the header) and every 16-bit PCM
+    // sample is read and averaged — the oracle replays the sample math
+    // arithmetically, so header-only parsing (or wrong endianness/sign)
+    // hash-mismatches on mean_amp.
+    "q103_audio_decode" -> { (s, d) =>
+      Multimodal.decodeAudio(Multimodal.audioTable(s, d))
         .toDF().withColumnRenamed("id", "doc_id")
     }
   )
@@ -101,6 +125,35 @@ object MultimodalPack extends QueryPack {
                  FROM dec)
           SELECT doc_id, i AS frame_idx, md5(doc_id || ':' || i) AS frame_key
           FROM st CROSS JOIN range(0, 16) t(i)
-          WHERE i < n_frames AND i % stride = 0"""
+          WHERE i < n_frames AND i % stride = 0""",
+
+    // GVID staging replay: nf = 2 + id%7, geometry (16 + id%13) ×
+    // (16 + id%11), sampled frames are multiples of stride = ceil(nf/4),
+    // constant red channel (7·id + 31·frame) mod 256.
+    "q102_video_frames" ->
+      """WITH v AS (SELECT doc_id, 2 + doc_id % 7 AS nf FROM documents),
+          st AS (SELECT doc_id, nf, CAST(CEIL(nf / 4.0) AS BIGINT) AS stride FROM v),
+          fr AS (SELECT doc_id, nf, i AS frame_idx
+                 FROM st CROSS JOIN range(0, 9) t(i)
+                 WHERE i < nf AND i % stride = 0)
+          SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+                 CAST(frame_idx AS BIGINT) AS frame_idx,
+                 CAST(16 + doc_id % 13 AS BIGINT) AS width,
+                 CAST(16 + doc_id % 11 AS BIGINT) AS height,
+                 CAST((doc_id * 7 + 31 * frame_idx) % 256 AS DOUBLE) AS mean_r
+          FROM fr""",
+
+    // WAV staging replay: n = 500 + id%257 samples of
+    // ((31·id + 7·i) mod 2003) − 1001; integer sum is exact in both
+    // engines, division orders mirrored.
+    "q103_audio_decode" ->
+      """WITH v AS (SELECT doc_id, 500 + doc_id % 257 AS n FROM documents),
+          s AS (SELECT doc_id, n, ((doc_id * 31 + 7 * i) % 2003) - 1001 AS samp
+                FROM v CROSS JOIN range(0, 757) t(i) WHERE i < n)
+          SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+                 CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+                 CAST(n AS BIGINT) AS n_samples,
+                 CAST(SUM(samp) AS DOUBLE) / n AS mean_amp
+          FROM s GROUP BY doc_id, n"""
   )
 }

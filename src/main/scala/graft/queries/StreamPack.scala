@@ -61,6 +61,16 @@ object StreamPack extends QueryPack {
         "stateful", "update")
     },
 
+    // arbitrary stateful processing on the Spark 4 transformWithState
+    // API: per-user MapState[type → count] (entry-granular RocksDB
+    // state), emitting running totals + lexicographic-tie-broken top
+    // type. The q57 semantics on the modern StatefulProcessor surface.
+    "q101_transform_with_state" -> { (s, d) =>
+      Streams.drainToTable(
+        Streams.userActivityTws(Streams.eventsStream(s, d)),
+        "tws", "update")
+    },
+
     // withWatermark + append mode: three ordered micro-batches where the
     // third is entirely late data — the watermark (1h, advanced ≥7d past
     // every batch-1 window by batch 2) must drop all of it, and only
@@ -195,6 +205,21 @@ object StreamPack extends QueryPack {
       """SELECT user_id, COUNT(*) AS n_events,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
          FROM events GROUP BY user_id""",
+
+    "q101_transform_with_state" ->
+      """WITH t AS (SELECT user_id, event_type, COUNT(*) AS c
+                    FROM events GROUP BY user_id, event_type),
+          agg AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                    CAST(COUNT(*) AS BIGINT) AS n_types
+                  FROM t GROUP BY user_id),
+          top AS (SELECT user_id, event_type AS top_type FROM
+                    (SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY c DESC, event_type) AS rn
+                     FROM t)
+                  WHERE rn = 1)
+          SELECT a.user_id, a.n_events, a.n_types, p.top_type
+          FROM agg a JOIN top p ON p.user_id = a.user_id""",
 
     // Batch replay of the watermark run. Observed Spark 4 semantics (and
     // what this oracle asserts): the late-row filter of batch N runs with

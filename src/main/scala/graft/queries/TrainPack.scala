@@ -124,24 +124,32 @@ object TrainPack extends QueryPack {
     },
 
     // ---- q97: within-document repetition filter ---------------------
-    // Gopher-style repetition signals: duplicate-bigram fraction (row
-    // local) and top-token frequency share (one keyed agg). keep is
-    // derived from the ROUNDED signals so the cut is engine-portable.
+    // Gopher-style repetition signals: duplicate-bigram fraction and
+    // top-token frequency share — BOTH row-local expressions, so the
+    // whole filter is a shuffle-free projection at scan speed. The
+    // top-token count is O(|distinct| · |tokens|) per row, the right
+    // trade for bounded-length documents: the explode → groupBy(doc,
+    // token) alternative shuffles one row per TOKEN with mostly-unique
+    // keys, and the TrainScaleBench sweep measured it at 61 s for 1.6M
+    // docs vs ~6 s for this form. (Pathologically long documents would
+    // flip the trade — then chunk first, or restore the keyed agg.)
+    // keep derives from the ROUNDED signals so the cut is portable.
     "q97_repetition_filter" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val w = col("w")
+      // HOF expressions are interpreted (no codegen, no CSE) — build each
+      // array ONCE in its own projection (the Dedup.bandTable lesson) so
+      // the bigram list isn't re-materialized per consumer.
+      val topCnt = array_max(transform(col("dw"), t => size(filter(w, x => x === t))))
+      Tables.documents(s, d)
         .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-      val bi = TextOps.wordNgrams(col("w"), 2)
-      val rowStats = docs.select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        Parity.r6(when(size(bi) > 0,
-            lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi).cast("double"))
-          .otherwise(lit(0.0))).as("dup_bigram_frac"))
-      val topTok = docs.select(col("doc_id"), explode(col("w")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
+        .select(col("doc_id"), w, array_distinct(w).as("dw"),
+          TextOps.wordNgrams(w, 2).as("b"))
         .select(col("doc_id"),
-          Parity.r6(col("top").cast("double") / col("n").cast("double")).as("top_token_frac"))
-      rowStats.join(topTok, "doc_id")
+          size(w).cast("long").as("n_tokens"),
+          Parity.r6(when(size(col("b")) > 0,
+              lit(1.0) - size(array_distinct(col("b"))).cast("double") / size(col("b")).cast("double"))
+            .otherwise(lit(0.0))).as("dup_bigram_frac"),
+          Parity.r6(topCnt.cast("double") / size(w).cast("double")).as("top_token_frac"))
         .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"), col("top_token_frac"),
           (col("dup_bigram_frac") <= 0.2 && col("top_token_frac") <= 0.2)
             .cast("int").as("keep"))
@@ -258,21 +266,20 @@ object TrainPack extends QueryPack {
     "q97_repetition_filter" -> {
       val bigrams = TextOps.wordNgramsSql("w", 2)
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          bi AS (SELECT doc_id, w, $bigrams AS b FROM ws),
-          rowstats AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-                         round(CASE WHEN len(b) > 0
-                           THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / CAST(len(b) AS DOUBLE)
-                           ELSE 0.0 END, 6) AS dup_bigram_frac
-                       FROM bi),
-          tk AS (SELECT doc_id, unnest(w) AS t FROM ws),
-          tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY doc_id, t),
-          tt AS (SELECT doc_id,
-                   round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
-                 FROM tc GROUP BY doc_id)
+          st AS (SELECT doc_id, w, $bigrams AS b,
+                   list_max(list_transform(list_distinct(w),
+                     t -> len(list_filter(w, x -> x = t)))) AS topc
+                 FROM ws),
+          sig AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                    round(CASE WHEN len(b) > 0
+                      THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / CAST(len(b) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+                    round(CAST(topc AS DOUBLE) / CAST(len(w) AS DOUBLE), 6) AS top_token_frac
+                  FROM st)
           SELECT doc_id, n_tokens, dup_bigram_frac, top_token_frac,
                  CAST(CASE WHEN dup_bigram_frac <= 0.2 AND top_token_frac <= 0.2
                       THEN 1 ELSE 0 END AS INT) AS keep
-          FROM rowstats JOIN tt USING (doc_id)"""
+          FROM sig"""
     },
 
     "q98_unpivot_melt" ->

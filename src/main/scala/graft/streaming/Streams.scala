@@ -242,6 +242,52 @@ object Streams {
       col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"), joinType)
   }
 
+  /** Per-user event-type counter on the Spark 4 arbitrary-state API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]]): a typed
+    * `MapState[event_type → count]` on the RocksDB store — unlike the
+    * `GroupState` blob of map/flatMapGroupsWithState, each map ENTRY is
+    * an individual store key, so per-batch writes touch only the types
+    * seen in that batch instead of rewriting one serialized state value
+    * per user (the property that matters when keys hold large state at
+    * cluster scale). Emits the running (n_events, n_types, top_type)
+    * per user per batch; top_type ties break lexicographically so the
+    * output is engine-portable. */
+  class UserTypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long, Long, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, String)] = {
+      rows.foreach { case (_, t) =>
+        counts.updateValue(t, (if (counts.containsKey(t)) counts.getValue(t) else 0L) + 1L)
+      }
+      val entries = counts.iterator().toSeq
+      val n = entries.map(_._2).sum
+      val top = entries.minBy { case (t, c) => (-c, t) }._1
+      Iterator.single((user, n, entries.size.toLong, top))
+    }
+  }
+
+  /** [[UserTypeCountsProcessor]] wired through `transformWithState` —
+    * the q57/q74 semantics on the modern state API. Update mode, no
+    * event-time dependence (`TimeMode.None`). */
+  def userActivityTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id").cast("long"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeCountsProcessor(), TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "n_types", "top_type")
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's

@@ -16,6 +16,43 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("GVID frame sampling decodes exactly the strided frames with true pixel stats") {
+    import graft.multimodal.Multimodal
+    // id 10: nf = 2 + 10%7 = 5, stride = ceil(5/4) = 2 → frames 0, 2, 4
+    val ds = spark.createDataset(Seq(Multimodal.MediaItem(10L, Multimodal.syntheticVideo(10L))))
+    val rows = Multimodal.sampleVideoFrames(ds, 4).collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    rows.foreach { f =>
+      assert(f.n_frames == 5 && f.width == 16 + 10 % 13 && f.height == 16 + 10 % 11)
+      // constant red channel survives PNG round-trip exactly
+      assert(f.mean_r == ((10 * 7 + 31 * f.frame_idx) % 256).toDouble, f)
+    }
+  }
+
+  test("WAV round-trip: every PCM sample survives encode → AudioSystem decode") {
+    import graft.multimodal.Multimodal
+    // id 42: n = 500 + 42%257 = 542 samples; mean replayed from the formula
+    val ds = spark.createDataset(Seq(Multimodal.MediaItem(42L, Multimodal.syntheticWav(42L))))
+    val m = Multimodal.decodeAudio(ds).head()
+    assert(m.sample_rate == 8000 && m.channels == 1 && m.bits == 16 && m.n_samples == 542)
+    val expect = (0 until 542).map(i => ((42L * 31 + 7L * i) % 2003) - 1001).sum.toDouble / 542
+    assert(m.mean_amp == expect)
+  }
+
+  test("transformWithState agrees with mapGroupsWithState on the shared aggregates") {
+    // two independent state APIs (GroupState blob vs MapState entries)
+    // over the same replay must produce identical per-user totals
+    val d = sf("sf0.001")
+    val tws = Streams.drainToTable(
+      Streams.userActivityTws(Streams.eventsStream(spark, d)), "tws_spec", "update")
+      .select("user_id", "n_events", "n_types")
+    val mgws = Streams.drainToTable(
+      Streams.statefulUserActivity(Streams.eventsStream(spark, d)), "mgws_spec", "update")
+      .select("user_id", "n_events", "n_types")
+    assert(tws.count() == mgws.count())
+    assert(tws.exceptAll(mgws).count() == 0 && mgws.exceptAll(tws).count() == 0)
+  }
+
   test("streaming dedup emits each (user, event_type) pair once") {
     val d = sf("sf0.001")
     val deduped = Streams.drainToTable(
