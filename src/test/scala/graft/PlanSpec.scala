@@ -54,6 +54,34 @@ class PlanSpec extends SparkSpec {
       s"top-k should not global-sort:\n${p.take(600)}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At cluster scale a selective dim filter should reach the fact scan as
+    // an injected bloom filter (Catalyst's InjectRuntimeFilter) — rows that
+    // can't join are dropped BEFORE the shuffle. The thresholds are sized
+    // for real data (fact side ≥ 10 GB by default), so pin them down to
+    // make the optimization observable on the test corpus; the assertion is
+    // about the PLAN SHAPE the engine gets for free at 100 TB.
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join shape
+      val d = sf("sf0.01")
+      val orders = graft.io.Tables.orders(spark, d).filter(col("o_totalprice") > 400000.0)
+      val li = graft.io.Tables.lineitem(spark, d)
+      val j = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .agg(sum("l_quantity").as("q"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom filter on the fact side:\n${optimized.take(1200)}")
+      j.collect() // and the filtered plan still executes
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q09 projection prunes the parquet read schema to selected columns") {
     val p = plan("q09_part_features")
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
