@@ -372,6 +372,37 @@ object Multimodal {
     })
   }
 
+  case class AudioWindow(id: Long, win_idx: Long, n_in_win: Long, rms: Double)
+
+  /** Windowed feature extraction over decoded PCM: RMS energy per
+    * `win`-sample window (trailing window may be short) — the audio analog
+    * of frame sampling: 1→N rows per blob, decode + math in one
+    * mapPartitions pass, no shuffle. RMS = sqrt(mean(sample²)) with the
+    * integer square-sum exact, so the oracle replays it bit-for-bit. */
+  def audioEnergy(media: Dataset[MediaItem], win: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.flatMap { item =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(item.media))
+      try {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        (0 until n by win).map { start =>
+          val end = math.min(start + win, n)
+          var sumSq = 0L
+          var i = start
+          while (i < end) {
+            val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            sumSq += s * s
+            i += 1
+          }
+          AudioWindow(item.id, (start / win).toLong, (end - start).toLong,
+            math.sqrt(sumSq.toDouble / (end - start)))
+        }
+      } finally ais.close()
+    })
+  }
+
   /** Batch decode over partitions (mapInPandas-shaped: iterator in,
     * iterator out, one decoder per partition). */
   def decodeAll(media: Dataset[MediaItem], decoder: MediaDecoder): Dataset[DecodedMeta] = {

@@ -81,6 +81,15 @@ object MultimodalPack extends QueryPack {
     "q103_audio_decode" -> { (s, d) =>
       Multimodal.decodeAudio(Multimodal.audioTable(s, d))
         .toDF().withColumnRenamed("id", "doc_id")
+    },
+
+    // windowed audio feature extraction: RMS energy per 100-sample PCM
+    // window (1→N in-partition, decode + math in one pass). The integer
+    // square-sum is exact, so the oracle replays sqrt(mean(samp²))
+    // bit-for-bit from the staging formula.
+    "q104_audio_energy" -> { (s, d) =>
+      Multimodal.audioEnergy(Multimodal.audioTable(s, d), 100)
+        .toDF().withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -154,6 +163,16 @@ object MultimodalPack extends QueryPack {
                  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
                  CAST(n AS BIGINT) AS n_samples,
                  CAST(SUM(samp) AS DOUBLE) / n AS mean_amp
-          FROM s GROUP BY doc_id, n"""
+          FROM s GROUP BY doc_id, n""",
+
+    "q104_audio_energy" ->
+      """WITH v AS (SELECT doc_id, 500 + doc_id % 257 AS n FROM documents),
+          s AS (SELECT doc_id, i // 100 AS win_idx,
+                  ((doc_id * 31 + 7 * i) % 2003) - 1001 AS samp
+                FROM v CROSS JOIN range(0, 757) t(i) WHERE i < n)
+          SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+                 CAST(COUNT(*) AS BIGINT) AS n_in_win,
+                 sqrt(CAST(SUM(samp * samp) AS DOUBLE) / COUNT(*)) AS rms
+          FROM s GROUP BY doc_id, win_idx"""
   )
 }

@@ -60,6 +60,22 @@ object TrainPack extends QueryPack {
             ELSE '' END ||
        ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"""
 
+  /** q93's chunking pipeline over any `(doc_id, text)` frame — factored
+    * out so specs can drive edge-case token counts through the exact
+    * production expressions. */
+  private[graft] def chunkFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(1), size(col("w")), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(ChunkLen), size(col("w")) - col("start") + 1)
+          .cast("long").as("n_chunk_tokens"),
+        TextOps.hash32(array_join(slice(col("w"), col("start"), lit(ChunkLen)), " "))
+          .as("chunk_hash"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q93: context-window chunking -------------------------------
@@ -67,19 +83,7 @@ object TrainPack extends QueryPack {
     // ChunkStride (trailing windows may be short). Pure per-row
     // sequence+posexplode — a projection, not a shuffle; at 100 TB this
     // runs at scan speed and output partitioning inherits the input's.
-    "q93_doc_chunking" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(1), size(col("w")), lit(ChunkStride)))
-            .as(Seq("chunk_idx", "start")))
-        .select(col("doc_id"),
-          col("chunk_idx").cast("long").as("chunk_idx"),
-          least(lit(ChunkLen), size(col("w")) - col("start") + 1)
-            .cast("long").as("n_chunk_tokens"),
-          TextOps.hash32(array_join(slice(col("w"), col("start"), lit(ChunkLen)), " "))
-            .as("chunk_hash"))
-    },
+    "q93_doc_chunking" -> { (s, d) => chunkFrame(Tables.documents(s, d)) },
 
     // ---- q94: PII redaction -----------------------------------------
     // Regex scrub (emails, long digit runs) with per-doc match counts and

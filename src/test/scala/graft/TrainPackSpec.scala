@@ -37,6 +37,29 @@ class TrainPackSpec extends SparkSpec {
     }
   }
 
+  test("chunking edge cases: token counts straddling the stride and window boundaries") {
+    val cases = Seq(1, 29, 30, 31, 39, 40, 41, 70, 100)
+    val docs = cases.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(t => s"t$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.queries.TrainPack.chunkFrame(docs)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_idx") === 0, col("n_chunk_tokens"))).as("first_len"),
+        max(struct(col("chunk_idx"), col("n_chunk_tokens"))).as("last"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("first_len"),
+          r.getAs[org.apache.spark.sql.Row]("last").getLong(1)))).toMap
+    cases.zipWithIndex.foreach { case (n, i) =>
+      val expChunks = math.ceil(n / 30.0).toLong
+      val expFirst = math.min(n, 40).toLong
+      val lastStart = 30 * (expChunks - 1) + 1
+      val expLast = math.min(n - lastStart + 1, 40).toLong
+      assert(got(i.toLong) == ((expChunks, expFirst, expLast)),
+        s"n=$n: got ${got(i.toLong)}, expected ${(expChunks, expFirst, expLast)}")
+    }
+  }
+
   test("q94 redaction finds exactly the planted PII and scrubs it") {
     val rows = run("q94_pii_redaction").collect()
     assert(rows.nonEmpty)
