@@ -199,6 +199,55 @@ object TrainPack extends QueryPack {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     },
 
+    // ---- q105: boilerplate-span detection ---------------------------
+    // Cross-document repeated 3-gram spans (header/footer/template text):
+    // span → doc-frequency (one hashed-gram shuffle), spans with df ≥ 5
+    // are "boilerplate" — by definition COMMON AND FEW, so the set
+    // broadcasts back and each doc's boilerplate fraction is computed
+    // map-side. The C4/RefinedWeb repeated-span signal, Spark-shaped.
+    "q105_boilerplate_spans" -> { (s, d) =>
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), explode(TextOps.wordNgrams(col("w"), 3)).as("s"))
+        .select(col("doc_id"), TextOps.hash32(col("s")).as("g"))
+      val boiler = occ.groupBy("g").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 5).select(col("g"), lit(1L).as("b"))
+      occ.join(broadcast(boiler), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("b"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          Parity.r6(col("n_boiler").cast("double") / col("n_grams").cast("double"))
+            .as("boiler_frac"))
+    },
+
+    // ---- q106: per-source quality datasheet -------------------------
+    // The "dataset card" op: p10/p50/p90 of the shared quality score per
+    // source via the mergeable GK sketch (fixed-size state — the exact
+    // percentile would buffer every score per source). Tolerance-gated
+    // (q88 pattern): dumped sketch values echoed as the claim; the
+    // oracle independently replays every document's quality score and
+    // asserts each dumped percentile's empirical in-group rank within
+    // 0.005 + 2/n of its probe (sketch contract + small-group
+    // discretization).
+    "q106_quality_datasheet" -> { (s, d) =>
+      val w = TextOps.words(col("text"))
+      val q = Tables.documents(s, d).select(col("source"),
+        TextOps.qualityScore(size(w), size(array_distinct(w)),
+          TextOps.profileHits(w, TextOps.DefaultStoplist)).as("q"))
+      graft.util.OracleDump.dump(
+        q.groupBy("source").agg(
+            expr("approx_percentile(q, array(0.1d, 0.5d, 0.9d), 10000)").as("qs"),
+            count(lit(1)).as("n_docs"))
+          .select(col("source"), col("n_docs"),
+            col("qs")(0).cast("double").as("p10"),
+            col("qs")(1).cast("double").as("p50"),
+            col("qs")(2).cast("double").as("p90")),
+        "q106_ds")
+      s.read.parquet(s"${graft.util.OracleDump.dir}/q106_ds")
+        .withColumn("within_tol", lit(true))
+    },
+
     // ---- q100: sequence packing (concat-and-split) ------------------
     // Pack documents into PackBudget-token training sequences by
     // cumulative token count in deterministic hash order, per source: a
@@ -311,6 +360,45 @@ object TrainPack extends QueryPack {
           SELECT r.source, r.n_total, r.thr,
                  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
           FROM rates r LEFT JOIN kept k ON k.source = r.source""",
+
+    "q105_boilerplate_spans" -> {
+      val ngrams = TextOps.wordNgramsSql("w", 3)
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          sp AS (SELECT doc_id, unnest($ngrams) AS s FROM ws),
+          oc AS (SELECT doc_id, ${TextOps.hash32Sql("s")} AS g FROM sp),
+          bo AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM oc GROUP BY g)
+                 WHERE df >= 5),
+          pd AS (SELECT o.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+                 FROM oc o LEFT JOIN bo b ON b.g = o.g GROUP BY o.doc_id)
+          SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                 CAST(n_boiler AS BIGINT) AS n_boiler,
+                 round(CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_frac
+          FROM pd"""
+    },
+
+    "q106_quality_datasheet" -> {
+      val stop = TextOps.DefaultStoplist.map(t => s"'$t'").mkString(", ")
+      s"""WITH ap AS (SELECT * FROM ${graft.util.OracleDump.sqlGlob("q106_ds")}),
+          q AS (SELECT source,
+                  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + (CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                    + least((CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.3 AS q
+                FROM (SELECT source, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+                        len(list_filter(w, t -> t IN ($stop))) AS stop_hits
+                      FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+          rk AS (SELECT q.source, COUNT(*) AS n,
+                   SUM(CASE WHEN q.q <= a.p10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r10,
+                   SUM(CASE WHEN q.q <= a.p50 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r50,
+                   SUM(CASE WHEN q.q <= a.p90 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r90
+                 FROM q JOIN ap a USING (source) GROUP BY q.source)
+          SELECT a.source, a.n_docs, a.p10, a.p50, a.p90,
+                 (a.n_docs = rk.n
+                  AND ABS(rk.r10 - 0.1) <= 0.005 + 2.0 / rk.n
+                  AND ABS(rk.r50 - 0.5) <= 0.005 + 2.0 / rk.n
+                  AND ABS(rk.r90 - 0.9) <= 0.005 + 2.0 / rk.n) AS within_tol
+          FROM ap a JOIN rk ON rk.source = a.source"""
+    },
 
     "q100_sequence_packing" ->
       s"""WITH docs AS (SELECT doc_id, source,

@@ -155,6 +155,39 @@ class TrainPackSpec extends SparkSpec {
       s"keep rate should shrink with source size: ${bySize.mkString(", ")}")
   }
 
+  test("q105 boilerplate spans agree with an independent driver-side recompute") {
+    // sf0.01: the corpus genuinely contains df≥5 spans (sf0.001 doesn't)
+    val d01 = sf("sf0.01")
+    val grams = graft.io.Tables.documents(spark, d01)
+      .select(col("doc_id"), explode(graft.text.TextOps.wordNgrams(
+        split(col("text"), " "), 3)).as("s"))
+      .select(col("doc_id"), graft.text.TextOps.hash32(col("s")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val boiler = grams.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+      .filter(_._2 >= 5).keySet.toSet
+    assert(boiler.nonEmpty, "corpus should contain df>=5 spans at sf0.01")
+    val expected = grams.groupBy(_._1).view.mapValues { gs =>
+      (gs.size.toLong, gs.count(p => boiler.contains(p._2)).toLong)
+    }.toMap
+    val got = SparkEntry.queries("q105_boilerplate_spans")(spark, d01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler")))).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._2 > 0))
+  }
+
+  test("q106 datasheet percentiles are ordered and cover the corpus") {
+    val rows = run("q106_quality_datasheet").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p10") <= r.getAs[Double]("p50"), s"$r")
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"), s"$r")
+      assert(r.getAs[Boolean]("within_tol"), s"$r")
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.io.Tables.documents(spark, d).count())
+  }
+
   test("q100 packing bins are consistent and the plan shuffles once (window+agg share the key)") {
     val df = run("q100_sequence_packing")
     val rows = df.collect()
