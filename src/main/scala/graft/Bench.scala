@@ -87,12 +87,15 @@ object Bench {
     println(json)
     // Persist the COMPLETE artifact too: the driver stores only a ~2k tail
     // of stdout, which truncated round 3's per-query seconds map out of
-    // BENCH_r03.json — the committed file is the durable record.
-    val outDir = java.nio.file.Paths.get("/root/repo/bench_results")
-    java.nio.file.Files.createDirectories(outDir)
-    java.nio.file.Files.write(
-      outDir.resolve(s"bench_full_${new java.io.File(sfDir).getName}.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // BENCH_r03.json — the committed file is the durable record. Filtered
+    // dev runs (SPARK_GRAFT_ONLY) must NOT clobber the full-run record.
+    if (only.isEmpty) {
+      val outDir = java.nio.file.Paths.get("/root/repo/bench_results")
+      java.nio.file.Files.createDirectories(outDir)
+      java.nio.file.Files.write(
+        outDir.resolve(s"bench_full_${new java.io.File(sfDir).getName}.json"),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }
