@@ -28,7 +28,9 @@ object TrainScaleBench {
 
   private val Queries = Seq(
     "q93_doc_chunking", "q94_pii_redaction", "q95_decontamination",
-    "q97_repetition_filter", "q99_mixture_sampling", "q100_sequence_packing")
+    "q97_repetition_filter", "q99_mixture_sampling", "q100_sequence_packing",
+    // the per-source cap A/B: window sort-all-rows vs mergeable top-k agg
+    "q82_per_source_cap", "q107_per_source_cap_agg")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

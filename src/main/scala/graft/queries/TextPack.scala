@@ -92,6 +92,27 @@ object TextPack extends QueryPack {
           sum(when(col("rn") <= cap, col("n_chars")).otherwise(0L)).as("kept_chars"))
     },
 
+    // q82's AGGREGATE twin: the same per-source cap through the custom
+    // mergeable topk_collect (TypedImperativeAggregate) instead of a
+    // window — partial aggregation reduces each map slice to a k-sized
+    // heap per source and the shuffle carries only those states, where
+    // the window form shuffles and sorts EVERY row. Identical output
+    // (total order on (hash, id)); the plan contract (no Window, object
+    // hash aggregate) is spec-asserted.
+    "q107_per_source_cap_agg" -> { (s, d) =>
+      val cap = 30
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          org.apache.spark.sql.graft.TopKCollect(
+            graft.util.Parity.keyHash(col("doc_id")), col("doc_id"),
+            col("n_chars"), cap).as("kept"))
+        .select(col("source"), col("n_total"),
+          size(col("kept")).cast("long").as("n_kept"),
+          aggregate(col("kept"), lit(0L), (acc, x) => acc + x.getField("payload"))
+            .as("kept_chars"))
+    },
+
     // feature hashing (the hashing-trick featurizer): token → fixed
     // bucket via the PORTABLE md5-derived hash (MLlib's HashingTF uses
     // murmur3, which DuckDB cannot replay), so the whole featurization is
@@ -165,6 +186,18 @@ object TextPack extends QueryPack {
           b AS (SELECT doc_id, ${TextOps.hash32Sql("term")} % 64 AS bucket FROM t)
           SELECT bucket, COUNT(*) AS n_terms, COUNT(DISTINCT doc_id) AS n_docs
           FROM b GROUP BY bucket""",
+
+    // identical semantics to q82 — the oracle is the same window replay;
+    // what differs (and what the spec pins) is the PLAN.
+    "q107_per_source_cap_agg" ->
+      s"""WITH r AS (SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY ${graft.util.Parity.keyHashSql("doc_id")}, doc_id) AS rn
+               FROM documents)
+          SELECT source, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+          FROM r GROUP BY source""",
 
     "q82_per_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars,

@@ -27,6 +27,11 @@ object GraftFunctions {
       "decimal_dot",
       exprs => DecimalDot(exprs(0), exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "topk_collect",
+      exprs => new TopKCollect(exprs(0), exprs(1), exprs(2),
+        foldInt(exprs(3), "topk_collect(ord, id, payload, k)")),
+      "built-in")
   }
 
   private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression, usage: String): Int = {
