@@ -345,6 +345,23 @@ object Multimodal {
   case class AudioMeta(id: Long, sample_rate: Long, channels: Long,
                        bits: Long, n_samples: Long, mean_amp: Double)
 
+  /** Parse a WAV blob and return (format, raw 16-bit LE PCM bytes) with
+    * the layout guard both audio consumers rely on — a big-endian or
+    * non-16-bit file must fail loudly, never yield garbage samples. */
+  private def readPcm16(item: MediaItem): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(item.media))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unexpected PCM layout for id ${item.id}")
+      (fmt, ais.readAllBytes())
+    } finally ais.close()
+  }
+
+  @inline private def pcm16At(bytes: Array[Byte], i: Int): Long =
+    ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+
   /** REAL audio decode via `javax.sound.sampled`: container/format fields
     * from the parsed WAV header, then every PCM sample read and averaged —
     * the content statistic the oracle replays arithmetically. One decoder
@@ -352,23 +369,13 @@ object Multimodal {
   def decodeAudio(media: Dataset[MediaItem]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(it => it.map { item =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(item.media))
-      try {
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-          s"unexpected PCM layout for id ${item.id}")
-        val bytes = ais.readAllBytes()
-        val n = bytes.length / 2
-        var sum = 0L
-        var i = 0
-        while (i < n) {
-          sum += ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
-          i += 1
-        }
-        AudioMeta(item.id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
-          fmt.getSampleSizeInBits.toLong, n.toLong, sum.toDouble / n)
-      } finally ais.close()
+      val (fmt, bytes) = readPcm16(item)
+      val n = bytes.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += pcm16At(bytes, i); i += 1 }
+      AudioMeta(item.id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+        fmt.getSampleSizeInBits.toLong, n.toLong, sum.toDouble / n)
     })
   }
 
@@ -382,24 +389,16 @@ object Multimodal {
   def audioEnergy(media: Dataset[MediaItem], win: Int): Dataset[AudioWindow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(it => it.flatMap { item =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(item.media))
-      try {
-        val bytes = ais.readAllBytes()
-        val n = bytes.length / 2
-        (0 until n by win).map { start =>
-          val end = math.min(start + win, n)
-          var sumSq = 0L
-          var i = start
-          while (i < end) {
-            val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
-            sumSq += s * s
-            i += 1
-          }
-          AudioWindow(item.id, (start / win).toLong, (end - start).toLong,
-            math.sqrt(sumSq.toDouble / (end - start)))
-        }
-      } finally ais.close()
+      val (_, bytes) = readPcm16(item)
+      val n = bytes.length / 2
+      (0 until n by win).map { start =>
+        val end = math.min(start + win, n)
+        var sumSq = 0L
+        var i = start
+        while (i < end) { val s = pcm16At(bytes, i); sumSq += s * s; i += 1 }
+        AudioWindow(item.id, (start / win).toLong, (end - start).toLong,
+          math.sqrt(sumSq.toDouble / (end - start)))
+      }
     })
   }
 

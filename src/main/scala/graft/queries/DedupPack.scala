@@ -126,8 +126,11 @@ object DedupPack extends QueryPack {
         .filter(col("rn") === 1)
         .select(col("comp"), col("node").as("canonical_id"),
           graft.util.Parity.r6(col("quality")).as("best_quality"))
+      // sizes from the CACHED comps frame (members ⋈ quality is 1:1 on
+      // node, so the counts are identical) — counting members instead
+      // would re-run the full quality-scoring corpus scan
       canon.join(
-        members.groupBy("comp").agg(count(lit(1)).as("n_members")), "comp")
+        comps.groupBy("comp").agg(count(lit(1)).as("n_members")), "comp")
     },
 
     // SimHash signatures over token hashes.

@@ -108,9 +108,13 @@ object TrainPack extends QueryPack {
     "q95_decontamination" -> { (s, d) =>
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+      // distinct on the gram STRINGS, hash after — the oracle dedupes
+      // before hashing, so dedup-after-hash would diverge from it on a
+      // within-doc hash32 collision (expected ~m²/2³³ per doc: invisible
+      // at sf0.1, real on a large corpus)
       val grams = base.select(col("doc_id"), col("source"),
-        explode(array_distinct(
-          transform(TextOps.wordNgrams(col("w"), 5), TextOps.hash32(_)))).as("g"))
+          explode(array_distinct(TextOps.wordNgrams(col("w"), 5))).as("s"))
+        .select(col("doc_id"), col("source"), TextOps.hash32(col("s")).as("g"))
       val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
         .select("g").distinct()
       val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
@@ -186,11 +190,16 @@ object TrainPack extends QueryPack {
       val tots = counts.agg(
         sum(col("n_total")).as("n_all"),
         sum(col("w").cast("decimal(28,6)")).as("tot_dec"))
+      // rates is ~|sources| rows but feeds TWO subplans with different
+      // projections (ReuseExchange can't dedupe them) — persist it so the
+      // per-source counts aggregate over the corpus runs once, not twice.
+      // Released by the session's cache discipline (bench clears per run).
       val rates = counts.crossJoin(broadcast(tots))
         .withColumn("rate", least(lit(1.0),
           lit(0.6) * col("n_all").cast("double") * col("w")
             / col("tot_dec").cast("double") / col("n_total").cast("double")))
         .withColumn("thr", floor(col("rate") * 1000000).cast("long"))
+        .persist()
       val kept = docs.join(broadcast(rates.select("source", "thr")), "source")
         .filter(pmod(Parity.keyHash(col("doc_id")), lit(1000000L)) < col("thr"))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
@@ -206,10 +215,15 @@ object TrainPack extends QueryPack {
     // broadcasts back and each doc's boilerplate fraction is computed
     // map-side. The C4/RefinedWeb repeated-span signal, Spark-shaped.
     "q105_boilerplate_spans" -> { (s, d) =>
+      // occ (scan + 3-gram explode + md5 per gram — the dominant cost)
+      // feeds both the doc-frequency aggregate and the join back: persist
+      // so the shingle work runs once. Released by the session's cache
+      // discipline (bench clears per run).
       val occ = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.words(col("text")).as("w"))
         .select(col("doc_id"), explode(TextOps.wordNgrams(col("w"), 3)).as("s"))
         .select(col("doc_id"), TextOps.hash32(col("s")).as("g"))
+        .persist()
       val boiler = occ.groupBy("g").agg(countDistinct("doc_id").as("df"))
         .filter(col("df") >= 5).select(col("g"), lit(1L).as("b"))
       occ.join(broadcast(boiler), Seq("g"), "left")

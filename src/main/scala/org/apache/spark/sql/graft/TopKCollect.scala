@@ -11,18 +11,19 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
-/** Bounded top-k state: a max-heap on `(ord, id)` holding the k SMALLEST
-  * entries seen — constant-size, mergeable, serializable. */
+/** Bounded top-k state: a max-heap holding the k SMALLEST entries seen —
+  * constant-size, mergeable, serializable. Ordered by the FULL
+  * `(ord, id, payload)` tuple so the result is deterministic even when
+  * callers pass duplicate `(ord, id)` keys with differing payloads
+  * (entries equal on all three are interchangeable): partition and merge
+  * order can never pick a different survivor. */
 final class TopKBuffer(val k: Int) {
   val heap: scala.collection.mutable.PriorityQueue[(Long, Long, Long)] =
-    scala.collection.mutable.PriorityQueue.empty(Ordering.by(t => (t._1, t._2)))
+    scala.collection.mutable.PriorityQueue.empty(Ordering[(Long, Long, Long)])
   def insert(ord: Long, id: Long, payload: Long): Unit =
     if (heap.size < k) heap.enqueue((ord, id, payload))
-    else {
-      val worst = heap.head
-      if (ord < worst._1 || (ord == worst._1 && id < worst._2)) {
-        heap.dequeue(); heap.enqueue((ord, id, payload))
-      }
+    else if (Ordering[(Long, Long, Long)].lt((ord, id, payload), heap.head)) {
+      heap.dequeue(); heap.enqueue((ord, id, payload))
     }
 }
 
@@ -38,8 +39,9 @@ final class TopKBuffer(val k: Int) {
   * slice to a k-sized heap per key, the shuffle carries only k-row states,
   * and merge is heap-union. At 100 TB with a cap of 30, that is the
   * difference between shuffling the corpus and shuffling |keys|·k rows.
-  * Determinism: total order on (ord, id), so ties never depend on
-  * partitioning (the q82 hash-order contract).
+  * Determinism: total order on the full (ord, id, payload) tuple, so the
+  * kept set never depends on partitioning — even under duplicate
+  * (ord, id) keys (the q82 hash-order contract and then some).
   */
 case class TopKCollect(ord: Expression, id: Expression, payload: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -74,7 +76,7 @@ case class TopKCollect(ord: Expression, id: Expression, payload: Expression, k: 
   }
 
   override def eval(b: TopKBuffer): Any = {
-    val sorted = b.heap.toArray.sortBy(t => (t._1, t._2))
+    val sorted = b.heap.toArray.sorted
     new GenericArrayData(sorted.map(t => InternalRow(t._1, t._2, t._3)))
   }
 

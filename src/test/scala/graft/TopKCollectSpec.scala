@@ -18,7 +18,7 @@ class TopKCollectSpec extends SparkSpec {
   private def direct(k: Int, xs: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
     val b = new TopKBuffer(k)
     xs.foreach(t => b.insert(t._1, t._2, t._3))
-    b.heap.toSeq.sortBy(t => (t._1, t._2))
+    b.heap.toSeq.sorted
   }
 
   test("buffer: merge of any split equals the direct fold (order-independence)") {
@@ -32,7 +32,24 @@ class TopKCollectSpec extends SparkSpec {
         val bl = new TopKBuffer(k); l.foreach(t => bl.insert(t._1, t._2, t._3))
         val br = new TopKBuffer(k); r.foreach(t => br.insert(t._1, t._2, t._3))
         br.heap.foreach(t => bl.insert(t._1, t._2, t._3))
-        bl.heap.toSeq.sortBy(t => (t._1, t._2)) == direct(k, xs)
+        bl.heap.toSeq.sorted == direct(k, xs)
+    })
+  }
+
+  test("buffer: deterministic under heavy duplicate (ord, id) keys") {
+    // full-tuple order means the kept payloads can never depend on
+    // partition/merge order even when (ord, id) collide
+    val entry = for {
+      o <- Gen.choose(0L, 2L); i <- Gen.choose(0L, 2L); p <- Gen.choose(0L, 9L)
+    } yield (o, i, p)
+    checkProp("dups", Prop.forAll(Gen.listOf(entry), Gen.choose(1, 4), Gen.choose(0.0, 1.0)) {
+      (xs, k, cut) =>
+        val at = (xs.size * cut).toInt
+        val (l, r) = xs.splitAt(at)
+        val bl = new TopKBuffer(k); l.foreach(t => bl.insert(t._1, t._2, t._3))
+        val br = new TopKBuffer(k); r.reverse.foreach(t => br.insert(t._1, t._2, t._3))
+        br.heap.foreach(t => bl.insert(t._1, t._2, t._3))
+        bl.heap.toSeq.sorted == xs.sorted.take(k)
     })
   }
 
@@ -40,7 +57,7 @@ class TopKCollectSpec extends SparkSpec {
     checkProp("smallest", Prop.forAll(Gen.listOf(Gen.choose(0L, 20L)), Gen.choose(1, 6)) {
       (ords, k) =>
         val xs = ords.zipWithIndex.map { case (o, i) => (o, i.toLong, 0L) }
-        direct(k, xs) == xs.sortBy(t => (t._1, t._2)).take(k)
+        direct(k, xs) == xs.sorted.take(k)
     })
   }
 
@@ -79,7 +96,7 @@ class TopKCollectSpec extends SparkSpec {
     val b = new TopKBuffer(3)
     Seq((5L, 1L, 10L), (1L, 2L, 20L), (3L, 3L, 30L), (2L, 4L, 40L)).foreach(t => b.insert(t._1, t._2, t._3))
     val rt = e.deserialize(e.serialize(b))
-    assert(rt.heap.toSeq.sortBy(t => (t._1, t._2)) == b.heap.toSeq.sortBy(t => (t._1, t._2)))
+    assert(rt.heap.toSeq.sorted == b.heap.toSeq.sorted)
     assert(rt.k == 3)
   }
 }

@@ -83,8 +83,8 @@ class TrainPackSpec extends SparkSpec {
     val docs = graft.io.Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(graft.text.TextOps.wordNgrams(col("w"), 5),
-          graft.text.TextOps.hash32(_))).as("gs"))
+        transform(array_distinct(graft.text.TextOps.wordNgrams(col("w"), 5)),
+          graft.text.TextOps.hash32(_)).as("gs"))
       .collect()
     val bench = docs.filter(_.getAs[Long]("doc_id") % 17 == 0)
       .flatMap(r => r.getSeq[Long](r.fieldIndex("gs"))).toSet
