@@ -71,6 +71,15 @@ object StreamPack extends QueryPack {
         "tws", "update")
     },
 
+    // transformWithState seeded from BATCH state
+    // (StatefulProcessorWithInitialState): historical events aggregate in
+    // batch, the stream replays the remainder on top of the seeded
+    // ValueState — the warm-start migration shape. Totals must equal the
+    // batch aggregate over all events for stream-active users.
+    "q108_seeded_state" -> { (s, d) =>
+      Streams.drainToTable(Streams.seededUserCounts(s, d), "seeded", "update")
+    },
+
     // withWatermark + append mode: three ordered micro-batches where the
     // third is entirely late data — the watermark (1h, advanced ≥7d past
     // every batch-1 window by batch 2) must drop all of it, and only
@@ -220,6 +229,14 @@ object StreamPack extends QueryPack {
                   WHERE rn = 1)
           SELECT a.user_id, a.n_events, a.n_types, p.top_type
           FROM agg a JOIN top p ON p.user_id = a.user_id""",
+
+    "q108_seeded_state" ->
+      """WITH h AS (SELECT user_id, COUNT(*) AS c FROM events
+                    WHERE event_id % 3 = 0 GROUP BY user_id),
+          s AS (SELECT user_id, COUNT(*) AS c FROM events
+                WHERE event_id % 3 <> 0 GROUP BY user_id)
+          SELECT s.user_id, CAST(s.c + COALESCE(h.c, 0) AS BIGINT) AS n_total
+          FROM s LEFT JOIN h ON h.user_id = s.user_id""",
 
     // Batch replay of the watermark run. Observed Spark 4 semantics (and
     // what this oracle asserts): the late-row filter of batch N runs with

@@ -288,6 +288,54 @@ object Streams {
       .toDF("user_id", "n_events", "n_types", "top_type")
   }
 
+  /** Per-user running count SEEDED from batch state — the
+    * `StatefulProcessorWithInitialState` facet of the Spark 4 API: the
+    * warm-start shape for migrating a batch-maintained table into a
+    * streaming job without reprocessing history. `handleInitialState`
+    * runs once per key from the initial-state relation before any input
+    * row. */
+  class SeededUserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String), (Long, Long), Long] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: Long,
+                                    tv: TimerValues): Unit = n.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, Long)] = {
+      val cur = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(cur)
+      Iterator.single((key, cur))
+    }
+  }
+
+  /** [[SeededUserCountProcessor]] wired up: historical events
+    * (`event_id % 3 == 0`) are aggregated in BATCH and handed to
+    * `transformWithState` as the initial state; the stream replays only
+    * the rest. Emitted totals therefore equal the batch aggregate over
+    * ALL events for every user that appears in the stream. */
+  def seededUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val init = graft.io.Tables.events(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(3)) === 0)
+      .groupBy(col("user_id").cast("long").as("u")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+    eventsStream(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(3)) =!= 0)
+      .select(col("user_id").cast("long"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededUserCountProcessor(),
+        TimeMode.None(), OutputMode.Update(), init)
+      .toDF("user_id", "n_total")
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's

@@ -53,6 +53,20 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(tws.exceptAll(mgws).count() == 0 && mgws.exceptAll(tws).count() == 0)
   }
 
+  test("batch-seeded state continues exactly where an unseeded full replay lands") {
+    val d = sf("sf0.001")
+    val seeded = Streams.drainToTable(Streams.seededUserCounts(spark, d), "seed_spec", "update")
+    // unseeded reference: full batch aggregate, restricted to users with
+    // at least one streamed (non-historical) event
+    val full = graft.io.Tables.events(spark, d)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("event_id"), lit(3)) =!= 0, 1L).otherwise(0L)).as("n_stream"))
+      .filter(col("n_stream") > 0).select("user_id", "n_total")
+    assert(seeded.count() == full.count())
+    assert(seeded.exceptAll(full).count() == 0 && full.exceptAll(seeded).count() == 0)
+  }
+
   test("streaming dedup emits each (user, event_type) pair once") {
     val d = sf("sf0.001")
     val deduped = Streams.drainToTable(
