@@ -94,8 +94,13 @@ object RelationalPack extends QueryPack {
     // window running aggregate over a total per-partition order; decimal
     // running sum is order-exact so it hash-matches the oracle.
     "q07_running_supplier_qty" -> { (s, d) =>
+      // l_quantity closes the ordering: the synthetic data has duplicate
+      // (suppkey, orderkey, linenumber) rows with differing quantities, so
+      // without it the running sum at a tie is engine-order-dependent.
+      // With every aggregated column in the sort key, tied rows are
+      // interchangeable and the output multiset is deterministic.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -273,7 +278,7 @@ object RelationalPack extends QueryPack {
     "q07_running_supplier_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) OVER (
-             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
 

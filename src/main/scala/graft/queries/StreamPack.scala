@@ -299,12 +299,16 @@ object StreamPack extends QueryPack {
     //    — NOT max over all events (pinned by sf0.001, where the max
     //    on-time view is itself unmatched: its horizon never closes under
     //    the view-bounded watermark, so it must NOT emit).
-    //  * batch-3 rows are filtered by the LAGGED batch-1 watermark w1,
-    //    each side under its STATE-CONSTRAINT predicate, not plain
-    //    lateness: a late VIEW is admitted while its horizon is still
-    //    open (v_ts + 1h ≥ w1 — it could still match a future click); a
-    //    late CLICK is admitted only if c_ts ≥ w1 (it can only match
-    //    OLDER views). Admitted late rows join against what survives the
+    //  * batch-3 rows are filtered by the LAGGED batch-1 watermark w1
+    //    under PLAIN lateness on each side's own watermark column: the
+    //    join input drops any row with ts < w1 BEFORE the state-constraint
+    //    predicate ever sees it (Spark's symmetric hash join filters late
+    //    input rows with the per-side event-time watermark; the horizon
+    //    predicate only governs STATE eviction). So a late VIEW needs
+    //    v_ts ≥ w1 even though its horizon v_ts + 1h may still be open —
+    //    pinned at sf0.1, where 3 views sat in the gap v_ts < w1 ≤
+    //    v_ts + 1h and the engine dropped them. Late CLICKS likewise need
+    //    c_ts ≥ w1. Admitted late rows join against what survives the
     //    end-of-batch-2 state cleanup (views with open horizons, clicks
     //    with c_ts ≥ w1).
     //  * matched pairs: the plain interval join over on-time rows (eager
@@ -331,7 +335,7 @@ object StreamPack extends QueryPack {
           c AS (SELECT user_id, t, event_id FROM ontime WHERE event_type = 'click'),
           vlate AS (SELECT e.user_id, e.t, e.event_id FROM e, b, w1
                     WHERE e.event_type = 'view' AND e.t < b.t1 AND e.event_id % 10 = 0
-                      AND e.t + INTERVAL 1 HOUR >= w1.w),
+                      AND e.t >= w1.w),
           clate AS (SELECT e.user_id, e.t, e.event_id FROM e, b, w1
                     WHERE e.event_type = 'click' AND e.t < b.t1 AND e.event_id % 10 = 0
                       AND e.t >= w1.w),
