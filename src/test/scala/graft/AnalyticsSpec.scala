@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+import graft.ml.Metrics
+import graft.relational.Scd
+import graft.timeseries.Resample
+
+/** Specs for the wave-3 analytics modules: PageRank, ROC-AUC, SCD2 merge,
+  * time-series resample/ffill. Each pins hand-computable invariants on
+  * tiny frames (the oracle gate covers cross-engine parity; these cover
+  * the algebra itself).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── PageRank ─────────────────────────────────────────────────────────
+
+  test("PageRank: symmetric 2-cycle converges to uniform; mass bounded") {
+    // a↔b: by symmetry every iteration keeps rank = 1/2 each
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = PageRank.run(edges, iterations = 3, damping = 0.85)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(approx(r(1L), 0.5, 1e-12) && approx(r(2L), 0.5, 1e-12))
+  }
+
+  test("PageRank: star graph concentrates rank on the sink") {
+    // 1→3, 2→3: 3 is a dangling sink; after one iteration
+    // rank(3) = 0.15/3 + 0.85*(1/3 + 1/3), rank(1) = rank(2) = 0.15/3
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = PageRank.run(edges, iterations = 1, damping = 0.85)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val base = (1.0 - 0.85) / 3.0
+    assert(approx(r(1L), base, 1e-12) && approx(r(2L), base, 1e-12))
+    assert(approx(r(3L), base + 0.85 * (2.0 / 3.0), 1e-9))
+    // dangling variant: mass leaks through the sink, never exceeds 1
+    val total = r.values.sum
+    assert(total > 0 && total <= 1.0 + 1e-9)
+  }
+
+  // ── ROC-AUC ──────────────────────────────────────────────────────────
+
+  test("rocAuc: perfect, inverted, and random separations") {
+    def auc(rows: Seq[(Double, Long)]): Double =
+      Metrics.rocAuc(rows.toDF("s", "y"), "s", "y").head().getDouble(0)
+    // perfectly separated → 1.0; inverted → 0.0
+    assert(auc(Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))) == 1.0)
+    assert(auc(Seq((0.9, 0L), (0.8, 0L), (0.2, 1L), (0.1, 1L))) == 0.0)
+    // all scores identical → every pair tied → 0.5 exactly
+    assert(auc(Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L))) == 0.5)
+  }
+
+  test("rocAuc: tie handling matches the average-rank convention") {
+    // scores: 0.3(y=0), 0.5(y=0), 0.5(y=1), 0.7(y=1)
+    // ranks: 1, then tied block avg rank 2.5 (both 0.5s), then 4
+    // posrank = 2.5 + 4 = 6.5 → auc = (6.5 - 3) / (2*2) = 0.875
+    val a = Metrics.rocAuc(
+      Seq((0.3, 0L), (0.5, 0L), (0.5, 1L), (0.7, 1L)).toDF("s", "y"), "s", "y").head()
+    assert(a.getDouble(0) == 0.875 && a.getLong(1) == 2 && a.getLong(2) == 2)
+  }
+
+  // ── SCD2 merge ───────────────────────────────────────────────────────
+
+  test("scd2Apply: changed keys close and reopen, unchanged stay open") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val upd = Seq((2L, "b", 99.0)).toDF("k", "name", "bal")
+    val out = Scd.scd2Apply(base, upd, Seq("k"),
+      to_date(lit("2024-01-01")), to_date(lit("2024-06-01")))
+    assert(out.count() == 4) // 3 base rows + 1 fresh
+    val k2 = out.filter($"k" === 2L).orderBy("valid_from").collect()
+    assert(k2.length == 2)
+    val (closed, open) = (k2(0), k2(1))
+    assert(!closed.getBoolean(closed.fieldIndex("is_current"))
+      && closed.getDate(closed.fieldIndex("valid_to")).toString == "2024-06-01"
+      && closed.getDouble(closed.fieldIndex("bal")) == 20.0)
+    assert(open.getBoolean(open.fieldIndex("is_current"))
+      && open.isNullAt(open.fieldIndex("valid_to"))
+      && open.getDouble(open.fieldIndex("bal")) == 99.0)
+    // unchanged keys: single open row, untouched values
+    val k1 = out.filter($"k" === 1L).collect()
+    assert(k1.length == 1 && k1(0).getBoolean(k1(0).fieldIndex("is_current")))
+  }
+
+  // ── Resample / forward-fill ──────────────────────────────────────────
+
+  test("hourlyFfill: gaps are zero-count rows carrying the last value") {
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0, 10), 100L, 1.0),  // hour 0
+      (1L, ts(0, 50), 101L, 2.0),  // hour 0, later → last_v = 2.0
+      (1L, ts(3, 0), 102L, 7.0),   // hour 3 after a 2h gap
+      (2L, ts(2, 0), 103L, 5.0)    // key 2 starts observing at hour 2
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.hourlyFfill(events, "user_id", "ts", "event_id", "value",
+        lit(ts(0, 0)), lit(ts(3, 0)))
+      .orderBy("key", "bucket").collect()
+    assert(out.length == 8) // 2 keys × 4 hourly buckets
+    val k1 = out.take(4)
+    assert(k1.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L)) // n_events
+    assert(k1.map(_.getDouble(3)).toSeq == Seq(2.0, 2.0, 2.0, 7.0)) // ffill
+    val k2 = out.drop(4)
+    assert(k2.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 0L))
+    assert(k2(0).isNullAt(3) && k2(1).isNullAt(3)) // null before first obs
+    assert(k2(2).getDouble(3) == 5.0 && k2(3).getDouble(3) == 5.0)
+  }
+
+  test("hourlyFfill: per-bucket last is (ts, seq)-deterministic") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    // same timestamp: higher event_id wins
+    val events = Seq((1L, t, 5L, 10.0), (1L, t, 9L, 20.0), (1L, t, 7L, 15.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.hourlyFfill(events, "user_id", "ts", "event_id", "value",
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 3L && out(0).getDouble(3) == 20.0)
+  }
+}
