@@ -39,13 +39,16 @@ object PageRank {
     // mirror the oracle's op order exactly: base = (1.0 - d) / N
     val base = (1.0 - damping) / n
 
-    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    // out-degree folded into the persisted edge table once, so each
+    // iteration is a single join (edges ⋈ ranks) instead of two
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
+      .persist()
+    ew.count()
 
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n)).persist()
     ranks.count()
     for (_ <- 1 to iterations) {
-      val contribs = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
       val next = nodes.join(
           contribs.groupBy("node")
@@ -59,7 +62,7 @@ object PageRank {
       ranks.unpersist()
       ranks = next
     }
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); ew.unpersist(); nodes.unpersist()
     ranks
   }
 }

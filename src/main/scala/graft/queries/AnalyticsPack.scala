@@ -20,6 +20,21 @@ import graft.util.{Parity, Staging}
   */
 object AnalyticsPack extends QueryPack {
 
+  private def scratch(name: String) = s"/root/repo/target/scratch/$name"
+
+  /** The q110/q120 score probe: a fixed linear functional of the embedding,
+    * so every rank/calibration metric over it is replayable end-to-end. */
+  private def scoreCol = ((element_at(col("embedding"), 1).cast("double")
+    - lit(0.5) * element_at(col("embedding"), 2).cast("double"))
+    + lit(0.25) * element_at(col("embedding"), 3).cast("double")).as("s")
+
+  /** A deliberately over-fragmented parquet copy of events (200 splits) —
+    * the small-files input the compaction op (q118) consolidates. */
+  private def stagedFragmented(s: SparkSession, d: String): String =
+    Staging.ensure(Staging.dirFor("events_fragmented", d), s"$d/events.parquet") { dir =>
+      Tables.events(s, d).repartition(200).write.mode("overwrite").parquet(dir)
+    }
+
   /** Two parquet "generations" of lineitem with divergent schemas under
     * one root — generation `a` carries l_quantity, generation `b`
     * l_extendedprice — exercising mergeSchema evolution on read. */
@@ -32,7 +47,9 @@ object AnalyticsPack extends QueryPack {
         .write.mode("overwrite").parquet(s"$dir/b")
     }
 
-  override def stage(s: SparkSession, d: String): Unit = { stagedEvo(s, d); () }
+  override def stage(s: SparkSession, d: String): Unit = {
+    stagedEvo(s, d); stagedFragmented(s, d); ()
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -54,10 +71,7 @@ object AnalyticsPack extends QueryPack {
     // replayable end-to-end; ranking is distributed (sort+zipWithIndex),
     // ties get average rank. Complements accuracy (M12) / R² (M13).
     "q110_roc_auc" -> { (s, d) =>
-      val e = Tables.embeddings(s, d).select(
-        ((element_at(col("embedding"), 1).cast("double")
-          - lit(0.5) * element_at(col("embedding"), 2).cast("double"))
-          + lit(0.25) * element_at(col("embedding"), 3).cast("double")).as("s"),
+      val e = Tables.embeddings(s, d).select(scoreCol,
         when(col("label") % 2 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
       Metrics.rocAuc(e, "s", "y")
     },
@@ -149,27 +163,97 @@ object AnalyticsPack extends QueryPack {
     // once per projection (interpreted-HOF CSE gotcha).
     "q116_pmi_collocations" -> { (s, d) =>
       val toks = Tables.documents(s, d).select(TextOps.words(col("text")).as("w"))
+      // both count tables are read twice (pair join + corpus totals), so they
+      // are persisted — vocab- and bigram-type-sized, tiny next to the corpus.
+      // The totals then fold out of them as eager scalars (Σc = Σ len(w),
+      // Σn_pair = Σ max(len−1,0)): two document scans total, zero rescans
+      // (plan-level reuse of the aggregate subtree is not guaranteed).
       val uni = toks.select(explode(col("w")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .groupBy("tok").agg(count(lit(1)).as("c")).persist()
       val bg = toks.filter(size(col("w")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("w1"),
                       element_at(col("w"), i + 1).as("w2")))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      val totals = toks.agg(
-        sum(size(col("w"))).cast("double").as("nu"),
-        sum(greatest(size(col("w")) - 1, lit(0))).cast("double").as("nb"))
-      val pmi = log(((col("n_pair").cast("double") * col("nu")) * col("nu"))
-        / ((col("nb") * col("cx")) * col("cy")))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")).persist()
+      val nu = uni.agg(sum(col("c"))).head.getLong(0).toDouble
+      val nb = bg.agg(sum(col("n_pair"))).head.getLong(0).toDouble
+      val pmi = log(((col("n_pair").cast("double") * lit(nu)) * lit(nu))
+        / ((lit(nb) * col("cx")) * col("cy")))
       bg.join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "cx1"), "w1")
         .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "cy1"), "w2")
         .withColumn("cx", col("cx1").cast("double"))
         .withColumn("cy", col("cy1").cast("double"))
-        .crossJoin(broadcast(totals))
         .filter(col("n_pair") >= 5)
         .orderBy(Parity.r6(pmi).desc, col("w1"), col("w2")).limit(20)
         .select(col("w1"), col("w2"), col("n_pair"), Parity.r6(pmi).as("pmi"))
+    },
+
+    // ── native session windows (batch form of the streaming operator) ──
+    // session_window merges events within a 30-min gap; the window closes
+    // at last_ts + gap. Same operator Structured Streaming uses — here
+    // driven in batch so the full session set is oracle-replayable
+    // (q42 covers the stateful streaming shape).
+    "q117_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("sw.end").as("sess_end"), col("n"), col("sum_value"))
+    },
+
+    // ── small-files compaction (the OPTIMIZE shape) ────────────────────
+    // Read the 200-way fragmented copy, consolidate to size-targeted
+    // partitions (one stats pass + one shuffle — Scale.repartitionToBytes),
+    // rewrite, and aggregate the re-read to prove content preservation.
+    // File-count reduction is asserted in AnalyticsSpec (not SQL-visible).
+    "q118_compaction" -> { (s, d) =>
+      val src = stagedFragmented(s, d)
+      val out = scratch(s"compacted_${math.abs(d.hashCode)}")
+      val (sized, _) = graft.relational.Scale.repartitionToBytes(
+        s.read.parquet(src), 64L * 1024 * 1024)
+      sized.write.mode("overwrite").parquet(out)
+      s.read.parquet(out).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Parity.dsum(col("value")).as("sum_value"))
+    },
+
+    // ── CDC apply (MERGE: insert / update / delete in one batch) ───────
+    // A derived change batch — deletes (k%17=0), payload updates
+    // (k%10=3, surviving keys), inserts in fresh key space (k%31=1) —
+    // folded into the customer dim by [[graft.relational.Scd.cdcApply]].
+    "q119_cdc_apply" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val deletes = base.filter(col("c_custkey") % 17 === 0)
+        .select(lit("D").as("op"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+      val updates = base.filter(col("c_custkey") % 10 === 3 && col("c_custkey") % 17 =!= 0)
+        .select(lit("U").as("op"), col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"), lit("MOVED").as("c_mktsegment"))
+      val inserts = base.filter(col("c_custkey") % 31 === 1)
+        .select(lit("I").as("op"), (col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          lit("NEW").as("c_name"), lit(1.0).as("c_acctbal"), lit("CDC").as("c_mktsegment"))
+      Scd.cdcApply(base, deletes.unionByName(updates).unionByName(inserts), Seq("c_custkey"))
+    },
+
+    // ── calibration curve (reliability diagram) ────────────────────────
+    // Fixed-width decile bins over the q110 score probe: per bin the
+    // observed positive rate vs the mean score — the classifier-eval
+    // companion to AUC. Bin edges come from two eagerly-collected
+    // scalars; binning and rates are exact row/integer arithmetic.
+    "q120_calibration" -> { (s, d) =>
+      val scored = Tables.embeddings(s, d).select(scoreCol,
+        when(col("label") % 2 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
+      val r = scored.agg(min(col("s")), max(col("s"))).head
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      scored
+        .withColumn("bin", least(floor((col("s") - lit(mn)) / (lit(mx) - lit(mn)) * lit(10.0)),
+          lit(9.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), Parity.davg(col("s")).as("mean_score"),
+          (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("frac_pos"))
     }
   )
 
@@ -302,6 +386,53 @@ object AnalyticsPack extends QueryPack {
                   JOIN uni cy ON bg.w2 = cy.tok
                   CROSS JOIN totals
           WHERE n_pair >= 5
-          ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    // session semantics replay: greedy 30-min-gap islands per user (the
+    // q42 convention: a gap of exactly 30 min starts a new session, the
+    // window closes at last event + gap)
+    "q117_session_window" ->
+      s"""WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+          m AS (SELECT user_id, t, value,
+                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+                FROM o),
+          g AS (SELECT user_id, t, value,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM m)
+          SELECT user_id, MIN(t) AS sess_start, MAX(t) + INTERVAL 30 MINUTE AS sess_end,
+            COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
+          FROM g GROUP BY user_id, sid""",
+
+    // content preservation: the compacted copy must aggregate identically
+    // to the source table (file-count reduction is spec-asserted)
+    "q118_compaction" ->
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+            ${Sql.dsum("value")} AS sum_value
+          FROM events""",
+
+    "q119_cdc_apply" ->
+      """SELECT c_custkey, c_name,
+            CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+            CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+          FROM customer WHERE c_custkey % 17 <> 0
+          UNION ALL
+          SELECT c_custkey + 10000000, 'NEW', 1.0, 'CDC'
+          FROM customer WHERE c_custkey % 31 = 1""",
+
+    "q120_calibration" ->
+      s"""WITH scored AS (
+            SELECT ((CAST(embedding[1] AS DOUBLE) - 0.5 * CAST(embedding[2] AS DOUBLE))
+                    + 0.25 * CAST(embedding[3] AS DOUBLE)) AS s,
+                   CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+            FROM embeddings),
+          b AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM scored)
+          SELECT CAST(LEAST(FLOOR((s - b.mn) / (b.mx - b.mn) * 10.0), 9.0) AS BIGINT) AS bin,
+            COUNT(*) AS n, ${Sql.davg("s")} AS mean_score,
+            CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+          FROM scored CROSS JOIN b
+          GROUP BY 1"""
   )
 }

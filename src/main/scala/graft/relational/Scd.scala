@@ -47,4 +47,29 @@ object Scd {
 
     marked.unionByName(fresh)
   }
+
+  /** CDC batch apply (MERGE semantics): fold a change batch with an `op`
+    * column (`I` insert / `U` update / `D` delete) into a current-state
+    * snapshot. Inserts add new keys, updates replace the payload of
+    * existing keys, deletes remove keys. One change row per key.
+    *
+    * Scale shape: upserts reach the base through one outer join on the
+    * key (broadcast when the batch is small, so the base never
+    * shuffles); deletes through a broadcast anti-join. The base is
+    * touched exactly once.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val payload = cols.filterNot(keys.contains)
+    val upserts = changes.filter(col("op").isin("I", "U")).drop("op")
+      .select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    val deletes = changes.filter(col("op") === "D")
+      .select(keys.map(col): _*)
+
+    val joinCond = keys.map(k => base(k) === upserts(s"_u_$k")).reduce(_ && _)
+    base.join(broadcast(upserts), joinCond, "full_outer")
+      .select(keys.map(k => coalesce(base(k), upserts(s"_u_$k")).as(k)) ++
+        payload.map(c => coalesce(upserts(s"_u_$c"), base(c)).as(c)): _*)
+      .join(broadcast(deletes), keys, "left_anti")
+  }
 }

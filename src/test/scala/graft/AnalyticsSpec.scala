@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.PageRank
@@ -104,6 +105,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(k2.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 0L))
     assert(k2(0).isNullAt(3) && k2(1).isNullAt(3)) // null before first obs
     assert(k2(2).getDouble(3) == 5.0 && k2(3).getDouble(3) == 5.0)
+  }
+
+  // ── CDC apply ────────────────────────────────────────────────────────
+
+  test("cdcApply: insert adds, update replaces, delete removes, rest untouched") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      ("D", 1L, "a", 10.0),      // delete key 1
+      ("U", 2L, "b2", 99.0),     // update key 2
+      ("I", 9L, "new", 1.0)      // insert key 9
+    ).toDF("op", "k", "name", "bal")
+    val out = Scd.cdcApply(base, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(2L, 3L, 9L))
+    assert(out(2L) == ("b2", 99.0)) // replaced payload
+    assert(out(3L) == ("c", 30.0))  // untouched
+    assert(out(9L) == ("new", 1.0)) // inserted
+  }
+
+  // ── compaction ───────────────────────────────────────────────────────
+
+  test("q118 compaction consolidates the fragmented copy into fewer files") {
+    import graft.SparkEntry
+    val d = sf("sf0.001")
+    SparkEntry.queries("q118_compaction")(spark, d).collect() // runs the rewrite
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).length
+    val before = parquetFiles(s"/root/repo/target/scratch/events_fragmented_${math.abs(d.hashCode)}")
+    val after = parquetFiles(s"/root/repo/target/scratch/compacted_${math.abs(d.hashCode)}")
+    assert(before == 200, s"staged fragmentation expected 200 files, got $before")
+    assert(after < before / 10, s"compaction left $after files (from $before)")
+  }
+
+  // ── session windows ──────────────────────────────────────────────────
+
+  test("session_window query agrees with an independent island computation") {
+    import graft.SparkEntry
+    val d = sf("sf0.001")
+    val viaOp = SparkEntry.queries("q117_session_window")(spark, d)
+      .agg(count(lit(1)), sum("n"), max("sess_end")).head()
+    // independent replay: greedy 30-min-gap islands via lag + cumsum
+    val ev = graft.io.Tables.events(spark, d)
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val islands = ev
+      .withColumn("ns", when(lag("ts", 1).over(w).isNull ||
+        col("ts").cast("long") - lag("ts", 1).over(w).cast("long") >= 1800L, 1).otherwise(0))
+      .withColumn("sid", sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"), (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("sess_end"))
+      .agg(count(lit(1)), sum("n"), max("sess_end")).head()
+    assert(viaOp == islands)
   }
 
   test("hourlyFfill: per-bucket last is (ts, seq)-deterministic") {
