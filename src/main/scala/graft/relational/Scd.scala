@@ -53,10 +53,14 @@ object Scd {
     * snapshot. Inserts add new keys, updates replace the payload of
     * existing keys, deletes remove keys. One change row per key.
     *
-    * Scale shape: upserts reach the base through one outer join on the
-    * key (broadcast when the batch is small, so the base never
-    * shuffles); deletes through a broadcast anti-join. The base is
-    * touched exactly once.
+    * Scale shape: the base table never shuffles. A full-outer join would
+    * be the one-join formulation, but Spark cannot broadcast the build
+    * side of a full outer join (the hint is silently dropped and the base
+    * shuffles), so instead: updates land via a broadcast LEFT OUTER join
+    * (supported build-right broadcast); the insert subset of the batch is
+    * isolated by a broadcast LEFT SEMI probe of base keys (a second,
+    * key-column-pruned scan of base — cheaper than shuffling it) followed
+    * by a small-vs-small anti-join; deletes via a broadcast anti-join.
     */
   def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
@@ -67,9 +71,17 @@ object Scd {
       .select(keys.map(col): _*)
 
     val joinCond = keys.map(k => base(k) === upserts(s"_u_$k")).reduce(_ && _)
-    base.join(broadcast(upserts), joinCond, "full_outer")
-      .select(keys.map(k => coalesce(base(k), upserts(s"_u_$k")).as(k)) ++
+    val updated = base.join(broadcast(upserts), joinCond, "left_outer")
+      .select(keys.map(k => base(k).as(k)) ++
         payload.map(c => coalesce(upserts(s"_u_$c"), base(c)).as(c)): _*)
+    // Keys of the batch that already exist in base: broadcast semi probe,
+    // output is at most |changes| rows, itself broadcastable.
+    val matched = base.join(broadcast(upserts), joinCond, "left_semi")
+      .select(keys.map(col): _*)
+    val mcond = keys.map(k => upserts(s"_u_$k") === matched(k)).reduce(_ && _)
+    val inserts = upserts.join(broadcast(matched), mcond, "left_anti")
+      .select(cols.map(c => col(s"_u_$c").as(c)): _*)
+    updated.unionByName(inserts)
       .join(broadcast(deletes), keys, "left_anti")
   }
 }

@@ -28,6 +28,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"lookup join degraded to sort-merge:\n${p.take(600)}")
   }
 
+  test("q119 CDC apply never shuffles the base table (all joins broadcast)") {
+    val p = plan("q119_cdc_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"CDC apply shuffled the base table:\n${p.take(800)}")
+  }
+
   test("q04 anti join resolves as a real anti join, not a subquery rescan") {
     val p = plan("q04_customers_without_orders")
     assert(p.contains("LeftAnti"), p.take(600))
