@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bloom
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.relational.{IncrementalAgg, ZOrder}
+import graft.text.TextOps
+import graft.util.{Parity, Staging}
+
+/** Wave-5 scale-path operators: the ops whose entire reason to exist is
+  * the 100 TB regime — incremental view maintenance (don't rescan the
+  * base), two-pass heavy hitters (don't shuffle the long tail), corpus
+  * LM quality scoring, z-order layout (prune on BOTH filter columns),
+  * deterministic negative sampling (map-only generation), and a
+  * bloom-prefiltered decontamination twin of q95 (membership pruning when
+  * the benchmark set outgrows a broadcast hash relation).
+  *
+  * Every query stays oracle-exact: approximate structures (sample
+  * candidates, bloom bits) only decide WHERE work happens; an exact
+  * confirm pass makes the emitted rows engine-replayable.
+  */
+object ScaleOpsPack extends QueryPack {
+
+  /** Materialized per-customer order aggregate over the pre-cutoff half of
+    * `orders` — the "maintained view" q121 folds a delta into. State
+    * columns are order-independent (COUNT + exact-decimal SUM) so the
+    * merge is associative at any partitioning. */
+  private val Cutoff = "2001-01-01"
+  private def stagedView(s: SparkSession, d: String): String =
+    Staging.ensure(Staging.dirFor("orders_view", d), s"$d/orders.parquet") { dir =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(Cutoff).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4))).as("sum_price"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  override def stage(s: SparkSession, d: String): Unit = { stagedView(s, d); () }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q121: incremental materialized-view maintenance ────────────────
+    // The delta (orders since the cutoff) is aggregated and MERGED into
+    // the staged view — the base facts are never rescanned, the view is
+    // never shuffled (broadcast decomposition, see [[IncrementalAgg]]).
+    // Oracle: the full from-scratch aggregate — merge(view, delta) must
+    // equal it exactly, including customers that only exist in the delta.
+    "q121_incremental_view" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val view = s.read.parquet(stagedView(s, d))
+      val delta = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4))).as("sum_price"))
+      IncrementalAgg.merge(view, delta, Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+    },
+
+    // ── q122: two-pass exact heavy hitters ─────────────────────────────
+    // Pass 1 counts tokens on a deterministic 30% doc sample and keeps the
+    // top 400 as candidates; pass 2 exact-counts ONLY candidate tokens
+    // (broadcast semi prefilter → the long-tail vocabulary never enters
+    // the shuffle — at corpus scale that tail IS the aggregation cost).
+    // The final top-25 is exact as long as candidates ⊇ true top-25, which
+    // the 16× candidate margin guarantees overwhelmingly; the oracle's
+    // full count verifies it on every run.
+    "q122_heavy_hitters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("token"))
+      val cands = tokens
+        .filter(pmod(Parity.keyHash(col("doc_id")), lit(10)) < 3)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(400)
+        .select("token")
+      tokens.join(broadcast(cands), "token")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(25)
+    },
+
+    // ── q123: bigram language-model quality score ──────────────────────
+    // Corpus-trained add-one-smoothed bigram log-likelihood per document —
+    // the model-free cousin of perplexity filtering in LLM data pipelines.
+    // Three aggregates over one exploded bigram stream (bigram counts,
+    // context counts, context vocabulary), then a per-bigram score joined
+    // back on the bigram / context keys (hash joins; hot n-grams are
+    // AQE-skew-split at scale) and a per-doc exact-decimal average.
+    // ln() is rounded to 6 decimals the moment it's computed (the
+    // transcendental parity rule), so every downstream sum is exact.
+    "q123_bigram_lm_score" -> { (s, d) =>
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      val bi = ws.select(col("doc_id"),
+        explode(TextOps.wordNgrams(col("w"), 2)).as("b"))
+      val cb = bi.groupBy("b").agg(count(lit(1)).as("cb"))
+      val cu = bi.select(substring_index(col("b"), " ", 1).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cu"))
+      val vocab = bi.select(substring_index(col("b"), " ", 1).as("w1"))
+        .agg(countDistinct(col("w1")).as("v"))
+      bi.join(cb, "b")
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .join(cu, "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", round(
+          log((col("cb") + lit(1)).cast("double") / (col("cu") + col("v")).cast("double")), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(Parity.dsum6(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    },
+
+    // ── q124: z-order (Morton) clustering tiles ────────────────────────
+    // Interleave 8 bits of each filter column; the top 6 z-bits define 64
+    // tiles, and the per-tile extents PROVE the locality property: every
+    // tile spans ≤ 32 of the 256 values in x AND in y, so parquet min/max
+    // stats on a z-sorted layout prune reads for predicates on either
+    // column. The layout job itself is `repartitionByRange(z).
+    // sortWithinPartitions(z).write` — one range shuffle at any scale
+    // (file-level extents spec-asserted in ScaleOpsSpec).
+    "q124_zorder_tiles" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.select(
+          ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 8).as("z"),
+          pmod(col("l_partkey"), lit(256L)).as("x"),
+          pmod(col("l_suppkey"), lit(256L)).as("y"))
+        .groupBy(shiftright(col("z"), 10).as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    },
+
+    // ── q125: deterministic negative sampling ──────────────────────────
+    // K=8 candidate negatives per supplier from a portable hash formula —
+    // generation is a pure projection (sequence + explode, NO shuffle, no
+    // RNG state), then one hash join against the true-positive pairs flags
+    // collisions. At 100 TB the positives shuffle once on the composite
+    // key; candidates are tiny and co-partition for free.
+    "q125_negative_sampling" -> { (s, d) =>
+      val nparts = Tables.part(s, d).agg(count(lit(1)).as("np"))
+      val cand = Tables.supplier(s, d).select(col("s_suppkey"))
+        .crossJoin(broadcast(nparts))
+        .select(col("s_suppkey"), col("np"),
+          explode(sequence(lit(1L), lit(8L))).as("k"))
+        .select(col("s_suppkey"), col("k"),
+          pmod(Parity.keyHash(col("s_suppkey") * lit(131) + col("k")), col("np"))
+            .as("neg_partkey"))
+      val pos = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey")).distinct()
+      cand.join(pos,
+          cand("s_suppkey") === pos("l_suppkey") && cand("neg_partkey") === pos("l_partkey"),
+          "left")
+        .select(col("s_suppkey"), col("k"), col("neg_partkey"),
+          col("l_partkey").isNotNull.as("collided"))
+    },
+
+    // ── q126: bloom-prefiltered decontamination (q95's 100 TB twin) ────
+    // Same semantics as q95, different membership transport: the benchmark
+    // shingle set is compressed to a ~10-bits/element bloom (vs ≥64 for
+    // the raw hash set), probed map-side by a codegen'd expression, and
+    // the few survivors are confirmed with the exact broadcast join — so
+    // the result is bit-identical to q95's exact answer (bloom false
+    // positives die in the confirm join; false negatives are impossible).
+    // ScaleOpsSpec asserts the prefilter actually prunes.
+    "q126_bloom_decontam" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+      val grams = base.select(col("doc_id"), col("source"),
+          explode(array_distinct(TextOps.wordNgrams(col("w"), 5))).as("sgl"))
+        .select(col("doc_id"), col("source"), TextOps.hash32(col("sgl")).as("g"))
+      val benchHashes = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("g")).distinct().as[Long].collect()
+      val bloom = Bloom.build(benchHashes)
+      val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select("g").distinct()
+      val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .filter(Bloom.probe(bloom)(col("g")))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_shared"))
+      val totals = base.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .groupBy("source").agg(count(lit(1)).as("n_train"))
+      totals.join(
+          flagged.groupBy("source").agg(
+            count(lit(1)).as("n_contaminated"), sum("n_shared").as("shared_grams")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    "q121_incremental_view" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY o_custkey""",
+
+    "q122_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+          ORDER BY n DESC, token LIMIT 25""",
+
+    "q123_bigram_lm_score" -> {
+      val ngrams = TextOps.wordNgramsSql("w", 2)
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          bi AS (SELECT doc_id, unnest($ngrams) AS b FROM ws),
+          cb AS (SELECT b, COUNT(*) AS cb FROM bi GROUP BY b),
+          cu AS (SELECT string_split(b, ' ')[1] AS w1, COUNT(*) AS cu FROM bi GROUP BY 1),
+          v AS (SELECT COUNT(DISTINCT string_split(b, ' ')[1]) AS v FROM bi),
+          sc AS (SELECT doc_id,
+                   round(ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + v.v AS DOUBLE)), 6) AS lp
+                 FROM bi JOIN cb USING (b)
+                 JOIN cu ON string_split(bi.b, ' ')[1] = cu.w1 CROSS JOIN v)
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 round(${Sql.dsum6("lp")} / COUNT(*), 6) AS avg_logprob
+          FROM sc GROUP BY doc_id"""
+    },
+
+    "q124_zorder_tiles" -> {
+      val z = ZOrder.zValueSql("l_partkey", "l_suppkey", 8)
+      s"""WITH pts AS (SELECT $z AS z,
+                 ((l_partkey % 256 + 256) % 256) AS x,
+                 ((l_suppkey % 256 + 256) % 256) AS y
+               FROM lineitem)
+          SELECT (z >> 10) AS tile, COUNT(*) AS n,
+                 MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM pts GROUP BY tile"""
+    },
+
+    "q125_negative_sampling" ->
+      s"""WITH np AS (SELECT COUNT(*) AS np FROM part),
+          cand AS (SELECT s_suppkey, k,
+                     ${Sql.keyHash("(s_suppkey * 131 + k)")} % np AS neg_partkey
+                   FROM supplier, np, LATERAL UNNEST(range(1, 9)) AS t(k)),
+          pos AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+          SELECT c.s_suppkey, c.k, c.neg_partkey,
+                 p.l_partkey IS NOT NULL AS collided
+          FROM cand c LEFT JOIN pos p
+            ON c.s_suppkey = p.l_suppkey AND c.neg_partkey = p.l_partkey""",
+
+    "q126_bloom_decontam" -> {
+      val ngrams = TextOps.wordNgramsSql("w", 5)
+      s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+          gr AS (SELECT doc_id, source, unnest(list_distinct($ngrams)) AS s FROM ws),
+          gh AS (SELECT doc_id, source, ${TextOps.hash32Sql("s")} AS g FROM gr),
+          bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 17 = 0),
+          fl AS (SELECT doc_id, source, COUNT(*) AS n_shared
+                 FROM gh JOIN bench USING (g) WHERE doc_id % 17 <> 0
+                 GROUP BY doc_id, source),
+          tot AS (SELECT source, COUNT(*) AS n_train FROM ws
+                  WHERE doc_id % 17 <> 0 GROUP BY source),
+          agg AS (SELECT source, COUNT(*) AS n_contaminated,
+                    SUM(n_shared) AS shared_grams
+                  FROM fl GROUP BY source)
+          SELECT t.source, t.n_train,
+                 CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                 CAST(COALESCE(a.shared_grams, 0) AS BIGINT) AS shared_grams
+          FROM tot t LEFT JOIN agg a ON a.source = t.source"""
+    }
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bloom
+
+import graft.io.Tables
+import graft.relational.{IncrementalAgg, ZOrder}
+import graft.text.TextOps
+
+/** Wave-5 scale-path contracts: the properties the oracle can't see —
+  * bloom soundness + actual pruning, z-order file-extent locality from a
+  * real layout job, merge plan shape, and heavy-hitter candidate
+  * containment.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("Bloom has no false negatives and prunes the non-member stream") {
+    val keys = (0L until 5000L).map(k => k * 2654435761L + 17).toArray
+    val bits = Bloom.build(keys)
+    assert(keys.forall(Bloom.mightContain(bits, _)), "false negative")
+    val nonMembers = (0L until 20000L).map(k => k * 928371L + 5)
+      .filterNot(keys.contains)
+    val fp = nonMembers.count(Bloom.mightContain(bits, _))
+    assert(fp.toDouble / nonMembers.size < 0.02,
+      s"FPR ${fp.toDouble / nonMembers.size} — sizing regressed")
+  }
+
+  test("q126 bloom prefilter prunes most train grams yet keeps every exact match") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val grams = base.select(col("doc_id"),
+        explode(array_distinct(TextOps.wordNgrams(col("w"), 5))).as("s"))
+      .select(col("doc_id"), TextOps.hash32(col("s")).as("g"))
+    val benchHashes = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select("g").distinct().as[Long].collect()
+    val bloom = Bloom.build(benchHashes)
+    val train = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0).cache()
+    try {
+      val total = train.count()
+      val kept = train.filter(Bloom.probe(bloom)(col("g"))).count()
+      val exact = train.join(
+        broadcast(grams.filter(pmod(col("doc_id"), lit(17)) === 0).select("g").distinct()),
+        "g").count()
+      assert(kept >= exact, s"bloom dropped true matches: kept=$kept exact=$exact")
+      assert(kept < total / 2, s"bloom barely pruned: kept=$kept of $total")
+    } finally { train.unpersist(); () }
+  }
+
+  test("z-order layout job yields files whose (x,y) extents are small tiles") {
+    val d = sf("sf0.001")
+    val out = util.Staging.dirFor("zorder_layout_spec", d)
+    util.Staging.deleteRecursive(out)
+    val li = Tables.lineitem(spark, d).select(
+      ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 8).as("z"),
+      pmod(col("l_partkey"), lit(256L)).as("x"),
+      pmod(col("l_suppkey"), lit(256L)).as("y"))
+    li.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    // every z-range file must cover a FRACTION of both dimension domains —
+    // that's the property row-group min/max pruning exploits on either
+    // filter column (a plain x-sort would leave y spanning its full domain
+    // in every file)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max("x") - min("x"), max("y") - min("y")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgY <= 160, s"z-order lost y-locality: avg y-span $avgY of 256")
+    assert(spans.map(_._1).max <= 255 && spans.nonEmpty)
+  }
+
+  test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
+    val d = sf("sf0.001")
+    val df = SparkEntry.queries("q121_incremental_view")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"view side shuffled:\n${p.take(800)}")
+  }
+
+  test("merge handles delta-only keys (fresh-insert path) additively") {
+    import spark.implicits._
+    val view = Seq((1L, 2L, BigDecimal("10.5")), (2L, 1L, BigDecimal("3.0")))
+      .toDF("k", "n", "s")
+    val delta = Seq((2L, 4L, BigDecimal("1.5")), (9L, 7L, BigDecimal("2.25")))
+      .toDF("k", "n", "s")
+    val out = IncrementalAgg.merge(view, delta, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSeq ==
+      Seq((1L, 2L, 10.5), (2L, 5L, 4.5), (9L, 7L, 2.25)))
+  }
+
+  test("q122 sampled candidate set contains the true top 25 tokens") {
+    val d = sf("sf0.01")
+    val tokens = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("token"))
+    val trueTop = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(25)
+      .select("token").collect().map(_.getString(0)).toSet
+    val cands = tokens
+      .filter(pmod(util.Parity.keyHash(col("doc_id")), lit(10)) < 3)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(400)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(trueTop.subsetOf(cands),
+      s"missing from candidates: ${trueTop.diff(cands).take(5)}")
+  }
+
+  test("z-value interleaving is monotone in tile structure (unit)") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (3L, 6L), (200L, 7L), (255L, 255L), (0L, 0L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 8).as("z"))
+    val zs = df.collect().map(_.getLong(0))
+    def interleave(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    assert(zs.toSeq == Seq(interleave(3, 5), interleave(3, 6),
+      interleave(200, 7), interleave(255, 255), 0L))
+  }
+}
