@@ -245,6 +245,45 @@ object Multimodal {
       .select(col("doc_id").as("id"), col("media")).as[MediaItem]
   }
 
+  case class ImageHash(id: Long, width: Long, height: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL decoded raster: sample
+    * an 8×8 nearest-neighbor grid, gray ≈ R+G+B (kept as the ×3 integer so
+    * every comparison is exact), set bit (j·8+i) iff the sample exceeds
+    * the grid mean (`g3 · 64 > Σg3` — pure integer, engine-portable).
+    * Perceptually-similar images (same content through resize/re-encode)
+    * collide; the hash is a 64-bit key, so corpus-scale image near-dup
+    * becomes an exact hash-groupBy — the same shuffle shape as q29 text
+    * dedup, NOT a pairwise pixel comparison. One mapPartitions pass.
+    *
+    * Mirrors the reference's opaque-binary handling (reference stores
+    * expression matrices, not media, so this op is part of the
+    * training-data extension surface); the oracle replays the sampled
+    * positions arithmetically from the staging formulas — a decoder that
+    * faked pixels or sampled the wrong grid positions hash-mismatches. */
+  def aHash(media: Dataset[MediaItem]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { item =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.media))
+      require(img != null, s"undecodable image for id ${item.id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g3 = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        val x = ((k % 8) * w) / 8
+        val y = ((k / 8) * h) / 8
+        val rgb = img.getRGB(x, y)
+        g3(k) = ((rgb >> 16) & 0xFF).toLong + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        k += 1
+      }
+      val sum = g3.sum
+      var hash = 0L
+      k = 0
+      while (k < 64) { if (g3(k) * 64 > sum) hash |= 1L << k; k += 1 }
+      ImageHash(item.id, w.toLong, h.toLong, hash)
+    })
+  }
+
   case class SampledFrame(id: Long, n_frames: Long, frame_idx: Long,
                           width: Long, height: Long, mean_r: Double)
 

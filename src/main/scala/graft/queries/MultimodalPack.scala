@@ -90,6 +90,17 @@ object MultimodalPack extends QueryPack {
     "q104_audio_energy" -> { (s, d) =>
       Multimodal.audioEnergy(Multimodal.audioTable(s, d), 100)
         .toDF().withColumnRenamed("id", "doc_id")
+    },
+
+    // image near-dup via perceptual average-hash: REAL decode → 8×8
+    // nearest-neighbor grid → 64-bit aHash ([[Multimodal.aHash]]), then
+    // near-dup clustering is an exact hash-groupBy — q29's shuffle shape
+    // over images, never a pairwise pixel comparison. The oracle replays
+    // the sampled grid positions arithmetically from the staging formulas.
+    "q132_image_ahash" -> { (s, d) =>
+      Multimodal.aHash(Multimodal.imageTable(s, d)).toDF()
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_images"), min(col("id")).as("min_doc_id"))
     }
   )
 
@@ -109,6 +120,27 @@ object MultimodalPack extends QueryPack {
        FROM documents)"""
 
   override def oracles: Map[String, String] = Map(
+    // aHash replay: the staged PNG's pixel (x,y) is (r, x%256, y%256) with
+    // r = doc_id%256, so the sampled ×3-gray is pure integer arithmetic
+    // over the geometry formulas; bit k set iff g3[k]·64 > Σg3. The bit
+    // sum equals Java's signed long (bit 63 contributes −2^63 in HUGEINT,
+    // exact under the final BIGINT cast).
+    "q132_image_ahash" ->
+      s"""WITH $geomCte,
+          g AS (SELECT doc_id, list_transform(range(64), k ->
+                  (doc_id % 256) + ((((k % 8) * width) // 8) % 256)
+                                 + ((((k // 8) * height) // 8) % 256)) AS g3
+                FROM geom),
+          sc AS (SELECT doc_id, g3, list_sum(g3) AS s FROM g),
+          ah AS (SELECT doc_id, CAST(list_sum(list_transform(range(64), k ->
+                   CASE WHEN g3[k + 1] * 64 <= s THEN CAST(0 AS BIGINT)
+                        WHEN k = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << k) END))
+                 AS BIGINT) AS ahash
+                 FROM sc)
+          SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS min_doc_id
+          FROM ah GROUP BY ahash""",
+
     "q44_media_decode" ->
       s"""WITH $geomCte,
           med AS (SELECT doc_id, CAST(octet_length(media) AS BIGINT) AS n_bytes
