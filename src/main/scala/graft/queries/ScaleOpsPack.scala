@@ -99,9 +99,12 @@ object ScaleOpsPack extends QueryPack {
       val bi = ws.select(col("doc_id"),
         explode(TextOps.wordNgrams(col("w"), 2)).as("b"))
       val cb = bi.groupBy("b").agg(count(lit(1)).as("cb"))
-      val cu = bi.select(substring_index(col("b"), " ", 1).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("cu"))
-      val vocab = bi.select(substring_index(col("b"), " ", 1).as("w1"))
+      // context counts and vocabulary DERIVE from the (far smaller) bigram
+      // aggregate — Σ cb by first word ≡ counting the exploded stream, so
+      // the corpus is exploded twice total, not four times
+      val cu = cb.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+        .agg(sum(col("cb")).as("cu"))
+      val vocab = cb.select(substring_index(col("b"), " ", 1).as("w1"))
         .agg(countDistinct(col("w1")).as("v"))
       bi.join(cb, "b")
         .withColumn("w1", substring_index(col("b"), " ", 1))
@@ -175,8 +178,10 @@ object ScaleOpsPack extends QueryPack {
       val benchHashes = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
         .select(col("g")).distinct().as[Long].collect()
       val bloom = Bloom.build(benchHashes)
-      val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
-        .select("g").distinct()
+      // the confirm set IS the collected array — localizing it avoids a
+      // third scan+explode of the corpus just to rebuild what the driver
+      // already holds
+      val bench = benchHashes.toSeq.toDF("g")
       val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
         .filter(Bloom.probe(bloom)(col("g")))
         .join(broadcast(bench), "g")
