@@ -24,7 +24,8 @@ object SparkEntry {
     _root_.graft.queries.ExtrasPack,
     _root_.graft.queries.AnalyticsPack,
     _root_.graft.queries.ScaleOpsPack,
-    _root_.graft.queries.BehaviorPack
+    _root_.graft.queries.BehaviorPack,
+    _root_.graft.queries.QualityPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

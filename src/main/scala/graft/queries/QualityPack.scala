@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.util.Parity
+
+/** Wave-7 governance / quality surface: blocked fuzzy entity resolution,
+  * a distributed statistical independence test, and a Deequ-style
+  * data-quality constraint suite — the checks that gate a production
+  * 100 TB ingest.
+  */
+object QualityPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q133: entity resolution — blocked fuzzy join ───────────────────
+    // A deterministically corrupted copy of customer names (3rd char
+    // dropped) is re-matched to the master list: BLOCK on (nation, last-4
+    // name chars) — a key the corruption can't touch — then exact edit
+    // distance ≤ 1 only within blocks. The hash equi-join on the block key
+    // replaces the quadratic all-pairs comparison; block cardinality
+    // scales with the data (numeric suffixes), so blocks stay O(1) and
+    // the join stays linear at 100 TB. The oracle replays blocking AND
+    // distance (DuckDB `levenshtein` ≡ Spark `levenshtein`).
+    "q133_fuzzy_match" -> { (s, d) =>
+      val master = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          substring(col("c_name"), -4, 4).as("blk"))
+      val dirty = Tables.customer(s, d)
+        .select(col("c_custkey").as("d_custkey"),
+          concat(substring(col("c_name"), 1, 2), expr("substring(c_name, 4)")).as("d_name"),
+          col("c_nationkey").as("d_nationkey"))
+        .withColumn("blk", substring(col("d_name"), -4, 4))
+      dirty.join(master, Seq("blk"))
+        .filter(col("d_nationkey") === col("c_nationkey") &&
+          levenshtein(col("d_name"), col("c_name")) <= 1)
+        .select(col("d_custkey"), col("c_custkey"),
+          levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
+    },
+
+    // ── q134: chi-square test of independence ──────────────────────────
+    // Market segment × order status over the orders↔customer join: three
+    // tiny aggregates (cells, row totals, column totals) broadcast
+    // together, per-cell (o−e)²/e rounded at source, exact-decimal total.
+    // The join keys on custkey; the contingency table itself is O(r·c).
+    "q134_chi_square" -> { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"))
+      val cells = joined.groupBy("seg", "st").agg(count(lit(1)).as("o"))
+      val rows = joined.groupBy("seg").agg(count(lit(1)).as("rt"))
+      val cols = joined.groupBy("st").agg(count(lit(1)).as("ct"))
+      val n = joined.agg(count(lit(1)).as("n"))
+      cells.join(broadcast(rows), "seg").join(broadcast(cols), "st")
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("term", round(
+          (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"), 6))
+        .agg(round(Parity.dsum6(col("term")), 6).as("chi2"),
+          ((countDistinct(col("seg")) - 1) * (countDistinct(col("st")) - 1)).as("dof"))
+    },
+
+    // ── q135: data-quality constraint suite ────────────────────────────
+    // Referential integrity, key uniqueness, domain bounds, null rates —
+    // each check one aggregate (the FK check a broadcast anti join),
+    // union'd into the one-row-per-check report a 100 TB ingest gates on.
+    "q135_dq_checks" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val events = Tables.events(s, d)
+      def report(name: String, violations: DataFrame): DataFrame =
+        violations.select(lit(name).as("check_name"),
+          col("v").as("n_violations"), (col("v") === 0).as("passed"))
+      val fk = report("orders_custkey_fk",
+        orders.join(broadcast(customer.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v")))
+      val uqC = report("customer_custkey_unique",
+        customer.agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("v")))
+      val uqO = report("orders_orderkey_unique",
+        orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v")))
+      val qty = report("lineitem_quantity_positive",
+        lineitem.agg(count(when(col("l_quantity") <= 0, lit(1))).as("v")))
+      val price = report("orders_totalprice_positive",
+        orders.agg(count(when(col("o_totalprice") <= 0, lit(1))).as("v")))
+      val nn = report("events_value_nonnull",
+        events.agg(count(when(col("value").isNull, lit(1))).as("v")))
+      Seq(fk, uqC, uqO, qty, price, nn).reduce(_ unionByName _)
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    "q133_fuzzy_match" ->
+      """WITH dirty AS (SELECT c_custkey AS d_custkey,
+                 substring(c_name, 1, 2) || substring(c_name, 4) AS d_name,
+                 c_nationkey AS d_nationkey
+               FROM customer),
+          m AS (SELECT c_custkey, c_name, c_nationkey,
+                  substring(c_name, length(c_name) - 3, 4) AS blk FROM customer),
+          db AS (SELECT *, substring(d_name, length(d_name) - 3, 4) AS blk FROM dirty)
+          SELECT d_custkey, c_custkey,
+                 CAST(levenshtein(d_name, c_name) AS BIGINT) AS dist
+          FROM db JOIN m USING (blk)
+          WHERE d_nationkey = c_nationkey AND levenshtein(d_name, c_name) <= 1""",
+
+    "q134_chi_square" ->
+      s"""WITH j AS (SELECT c_mktsegment AS seg, o_orderstatus AS st
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+          cells AS (SELECT seg, st, COUNT(*) AS o FROM j GROUP BY seg, st),
+          r AS (SELECT seg, COUNT(*) AS rt FROM j GROUP BY seg),
+          c AS (SELECT st, COUNT(*) AS ct FROM j GROUP BY st),
+          n AS (SELECT COUNT(*) AS n FROM j),
+          t AS (SELECT round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS term,
+                       seg, st
+                FROM cells JOIN r USING (seg) JOIN c USING (st) CROSS JOIN n)
+          SELECT round(${Sql.dsum6("term")}, 6) AS chi2,
+                 CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT st) - 1) AS BIGINT) AS dof
+          FROM t""",
+
+    "q135_dq_checks" ->
+      """SELECT 'orders_custkey_fk' AS check_name,
+                CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS n_violations,
+                (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 AS passed
+         UNION ALL
+         SELECT 'customer_custkey_unique',
+                CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT),
+                (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer) = 0
+         UNION ALL
+         SELECT 'orders_orderkey_unique',
+                CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+                (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+         UNION ALL
+         SELECT 'lineitem_quantity_positive',
+                CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+                (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) = 0
+         UNION ALL
+         SELECT 'orders_totalprice_positive',
+                CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+                (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0
+         UNION ALL
+         SELECT 'events_value_nonnull',
+                CAST((SELECT COUNT(*) FROM events WHERE value IS NULL) AS BIGINT),
+                (SELECT COUNT(*) FROM events WHERE value IS NULL) = 0"""
+  )
+}

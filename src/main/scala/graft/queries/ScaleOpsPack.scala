@@ -113,8 +113,13 @@ object ScaleOpsPack extends QueryPack {
         .withColumn("lp", round(
           log((col("cb") + lit(1)).cast("double") / (col("cu") + col("v")).cast("double")), 6))
         .groupBy("doc_id")
+        // emit the exact-decimal SUM, not the mean: sum-of-rounded is
+        // bit-exact cross-engine, but sum/n has unbounded decimals and a
+        // final round() can land on a 6-decimal midpoint where Spark and
+        // DuckDB tie-break differently (bit sf0.1 doc 1223); callers
+        // divide by n_bigrams themselves when they want the mean
         .agg(count(lit(1)).as("n_bigrams"),
-          round(Parity.dsum6(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+          Parity.dsum6(col("lp")).as("sum_logprob"))
     },
 
     // ── q124: z-order (Morton) clustering tiles ────────────────────────
@@ -221,7 +226,7 @@ object ScaleOpsPack extends QueryPack {
                  FROM bi JOIN cb USING (b)
                  JOIN cu ON string_split(bi.b, ' ')[1] = cu.w1 CROSS JOIN v)
           SELECT doc_id, COUNT(*) AS n_bigrams,
-                 round(${Sql.dsum6("lp")} / COUNT(*), 6) AS avg_logprob
+                 ${Sql.dsum6("lp")} AS sum_logprob
           FROM sc GROUP BY doc_id"""
     },
 
