@@ -123,6 +123,38 @@ object BehaviorPack extends QueryPack {
       Intervals.overlapJoin(sessions, "sess_start", "sess_end",
           incidents, "inc_start", "inc_end")
         .select("user_id", "sess_start", "incident_id")
+    },
+
+    // ── q136: event-transition matrix (first-order Markov) ─────────────
+    // lead() over (user, time) — ties broken by event_id so the sequence
+    // is total-ordered — then one count aggregate; transition probability
+    // is a raw integer/integer double division (correctly-rounded IEEE op,
+    // bit-identical cross-engine — no rounding needed, the q120 pattern).
+    "q136_transitions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("event_type").agg(sum(col("n")).as("rt"))
+      counts.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("rt").cast("double")).as("p"))
+    },
+
+    // ── q137: dynamic pivot (columns discovered from the data) ─────────
+    // `pivot` without an explicit value list: Spark collects the distinct
+    // keys in a first micro-job (sorted, capped by spark.sql.pivotMaxValues)
+    // and compiles them into ONE pivoting aggregate — the two-phase shape
+    // any dynamic reshape needs at scale; the wide result never shuffles
+    // twice. Missing combinations are 0-filled to match COUNT semantics.
+    "q137_dynamic_pivot" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot(col("event_type"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
     }
   )
 
@@ -185,6 +217,27 @@ object BehaviorPack extends QueryPack {
                   FROM o WHERE event_type = 'error' AND event_id % 50 = 0)
           SELECT DISTINCT user_id, sess_start, incident_id
           FROM sess JOIN inc
-            ON sess_start <= inc_end AND inc_start <= sess_end"""
+            ON sess_start <= inc_end AND inc_start <= sess_end""",
+
+    "q136_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+          p AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+                FROM e),
+          c AS (SELECT event_type, next_type, COUNT(*) AS n FROM p
+                WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+          r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rt FROM c GROUP BY event_type)
+          SELECT c.event_type, c.next_type, c.n,
+                 CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE) AS p
+          FROM c JOIN r ON c.event_type = r.event_type""",
+
+    "q137_dynamic_pivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1"""
   )
 }
