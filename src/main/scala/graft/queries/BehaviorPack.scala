@@ -143,6 +143,85 @@ object BehaviorPack extends QueryPack {
           (col("n").cast("double") / col("rt").cast("double")).as("p"))
     },
 
+    // ── q138: Kaplan-Meier survival curve ──────────────────────────────
+    // User lifetime = first→last event span; churn observed unless the
+    // user was active in the final week (right-censored). One user-keyed
+    // aggregate → a ~30-row life table → the product-limit estimator as
+    // exp(running sum of rounded ln factors) — the transcendental-parity
+    // pattern, with the running sum a SEQUENTIAL in-order fold in both
+    // engines. Risk sets come from a window cumsum, not a self-join.
+    "q138_kaplan_meier" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val horizon = ev.agg(max(col("ts")).as("mx"))
+      val life = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .crossJoin(broadcast(horizon))
+        .select(datediff(col("t1"), col("t0")).cast("long").as("dur"),
+          (col("t1") < col("mx") - expr("interval 7 days")).cast("long").as("obs"))
+      val table = life.groupBy("dur")
+        .agg(sum(col("obs")).as("d"), sum(lit(1) - col("obs")).as("c"))
+      val totals = life.agg(count(lit(1)).as("n_total"))
+      // global-order windows: the life table is O(max duration) rows —
+      // ~30 here, bounded at any corpus size — so the single-partition
+      // window exec is deliberate, not a scale bug
+      val w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+      val wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+      table.crossJoin(broadcast(totals))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        .withColumn("lnf", when(col("d") < col("n_risk"),
+            round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 6))
+          .otherwise(lit(-1000000.0)))
+        .withColumn("surv", round(exp(sum(col("lnf")).over(wc)), 6))
+        .select(col("dur"), col("n_risk"), col("d"), col("c"), col("surv"))
+    },
+
+    // ── q139: co-purchase lift (item-item affinity) ────────────────────
+    // Distinct parts per order, self-joined on the order key (hash
+    // shuffle, co-partitioned; per-order line counts are bounded so the
+    // within-order pair fan-out is O(1)); lift from integer counts via
+    // exact long products and ONE IEEE division. Top pairs ordered on
+    // (count, lift, keys) — all deterministic.
+    "q139_copurchase" -> { (s, d) =>
+      val op = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_total"))
+      val partCounts = op.groupBy("pk").agg(count(lit(1)).as("n_one"))
+      val b = op.select(col("ok"), col("pk").as("pk_b"))
+      val pairs = op.join(b, "ok").filter(col("pk") < col("pk_b"))
+        .groupBy("pk", "pk_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(partCounts.select(col("pk"), col("n_one").as("n_a")), "pk")
+        .join(partCounts.select(col("pk").as("pk_b"), col("n_one").as("n_b")), "pk_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pk").as("part_a"), col("pk_b").as("part_b"), col("n_ab"),
+          ((col("n_ab") * col("n_total")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("n_ab").desc, col("lift").desc, col("part_a"), col("part_b"))
+        .limit(30)
+    },
+
+    // ── q140: last-touch attribution ───────────────────────────────────
+    // For every purchase, the nearest PRECEDING non-purchase event type in
+    // the user's total-ordered stream: `last(..., ignoreNulls)` over an
+    // unbounded-to-previous frame — one user shuffle, no self-join — then
+    // one tiny aggregate; share is an exact int/int IEEE division.
+    "q140_attribution" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attributed = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch"), lit("none")).as("attributed_type"))
+      val totals = attributed.agg(count(lit(1)).as("n_total"))
+      attributed.groupBy("attributed_type").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(totals))
+        .select(col("attributed_type"), col("n"),
+          (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+    },
+
     // ── q137: dynamic pivot (columns discovered from the data) ─────────
     // `pivot` without an explicit value list: Spark collects the distinct
     // keys in a first micro-job (sorted, capped by spark.sql.pivotMaxValues)
@@ -230,6 +309,56 @@ object BehaviorPack extends QueryPack {
           SELECT c.event_type, c.next_type, c.n,
                  CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE) AS p
           FROM c JOIN r ON c.event_type = r.event_type""",
+
+    "q138_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+          mx AS (SELECT MAX(t) AS mx FROM e),
+          life AS (SELECT CAST(date_diff('day', CAST(MIN(t) AS DATE), CAST(MAX(t) AS DATE)) AS BIGINT) AS dur,
+                     CASE WHEN MAX(t) < (SELECT mx FROM mx) - INTERVAL 7 DAY THEN 1 ELSE 0 END AS obs
+                   FROM e GROUP BY user_id),
+          tot AS (SELECT COUNT(*) AS n_total FROM life),
+          tab AS (SELECT dur, CAST(SUM(obs) AS BIGINT) AS d,
+                    CAST(SUM(1 - obs) AS BIGINT) AS c
+                  FROM life GROUP BY dur),
+          risk AS (SELECT dur, d, c,
+                     (SELECT n_total FROM tot) - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                   FROM tab),
+          lf AS (SELECT *, CASE WHEN d < n_risk
+                   THEN round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+                   ELSE -1000000.0 END AS lnf
+                 FROM risk)
+          SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+                 round(exp(SUM(lnf) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
+          FROM lf""",
+
+    "q139_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          tot AS (SELECT COUNT(*) AS n_total FROM orders),
+          pc AS (SELECT pk, COUNT(*) AS n_one FROM op GROUP BY pk),
+          pairs AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+                    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY a.pk, b.pk)
+          SELECT part_a, part_b, n_ab,
+                 CAST(n_ab * (SELECT n_total FROM tot) AS DOUBLE)
+                   / CAST(pa.n_one * pb.n_one AS DOUBLE) AS lift
+          FROM pairs JOIN pc pa ON pa.pk = part_a JOIN pc pb ON pb.pk = part_b
+          ORDER BY n_ab DESC, lift DESC, part_a, part_b LIMIT 30""",
+
+    "q140_attribution" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type FROM events),
+          a AS (SELECT event_type,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+                FROM e),
+          p AS (SELECT COALESCE(touch, 'none') AS attributed_type FROM a
+                WHERE event_type = 'purchase'),
+          tot AS (SELECT COUNT(*) AS n_total FROM p)
+          SELECT attributed_type, COUNT(*) AS n,
+                 CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE) AS share
+          FROM p GROUP BY attributed_type""",
 
     "q137_dynamic_pivot" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -27,15 +27,15 @@ object Intervals {
     * combinations of (left columns ++ right columns). */
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
                   right: DataFrame, rStart: String, rEnd: String): DataFrame = {
-    val lb = left.withColumn("_bin",
+    val lb = left.withColumn("__graft_bin",
       explode(sequence(date_trunc("hour", col(lStart)), date_trunc("hour", col(lEnd)),
         expr("interval 1 hour"))))
-    val rb = right.withColumn("_bin",
+    val rb = right.withColumn("__graft_bin",
       explode(sequence(date_trunc("hour", col(rStart)), date_trunc("hour", col(rEnd)),
         expr("interval 1 hour"))))
-    lb.join(rb, "_bin")
+    lb.join(rb, "__graft_bin")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .drop("_bin")
+      .drop("__graft_bin")
       .distinct()
   }
 }
