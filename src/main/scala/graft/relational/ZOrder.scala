@@ -34,6 +34,16 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** Pure-Scala reference of [[zValue]] (property tests compare against
+    * it; keep in lockstep with the Column formula). */
+  def ref(x: Long, y: Long, bits: Int): Long = {
+    val m = 1L << bits
+    val xm = ((x % m) + m) % m
+    val ym = ((y % m) + m) % m
+    (0 until bits).foldLeft(0L)((acc, i) =>
+      acc + ((((xm >> i) & 1L) << (2 * i)) + (((ym >> i) & 1L) << (2 * i + 1))))
+  }
+
   /** DuckDB twin of [[zValue]] over SQL expressions `x`, `y`. */
   def zValueSql(x: String, y: String, bits: Int): String = {
     val m = 1L << bits

@@ -54,4 +54,22 @@ class PropertySpec extends AnyFunSuite {
       v >= -1.0 && v <= 1.0 && v == Planes.value(p, d, 64)
     })
   }
+
+  test("Bloom: never a false negative, for arbitrary member sets") {
+    import org.apache.spark.sql.graft.Bloom
+    check("bloom", Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))) {
+      keys =>
+        val bits = Bloom.build(keys.toArray)
+        keys.forall(Bloom.mightContain(bits, _))
+    })
+  }
+
+  test("z-value interleave is invertible (no two points share a z)") {
+    import graft.relational.ZOrder
+    check("zorder", Prop.forAll(Gen.choose(0L, 255L), Gen.choose(0L, 255L),
+        Gen.choose(0L, 255L), Gen.choose(0L, 255L)) { (x1, y1, x2, y2) =>
+      val same = x1 == x2 && y1 == y2
+      (ZOrder.ref(x1, y1, 8) == ZOrder.ref(x2, y2, 8)) == same
+    })
+  }
 }

@@ -119,9 +119,7 @@ class ScaleOpsSpec extends SparkSpec {
       .toDF("x", "y")
       .select(ZOrder.zValue(col("x"), col("y"), 8).as("z"))
     val zs = df.collect().map(_.getLong(0))
-    def interleave(x: Long, y: Long): Long =
-      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
-    assert(zs.toSeq == Seq(interleave(3, 5), interleave(3, 6),
-      interleave(200, 7), interleave(255, 255), 0L))
+    assert(zs.toSeq == Seq(ZOrder.ref(3, 5, 8), ZOrder.ref(3, 6, 8),
+      ZOrder.ref(200, 7, 8), ZOrder.ref(255, 255, 8), 0L))
   }
 }
