@@ -222,6 +222,33 @@ object BehaviorPack extends QueryPack {
           (col("n").cast("double") / col("n_total").cast("double")).as("share"))
     },
 
+    // ── q141: triangle count on the co-purchase graph ──────────────────
+    // Strong edges (parts co-ordered ≥ 2×, canonically a < b) → ordered
+    // 2-paths a<b<c by joining edge lists on the middle vertex → closing
+    // edge probe. Two hash joins over the edge list — the standard
+    // distributed triangle shape; the a<b<c canonicalization counts each
+    // triangle exactly once AND caps the wedge fan-out of hot vertices
+    // (only higher-id neighbors extend a path). Complements q111/q85
+    // (PageRank / connected components) on the graph surface.
+    "q141_triangles" -> { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val b = op.select(col("ok"), col("pk").as("pk_b"))
+      val edges = op.join(b, "ok").filter(col("pk") < col("pk_b"))
+        .groupBy(col("pk").as("a"), col("pk_b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("a", "b")
+      val e2 = edges.select(col("a").as("b2"), col("b").as("c"))
+      val paths = edges.join(e2, col("b") === col("b2")).select("a", "b", "c")
+      val e3 = edges.select(col("a").as("a3"), col("b").as("c3"))
+      val tri = paths.join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      val nE = edges.agg(count(lit(1)).as("n_edges"))
+      val nP = paths.agg(count(lit(1)).as("n_paths"))
+      val nT = tri.agg(count(lit(1)).as("n_triangles"))
+      nE.crossJoin(nP).crossJoin(nT)
+    },
+
     // ── q137: dynamic pivot (columns discovered from the data) ─────────
     // `pivot` without an explicit value list: Spark collects the distinct
     // keys in a first micro-job (sorted, capped by spark.sql.pivotMaxValues)
@@ -359,6 +386,17 @@ object BehaviorPack extends QueryPack {
           SELECT attributed_type, COUNT(*) AS n,
                  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE) AS share
           FROM p GROUP BY attributed_type""",
+
+    "q141_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          edges AS (SELECT a.pk AS a, b.pk AS b FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+          paths AS (SELECT e1.a, e1.b, e2.b AS c
+                    FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+          tri AS (SELECT 1 FROM paths p JOIN edges e3 ON p.a = e3.a AND p.c = e3.b)
+          SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+                 (SELECT COUNT(*) FROM paths) AS n_paths,
+                 (SELECT COUNT(*) FROM tri) AS n_triangles""",
 
     "q137_dynamic_pivot" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
