@@ -222,6 +222,47 @@ object BehaviorPack extends QueryPack {
           (col("n").cast("double") / col("n_total").cast("double")).as("share"))
     },
 
+    // ── q142: share-of-total window report ─────────────────────────────
+    // Revenue share and rank of each nation within its region: the window
+    // aggregate runs over the EXACT DECIMAL revenue (order-free — a
+    // window sum over doubles would depend on partition iteration order),
+    // cast to double only at the output edge; one ~25-row window
+    // partition after one keyed aggregate.
+    "q142_window_share" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 4))).as("revdec"))
+      val wp = Window.partitionBy("r_name")
+      val wr = Window.partitionBy("r_name").orderBy(col("revdec").desc, col("n_name"))
+      rev.select(col("r_name"), col("n_name"),
+        col("revdec").cast("double").as("revenue"),
+        (col("revdec").cast("double") / sum(col("revdec")).over(wp).cast("double")).as("share"),
+        rank().over(wr).cast("long").as("rnk"))
+    },
+
+    // ── q143: Gini concentration of customer spend ─────────────────────
+    // Global ascending rank via range-partitioned sort + zipWithIndex
+    // (the q110 machinery — never a 1-partition window), Σ i·xᵢ in exact
+    // decimal (rank × DECIMAL stays exact), the closed-form Gini as
+    // mirrored IEEE ops on the exact moments.
+    "q143_gini" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val spend = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 4))).as("xdec"))
+      val ranked = graft.relational.Joins.zipWithRowId(
+        spend, Seq(col("xdec"), col("o_custkey")), idCol = "idx")
+      ranked.agg(count(lit(1)).as("nL"),
+          sum(col("xdec")).cast("double").as("sx"),
+          sum(col("xdec") * (col("idx") + 1)).cast("double").as("s1"))
+        .select(col("nL").as("n_customers"),
+          (lit(2.0) * col("s1") / (col("nL").cast("double") * col("sx"))
+            - (col("nL").cast("double") + lit(1.0)) / col("nL").cast("double")).as("gini"))
+    },
+
     // ── q141: triangle count on the co-purchase graph ──────────────────
     // Strong edges (parts co-ordered ≥ 2×, canonically a < b) → ordered
     // 2-paths a<b<c by joining edge lists on the middle vertex → closing
@@ -386,6 +427,35 @@ object BehaviorPack extends QueryPack {
           SELECT attributed_type, COUNT(*) AS n,
                  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE) AS share
           FROM p GROUP BY attributed_type""",
+
+    "q142_window_share" ->
+      """WITH rev AS (SELECT r_name, n_name,
+                 SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS revdec
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name)
+          SELECT r_name, n_name,
+                 CAST(revdec AS DOUBLE) AS revenue,
+                 CAST(revdec AS DOUBLE) / CAST(SUM(revdec) OVER (PARTITION BY r_name) AS DOUBLE) AS share,
+                 CAST(rank() OVER (PARTITION BY r_name ORDER BY revdec DESC, n_name) AS BIGINT) AS rnk
+          FROM rev""",
+
+    "q143_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS xdec
+               FROM orders GROUP BY o_custkey),
+          rk AS (SELECT xdec,
+                   row_number() OVER (ORDER BY xdec, o_custkey) AS rn
+                 FROM spend),
+          m AS (SELECT COUNT(*) AS nL, CAST(SUM(xdec) AS DOUBLE) AS sx,
+                  CAST(SUM(xdec * rn) AS DOUBLE) AS s1
+                FROM rk)
+          SELECT nL AS n_customers,
+                 2.0 * s1 / (CAST(nL AS DOUBLE) * sx)
+                   - (CAST(nL AS DOUBLE) + 1.0) / CAST(nL AS DOUBLE) AS gini
+          FROM m""",
 
     "q141_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
