@@ -183,6 +183,9 @@ object BehaviorPack extends QueryPack {
     // exact long products and ONE IEEE division. Top pairs ordered on
     // (count, lift, keys) — all deterministic.
     "q139_copurchase" -> { (s, d) =>
+      // NOT persisted: caching the 600k-row distinct costs more than
+      // Spark's automatic exchange reuse across its three readers
+      // (A/B: 2.56 s cached vs 1.99 s relying on ReuseExchange)
       val op = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_total"))
@@ -275,11 +278,17 @@ object BehaviorPack extends QueryPack {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       val b = op.select(col("ok"), col("pk").as("pk_b"))
+      // the 1.2M-pair self-join collapses to ~3.5k strong edges consumed
+      // by THREE readers (paths build, closing probe, edge count):
+      // persist the tiny result, don't re-run the expensive derivation
+      // (min-of-7 A/B at sf0.1: 1.51 s persisted vs 2.06 s relying on
+      // exchange reuse)
       val edges = op.join(b, "ok").filter(col("pk") < col("pk_b"))
         .groupBy(col("pk").as("a"), col("pk_b").as("b"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .select("a", "b")
+        .persist()
       val e2 = edges.select(col("a").as("b2"), col("b").as("c"))
       val paths = edges.join(e2, col("b") === col("b2")).select("a", "b", "c")
       val e3 = edges.select(col("a").as("a3"), col("b").as("c3"))
