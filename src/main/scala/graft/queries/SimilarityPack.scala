@@ -104,6 +104,26 @@ object SimilarityPack extends QueryPack {
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .groupBy("cluster").agg(count(lit(1)).as("n"))
       } finally df.unpersist()
+    },
+
+    // grouped softmax over the shared linear score probe: the numerically
+    // stable exp-normalize (shift by the per-label max — a window MAX is
+    // order-free), exp rounded at source, the normalizer an exact-decimal
+    // window sum, and the final probability one IEEE division of exact
+    // doubles — the whole distribution is engine-replayable with no
+    // tolerance gate. One label-keyed window; at scale the same shape
+    // runs per any grouping key.
+    "q146_softmax" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val score = ((element_at(col("embedding"), 1).cast("double")
+        - lit(0.5) * element_at(col("embedding"), 2).cast("double"))
+        + lit(0.25) * element_at(col("embedding"), 3).cast("double")).as("s")
+      val w = Window.partitionBy("label")
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"), score)
+        .withColumn("e", round(exp(col("s") - max(col("s")).over(w)), 6))
+        .withColumn("z", sum(col("e").cast(DecimalType(28, 6))).over(w).cast("double"))
+        .select(col("vec_id"), col("label"), (col("e") / col("z")).as("p"))
     }
   )
 
@@ -211,6 +231,19 @@ object SimilarityPack extends QueryPack {
                        SELECT vec_id, cluster,
                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS pr
                        FROM d) WHERE pr = 1)
-          SELECT cluster, COUNT(*) AS n FROM assign GROUP BY cluster"""
+          SELECT cluster, COUNT(*) AS n FROM assign GROUP BY cluster""",
+
+    "q146_softmax" ->
+      """WITH sc AS (SELECT vec_id, label,
+                 ((CAST(embedding[1] AS DOUBLE) - 0.5 * CAST(embedding[2] AS DOUBLE))
+                  + 0.25 * CAST(embedding[3] AS DOUBLE)) AS s
+               FROM embeddings),
+          ex AS (SELECT vec_id, label,
+                   round(exp(s - MAX(s) OVER (PARTITION BY label)), 6) AS e
+                 FROM sc),
+          nz AS (SELECT vec_id, label, e,
+                   CAST(SUM(CAST(e AS DECIMAL(28,6))) OVER (PARTITION BY label) AS DOUBLE) AS z
+                 FROM ex)
+          SELECT vec_id, label, e / z AS p FROM nz"""
   )
 }

@@ -127,6 +127,45 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("n_terms"), countDistinct(col("doc_id")).as("n_docs"))
     },
 
+    // whitespace normalization over deterministically-injected noise
+    // (every 3rd doc gains tab/newline junk): collapse runs, trim, and
+    // prove the character-level work with an md5 of the cleaned text —
+    // a pure projection at scan speed; DuckDB replays regex + md5 exactly
+    // (its regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics).
+    "q144_text_normalize" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("\t  trailing junk \n "))
+            .otherwise(lit(""))).as("noisy"))
+        .select(col("doc_id"), length(col("noisy")).cast("long").as("raw_len"),
+          trim(regexp_replace(col("noisy"), "\\s+", " ")).as("clean"))
+        .select(col("doc_id"), col("raw_len"),
+          length(col("clean")).cast("long").as("clean_len"), md5(col("clean")).as("h"))
+    },
+
+    // vocabulary pruning (min-df ≥ 3 + stoplist) with ORDER-PRESERVING
+    // re-aggregation: posexplode carries the position, the kept tokens
+    // re-assemble via sort-by-position — the general pattern for any
+    // token-level rewrite that must keep document order through a
+    // shuffle. The df table shuffles once on the token key; df ≥ 3 keeps
+    // the join side bounded.
+    "q145_vocab_prune" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "t")))
+      val keep = toks.select(col("t"), col("doc_id")).distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .select("t")
+      toks.join(keep, "t")
+        .filter(!col("t").isin(TextOps.DefaultStoplist.map(x => x: Any): _*))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ").as("clean"))
+        .select(col("doc_id"), col("n_kept"), md5(col("clean")).as("h"))
+    },
+
     // TF-IDF featurization: global top-20 (doc, term) pairs by smoothed
     // tf·idf — deterministic ordering on (rounded score desc, doc, term)
     // so the cut set is engine-portable.
@@ -208,6 +247,31 @@ object TextPack extends QueryPack {
                  CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                  CAST(SUM(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
           FROM r GROUP BY source""",
+
+    "q144_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0 THEN e'\t  trailing junk \n ' ELSE '' END AS noisy
+               FROM documents),
+          c AS (SELECT doc_id, CAST(length(noisy) AS BIGINT) AS raw_len,
+                  trim(regexp_replace(noisy, '\s+', ' ', 'g')) AS clean
+                FROM n)
+          SELECT doc_id, raw_len, CAST(length(clean) AS BIGINT) AS clean_len,
+                 md5(clean) AS h
+          FROM c""",
+
+    "q145_vocab_prune" -> {
+      val stop = graft.text.TextOps.DefaultStoplist.map(t => s"'$t'").mkString(", ")
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          tk AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+                 FROM ws, LATERAL UNNEST(range(1, len(w) + 1)) AS r(i)),
+          keep AS (SELECT t FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY t)
+                   WHERE df >= 3)
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(t, ' ' ORDER BY pos)) AS h
+          FROM tk JOIN keep USING (t)
+          WHERE t NOT IN ($stop)
+          GROUP BY doc_id"""
+    },
 
     "q81_tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
