@@ -133,6 +133,87 @@ object DedupPack extends QueryPack {
         comps.groupBy("comp").agg(count(lit(1)).as("n_members")), "comp")
     },
 
+    // ---- q147: the COMPOSED training-data prep pipeline ---------------
+    // The capstone: near-dup canonicalization (q96) → benchmark
+    // decontamination (q95) → quality cut (q37) → temperature mixture
+    // sampling (q99) chained as ONE query, emitting the per-source
+    // datasheet a data curator reads (row counts through every stage +
+    // sampled token budget). Every stage keeps its individually-proven
+    // scalable shape; the oracle replays the entire composition end-to-end
+    // — a wrong stage ORDER (e.g. sampling before dedup) hash-mismatches,
+    // not just a wrong stage.
+    "q147_trainprep_pipeline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.util.Parity
+      val base = graft.relational.Scale.fanOut(
+        Tables.documents(s, d).select("doc_id", "text", "source"))
+      val corpus = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"),
+            col("source")))
+      // stage 1: LSH → components → keep best-quality doc per cluster
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandTable(corpus.select("doc_id", "text"), "doc_id", "text"), "doc_id")
+      val comps =
+        try Dedup.connectedComponents(pairs, "id_a", "id_b")
+        finally pairs.unpersist()
+      val tw = TextOps.words(col("text"))
+      val scored = corpus.select(col("doc_id"), col("source"), col("text"),
+        Parity.r6(TextOps.qualityScore(size(tw), size(array_distinct(tw)),
+          TextOps.profileHits(tw, TextOps.DefaultStoplist))).as("q"))
+      val members = comps.select(col("node"), col("comp"))
+        .join(scored.select(col("doc_id").as("node"), col("q")), "node")
+      val demote = members
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp").orderBy(col("q").desc, col("node").asc)))
+        .filter(col("rn") > 1).select(col("node").as("doc_id"))
+      // d1 feeds the gram derivation twice (bench + train) plus two
+      // aggregates — persist the surviving slice once (q99 discipline;
+      // the session cache clear keeps bench repeats cold)
+      val d1 = scored.join(demote, Seq("doc_id"), "left_anti").persist()
+      // stage 2: drop the held-out benchmark docs AND any train doc
+      // sharing a 5-gram shingle with them
+      val grams = d1.select(col("doc_id"),
+          explode(array_distinct(TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("sgl"))
+        .select(col("doc_id"), TextOps.hash32(col("sgl")).as("g"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0).select("g").distinct()
+      val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .join(broadcast(bench), "g").select("doc_id").distinct()
+      val d2 = d1.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .join(flagged, Seq("doc_id"), "left_anti")
+      // stage 3: quality floor
+      val d3 = d2.filter(col("q") >= 0.5).persist()
+      // stage 4: α=0.5 temperature mixture (the q99 arithmetic)
+      val counts = d3.groupBy("source").agg(count(lit(1)).as("n_quality"))
+        .withColumn("sw", round(sqrt(col("n_quality").cast("double")), 6))
+      val tots = counts.agg(sum(col("n_quality")).as("n_all"),
+        sum(col("sw").cast("decimal(28,6)")).as("tot_dec"))
+      val rates = counts.crossJoin(broadcast(tots))
+        .withColumn("thr", floor(least(lit(1.0),
+          lit(0.6) * col("n_all").cast("double") * col("sw")
+            / col("tot_dec").cast("double") / col("n_quality").cast("double")) * 1000000)
+          .cast("long"))
+      val kept = d3.join(broadcast(rates.select("source", "thr")), "source")
+        .filter(pmod(Parity.keyHash(col("doc_id")), lit(1000000L)) < col("thr"))
+      // stage 5: per-source datasheet
+      val raw = corpus.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val a1 = d1.groupBy("source").agg(count(lit(1)).as("n_canon"))
+      val a2 = d2.groupBy("source").agg(count(lit(1)).as("n_clean"))
+      val a4 = kept.groupBy("source").agg(count(lit(1)).as("n_sampled"),
+        sum(size(TextOps.words(col("text")))).as("tok_sampled"))
+      raw.join(a1, Seq("source"), "left")
+        .join(a2, Seq("source"), "left")
+        .join(rates.select("source", "n_quality"), Seq("source"), "left")
+        .join(a4, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_canon"), lit(0L)).as("n_canon"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("tok_sampled"), lit(0L)).as("tok_sampled"))
+    },
+
     // SimHash signatures over token hashes.
     "q32_simhash" -> { (s, d) =>
       val hs = transform(TextOps.words(col("text")), TextOps.hash32(_))
@@ -214,6 +295,73 @@ object DedupPack extends QueryPack {
           SELECT r.comp, r.node AS canonical_id, round(r.quality, 6) AS best_quality,
                  sz.n_members
           FROM r JOIN sz USING (comp) WHERE rn = 1"""
+    },
+
+    "q147_trainprep_pipeline" -> {
+      val stop = TextOps.DefaultStoplist.map(t => s"'$t'").mkString(", ")
+      val ngrams5 = TextOps.wordNgramsSql("w", 5)
+      s"""WITH RECURSIVE augp AS (SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, substring(text, strpos(text, ' ') + 1) AS text, source
+              FROM documents WHERE doc_id % 5 = 0),
+          ${bandSqlCtes("augp")},
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bandtab a JOIN bandtab b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+          reach(node, root) AS (SELECT src, src FROM ed
+                                UNION
+                                SELECT e.dst, r.root FROM reach r JOIN ed e ON e.src = r.node),
+          comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+          scored AS (SELECT doc_id, source, text,
+                  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + (CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                    + least((CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.3, 6) AS q
+                FROM (SELECT doc_id, source, text, len(w) AS n_tokens,
+                        len(list_distinct(w)) AS n_types,
+                        len(list_filter(w, t -> t IN ($stop))) AS stop_hits
+                      FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM augp))),
+          dem AS (SELECT node FROM (
+                    SELECT c.node,
+                      ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY s2.q DESC, c.node) AS rn
+                    FROM comp c JOIN scored s2 ON s2.doc_id = c.node) WHERE rn > 1),
+          d1 AS (SELECT * FROM scored WHERE doc_id NOT IN (SELECT node FROM dem)),
+          g5 AS (SELECT doc_id, unnest(list_distinct($ngrams5)) AS s
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d1)),
+          gh AS (SELECT doc_id, ${TextOps.hash32Sql("s")} AS g FROM g5),
+          bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 17 = 0),
+          flag AS (SELECT DISTINCT doc_id FROM gh JOIN bench USING (g) WHERE doc_id % 17 <> 0),
+          d2 AS (SELECT * FROM d1 WHERE doc_id % 17 <> 0
+                 AND doc_id NOT IN (SELECT doc_id FROM flag)),
+          d3 AS (SELECT * FROM d2 WHERE q >= 0.5),
+          counts AS (SELECT source, COUNT(*) AS n_quality,
+                       round(sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS sw
+                     FROM d3 GROUP BY source),
+          tots AS (SELECT CAST(SUM(n_quality) AS BIGINT) AS n_all,
+                     SUM(CAST(sw AS DECIMAL(28,6))) AS tot_dec FROM counts),
+          rates AS (SELECT source, n_quality,
+                      CAST(floor(least(1.0, 0.6 * CAST(n_all AS DOUBLE) * sw
+                        / CAST(tot_dec AS DOUBLE) / CAST(n_quality AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS thr
+                    FROM counts, tots),
+          kept AS (SELECT d3.source, d3.doc_id, d3.text
+                   FROM d3 JOIN rates ON rates.source = d3.source
+                   WHERE ${graft.util.Parity.keyHashSql("d3.doc_id")} % 1000000 < rates.thr),
+          raw AS (SELECT source, COUNT(*) AS n_raw FROM augp GROUP BY source),
+          a1 AS (SELECT source, COUNT(*) AS n_canon FROM d1 GROUP BY source),
+          a2 AS (SELECT source, COUNT(*) AS n_clean FROM d2 GROUP BY source),
+          a4 AS (SELECT source, COUNT(*) AS n_sampled,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sampled
+                 FROM kept GROUP BY source)
+          SELECT r.source, r.n_raw,
+                 CAST(COALESCE(a1.n_canon, 0) AS BIGINT) AS n_canon,
+                 CAST(COALESCE(a2.n_clean, 0) AS BIGINT) AS n_clean,
+                 CAST(COALESCE(rt.n_quality, 0) AS BIGINT) AS n_quality,
+                 CAST(COALESCE(a4.n_sampled, 0) AS BIGINT) AS n_sampled,
+                 CAST(COALESCE(a4.tok_sampled, 0) AS BIGINT) AS tok_sampled
+          FROM raw r LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
+            LEFT JOIN rates rt USING (source) LEFT JOIN a4 USING (source)"""
     },
 
     "q32_simhash" ->
