@@ -56,16 +56,19 @@ object BehaviorPack extends QueryPack {
 
     // ── q128: weekly cohort retention ──────────────────────────────────
     // Cohort = week of first activity; activity de-duplicated to
-    // (user, week). Both sides key on user_id, so the join after the two
-    // aggregates is co-partitioned — the classic retention triangle in
-    // two shuffles total.
+    // (user, week) ONCE and both the cohort aggregate and the join read
+    // that deduped frame. The final count is a plain COUNT(*): (user,
+    // week) rows are unique and a user has exactly one cohort, so a
+    // countDistinct would only add an expand + an extra exchange for the
+    // same number (plan-probed: 4 exchanges → 3).
     "q128_retention" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      val dd = Tables.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-      ev.distinct().join(first, "user_id")
+        .distinct()
+      val first = dd.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      dd.join(first, "user_id")
         .groupBy(col("cohort"), datediff(col("wk"), col("cohort")).cast("long").as("offset_days"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
+        .agg(count(lit(1)).as("n_active"))
     },
 
     // ── q129: grouped z-score outlier detection ────────────────────────
@@ -333,7 +336,7 @@ object BehaviorPack extends QueryPack {
           f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
           a AS (SELECT DISTINCT user_id, wk FROM e)
           SELECT cohort, CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) AS BIGINT) AS offset_days,
-                 COUNT(DISTINCT a.user_id) AS n_active
+                 COUNT(*) AS n_active
           FROM a JOIN f ON a.user_id = f.user_id
           GROUP BY 1, 2""",
 
