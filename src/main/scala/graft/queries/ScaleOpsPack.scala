@@ -183,13 +183,17 @@ object ScaleOpsPack extends QueryPack {
       val benchHashes = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
         .select(col("g")).distinct().as[Long].collect()
       val bloom = Bloom.build(benchHashes)
-      // the confirm set IS the collected array — localizing it avoids a
-      // third scan+explode of the corpus just to rebuild what the driver
-      // already holds
+      // the confirm set reuses the collected array (no third corpus
+      // scan). Deliberately NO broadcast hint: at the benchmark sizes the
+      // bloom exists for, the exact set does NOT fit a broadcast hash
+      // relation — the scalable confirm is a shuffle join of the (tiny,
+      // bloom-surviving) stream against the distributed benchmark grams,
+      // and AQE picks broadcast on its own when the set happens to be
+      // small (as here)
       val bench = benchHashes.toSeq.toDF("g")
       val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
         .filter(Bloom.probe(bloom)(col("g")))
-        .join(broadcast(bench), "g")
+        .join(bench, "g")
         .groupBy("doc_id", "source").agg(count(lit(1)).as("n_shared"))
       val totals = base.filter(pmod(col("doc_id"), lit(17)) =!= 0)
         .groupBy("source").agg(count(lit(1)).as("n_train"))

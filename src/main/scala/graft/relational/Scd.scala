@@ -30,7 +30,11 @@ object Scd {
   def scd2Apply(base: DataFrame, updates: DataFrame, keys: Seq[String],
                 baseFrom: Column, effective: Column): DataFrame = {
     val cols = base.columns.toSeq
-    val upKeys = updates.select(keys.map(col): _*)
+    // one change row per key is the caller contract (as for cdcApply);
+    // the probe is key-deduped defensively so a duplicated batch key can
+    // only duplicate its own open row, never fan out closed copies of
+    // the base row
+    val upKeys = updates.select(keys.map(col): _*).distinct()
 
     // old rows: closed if the key is in the batch, still open otherwise
     val marked = base.join(
@@ -50,38 +54,21 @@ object Scd {
 
   /** CDC batch apply (MERGE semantics): fold a change batch with an `op`
     * column (`I` insert / `U` update / `D` delete) into a current-state
-    * snapshot. Inserts add new keys, updates replace the payload of
-    * existing keys, deletes remove keys. One change row per key.
+    * snapshot. Inserts add new keys, updates REPLACE the payload of
+    * existing keys — including explicit NULLs (presence of the change row
+    * decides, not non-nullness of each value, so a change can null a
+    * column out) — deletes remove keys. One change row per key.
     *
-    * Scale shape: the base table never shuffles. A full-outer join would
-    * be the one-join formulation, but Spark cannot broadcast the build
-    * side of a full outer join (the hint is silently dropped and the base
-    * shuffles), so instead: updates land via a broadcast LEFT OUTER join
-    * (supported build-right broadcast); the insert subset of the batch is
-    * isolated by a broadcast LEFT SEMI probe of base keys (a second,
-    * key-column-pruned scan of base — cheaper than shuffling it) followed
-    * by a small-vs-small anti-join; deletes via a broadcast anti-join.
+    * Scale shape: the shared [[KeyedUpsert]] broadcast decomposition
+    * (base scanned, never shuffled) with replace semantics, plus a
+    * broadcast anti-join for deletes.
     */
   def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
-    val cols = base.columns.toSeq
-    val payload = cols.filterNot(keys.contains)
     val upserts = changes.filter(col("op").isin("I", "U")).drop("op")
-      .select(cols.map(c => col(c).as(s"_u_$c")): _*)
+      .select(base.columns.toSeq.map(col): _*)
     val deletes = changes.filter(col("op") === "D")
       .select(keys.map(col): _*)
-
-    val joinCond = keys.map(k => base(k) === upserts(s"_u_$k")).reduce(_ && _)
-    val updated = base.join(broadcast(upserts), joinCond, "left_outer")
-      .select(keys.map(k => base(k).as(k)) ++
-        payload.map(c => coalesce(upserts(s"_u_$c"), base(c)).as(c)): _*)
-    // Keys of the batch that already exist in base: broadcast semi probe,
-    // output is at most |changes| rows, itself broadcastable.
-    val matched = base.join(broadcast(upserts), joinCond, "left_semi")
-      .select(keys.map(col): _*)
-    val mcond = keys.map(k => upserts(s"_u_$k") === matched(k)).reduce(_ && _)
-    val inserts = upserts.join(broadcast(matched), mcond, "left_anti")
-      .select(cols.map(c => col(s"_u_$c").as(c)): _*)
-    updated.unionByName(inserts)
+    KeyedUpsert(base, upserts, keys, (_, u) => u)
       .join(broadcast(deletes), keys, "left_anti")
   }
 }

@@ -25,10 +25,12 @@ object Resample {
     * @param gridEnd   inclusive last bucket
     * @return (key, bucket, n_events, value_ffill): one row per key per
     *         hour; `n_events` is 0 on gap rows; `value_ffill` is the most
-    *         recent bucket's last observed value (null until the first
-    *         observation; per-bucket "last" = max (ts, seq) row, skipping
-    *         nothing — a null observed value is carried over the gap by
-    *         the IGNORE NULLS fill exactly as SQL window semantics say).
+    *         recent bucket's last observed value (null only if the key has
+    *         NO observation at or before the bucket — observations BEFORE
+    *         gridStart carry in across the window edge; per-bucket "last"
+    *         = max (ts, seq) row, skipping nothing — a null observed value
+    *         is carried over the gap by the IGNORE NULLS fill exactly as
+    *         SQL window semantics say).
     */
   def hourlyFfill(events: DataFrame, keyCol: String, tsCol: String,
                   seqCol: String, valCol: String,
@@ -54,9 +56,21 @@ object Resample {
 
     val wFill = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(buckets, Seq("key", "bucket"), "left")
+    // pre-grid buckets join the fill DOMAIN (so state observed before
+    // gridStart carries into the first grid buckets) but are dropped from
+    // the output after the window pass — without them a clipped window
+    // would forward-fill null until the key's first in-window event
+    val dom = grid.join(buckets, Seq("key", "bucket"), "left")
       .select(col("key"), col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("last_v"), ignoreNulls = true).over(wFill).as("value_ffill"))
+        col("last_v"), lit(true).as("_in_grid"))
+      .unionByName(buckets.filter(col("bucket") < gridStart)
+        .select(col("key"), col("bucket"), col("n_events"),
+          col("last_v"), lit(false).as("_in_grid")))
+    dom.select(col("key"), col("bucket"), col("n_events"),
+        last(col("last_v"), ignoreNulls = true).over(wFill).as("value_ffill"),
+        col("_in_grid"))
+      .filter(col("_in_grid"))
+      .drop("_in_grid")
   }
 }

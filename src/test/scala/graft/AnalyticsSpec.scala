@@ -169,4 +169,46 @@ class AnalyticsSpec extends SparkSpec {
       lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).collect()
     assert(out.length == 1 && out(0).getLong(2) == 3L && out(0).getDouble(3) == 20.0)
   }
+
+  test("hourlyFfill: observations before gridStart carry into a clipped window") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:59:00"), 1L, 5.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), 2L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.hourlyFfill(events, "user_id", "ts", "event_id", "value",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .orderBy("bucket").collect()
+    // the 09:59 observation is OUTSIDE the grid but its value must fill
+    // the 10:00 and 11:00 gap rows; the pre-grid bucket itself must not
+    // appear in the output
+    assert(out.length == 3)
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(5.0, 5.0, 7.0))
+  }
+
+  test("cdcApply: an explicit NULL in an update row replaces the value") {
+    import spark.implicits._
+    val base = Seq((1L, Some("a"), Some(10.0)), (2L, Some("b"), Some(20.0)))
+      .toDF("k", "name", "bal")
+    val changes = Seq(("U", 2L, Some("b2"), None: Option[Double]))
+      .toDF("op", "k", "name", "bal")
+    val out = Scd.cdcApply(base, changes, Seq("k")).orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(1).getString(1) == "b2" && out(1).isNullAt(2),
+      s"NULL payload not applied: ${out(1)}")
+    assert(out(0).getString(1) == "a" && out(0).getDouble(2) == 10.0)
+  }
+
+  test("scd2Apply: a duplicated batch key cannot fan out closed base copies") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val upd = Seq((1L, "a2"), (1L, "a2")).toDF("k", "v")
+    val out = Scd.scd2Apply(base, upd, Seq("k"),
+      lit(java.sql.Date.valueOf("2024-01-01")),
+      lit(java.sql.Date.valueOf("2024-06-01")))
+    // exactly ONE closed copy of the base row regardless of batch dups
+    assert(out.filter(col("is_current") === false).count() == 1L)
+  }
 }

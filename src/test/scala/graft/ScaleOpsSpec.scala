@@ -18,8 +18,9 @@ class ScaleOpsSpec extends SparkSpec {
     val keys = (0L until 5000L).map(k => k * 2654435761L + 17).toArray
     val bits = Bloom.build(keys)
     assert(keys.forall(Bloom.mightContain(bits, _)), "false negative")
+    val keySet = keys.toSet
     val nonMembers = (0L until 20000L).map(k => k * 928371L + 5)
-      .filterNot(keys.contains)
+      .filterNot(keySet.contains)
     val fp = nonMembers.count(Bloom.mightContain(bits, _))
     assert(fp.toDouble / nonMembers.size < 0.02,
       s"FPR ${fp.toDouble / nonMembers.size} — sizing regressed")
