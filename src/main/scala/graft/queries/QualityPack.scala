@@ -64,6 +64,52 @@ object QualityPack extends QueryPack {
           ((countDistinct(col("seg")) - 1) * (countDistinct(col("st")) - 1)).as("dof"))
     },
 
+    // ── q148: Welch's t-test per group vs baseline ─────────────────────
+    // Does each event type's value distribution differ from the 'view'
+    // baseline? One exact-decimal moments aggregate (the q129 discipline),
+    // baseline row broadcast-crossed, t statistic and Welch–Satterthwaite
+    // dof as mirrored IEEE ops rounded at the edge.
+    "q148_welch_ttest" -> { (s, d) =>
+      val stats = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Parity.davg(col("value")).as("m"),
+          Parity.dvar(col("value")).as("v"))
+      val base = stats.filter(col("event_type") === "view")
+        .select(col("n").as("n0"), col("m").as("m0"), col("v").as("v0"))
+      val se2 = col("v") / col("n").cast("double") + col("v0") / col("n0").cast("double")
+      stats.filter(col("event_type") =!= "view").crossJoin(broadcast(base))
+        .select(col("event_type"), col("n"),
+          round((col("m") - col("m0")) / sqrt(se2), 6).as("t_stat"),
+          round(se2 * se2 /
+            ((col("v") / col("n").cast("double")) * (col("v") / col("n").cast("double"))
+              / (col("n").cast("double") - 1.0)
+             + (col("v0") / col("n0").cast("double")) * (col("v0") / col("n0").cast("double"))
+              / (col("n0").cast("double") - 1.0)), 6).as("dof"))
+    },
+
+    // ── q149: mutual information (feature relevance) ───────────────────
+    // MI between a fixed-threshold price bin and the order status — the
+    // information-theoretic upgrade of the reference's variance-based
+    // feature selection. Joint counts in one aggregate; marginals DERIVE
+    // from the tiny joint table; p·ln(p_xy/(p_x·p_y)) with the ln rounded
+    // at source and an exact-decimal total.
+    "q149_mutual_information" -> { (s, d) =>
+      val binned = Tables.orders(s, d).select(
+        when(col("o_totalprice") < 50000, lit(0)).when(col("o_totalprice") < 100000, lit(1))
+          .when(col("o_totalprice") < 150000, lit(2)).otherwise(lit(3)).as("xb"),
+        col("o_orderstatus").as("y"))
+      val joint = binned.groupBy("xb", "y").agg(count(lit(1)).as("nxy"))
+      val px = joint.groupBy("xb").agg(sum(col("nxy")).as("nx"))
+      val py = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
+      val tot = joint.agg(sum(col("nxy")).as("n"))
+      joint.join(broadcast(px), "xb").join(broadcast(py), "y")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", round(
+          (col("nxy").cast("double") / col("n").cast("double")) *
+            log((col("nxy").cast("double") * col("n").cast("double")) /
+              (col("nx").cast("double") * col("ny").cast("double"))), 6))
+        .agg(Parity.dsum6(col("term")).as("mi"), count(lit(1)).as("n_cells"))
+    },
+
     // ── q135: data-quality constraint suite ────────────────────────────
     // Referential integrity, key uniqueness, domain bounds, null rates —
     // each check one aggregate (the FK check a broadcast anti join),
@@ -124,6 +170,37 @@ object QualityPack extends QueryPack {
           SELECT round(${Sql.dsum6("term")}, 6) AS chi2,
                  CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT st) - 1) AS BIGINT) AS dof
           FROM t""",
+
+    "q148_welch_ttest" -> {
+      val mean = Sql.davg("value")
+      val vr = Sql.dvar("value")
+      s"""WITH st AS (SELECT event_type, COUNT(*) AS n, $mean AS m, $vr AS v
+                      FROM events GROUP BY event_type),
+          b AS (SELECT n AS n0, m AS m0, v AS v0 FROM st WHERE event_type = 'view')
+          SELECT event_type, n,
+                 round((m - b.m0) / sqrt(v / CAST(n AS DOUBLE) + b.v0 / CAST(b.n0 AS DOUBLE)), 6) AS t_stat,
+                 round((v / CAST(n AS DOUBLE) + b.v0 / CAST(b.n0 AS DOUBLE))
+                     * (v / CAST(n AS DOUBLE) + b.v0 / CAST(b.n0 AS DOUBLE))
+                   / ((v / CAST(n AS DOUBLE)) * (v / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                      + (b.v0 / CAST(b.n0 AS DOUBLE)) * (b.v0 / CAST(b.n0 AS DOUBLE)) / (CAST(b.n0 AS DOUBLE) - 1.0)), 6) AS dof
+          FROM st CROSS JOIN b WHERE event_type <> 'view'"""
+    },
+
+    "q149_mutual_information" ->
+      s"""WITH binned AS (SELECT CASE WHEN o_totalprice < 50000 THEN 0
+                   WHEN o_totalprice < 100000 THEN 1
+                   WHEN o_totalprice < 150000 THEN 2 ELSE 3 END AS xb,
+                 o_orderstatus AS y
+               FROM orders),
+          joint AS (SELECT xb, y, COUNT(*) AS nxy FROM binned GROUP BY xb, y),
+          px AS (SELECT xb, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY xb),
+          py AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+          tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+          t AS (SELECT round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 6) AS term
+                FROM joint JOIN px USING (xb) JOIN py USING (y) CROSS JOIN tot)
+          SELECT ${Sql.dsum6("term")} AS mi, COUNT(*) AS n_cells FROM t""",
 
     "q135_dq_checks" ->
       """SELECT 'orders_custkey_fk' AS check_name,
