@@ -61,6 +61,15 @@ object StreamPack extends QueryPack {
         "stateful", "update")
     },
 
+    // streaming per-key quota admission (rate limiting): ValueState cap
+    // on the transformWithState API — admitted = min(quota, seen), an
+    // order-independent count, so the batch oracle replays it exactly.
+    "q150_quota_admission" -> { (s, d) =>
+      Streams.drainToTable(
+        Streams.quotaAdmission(Streams.eventsStream(s, d), 20L),
+        "quota", "update")
+    },
+
     // arbitrary stateful processing on the Spark 4 transformWithState
     // API: per-user MapState[type → count] (entry-granular RocksDB
     // state), emitting running totals + lexicographic-tie-broken top
@@ -213,6 +222,11 @@ object StreamPack extends QueryPack {
     "q57_stateful_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events GROUP BY user_id""",
+
+    "q150_quota_admission" ->
+      """SELECT user_id, COUNT(*) AS n_seen,
+           LEAST(COUNT(*), 20) AS n_admitted
          FROM events GROUP BY user_id""",
 
     "q101_transform_with_state" ->

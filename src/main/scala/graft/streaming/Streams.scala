@@ -275,6 +275,42 @@ object Streams {
     }
   }
 
+  /** Streaming per-key quota admission (rate limiting): each user may
+    * admit at most `quota` events; a `ValueState[Long]` tracks events
+    * seen so far, and each update emits (seen, admitted = min(quota,
+    * seen)). The admitted COUNT is order-independent even though the
+    * admitted SET depends on arrival order — which is what makes the op
+    * oracle-exact from the batch table. The production shape for
+    * per-key quota / budget / ingestion-cap enforcement. */
+  class QuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      val n = (if (seen.exists()) seen.get() else 0L) + rows.size
+      seen.update(n)
+      Iterator.single((user, n, math.min(quota, n)))
+    }
+  }
+
+  /** [[QuotaProcessor]] wired through `transformWithState`. */
+  def quotaAdmission(events: DataFrame, quota: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id").cast("long"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new QuotaProcessor(quota), TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_seen", "n_admitted")
+  }
+
   /** [[UserTypeCountsProcessor]] wired through `transformWithState` —
     * the q57/q74 semantics on the modern state API. Update mode, no
     * event-time dependence (`TimeMode.None`). */
