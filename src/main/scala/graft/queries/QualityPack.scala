@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.io.Tables
+import graft.text.TextOps
 import graft.util.Parity
 
 /** Wave-7 governance / quality surface: blocked fuzzy entity resolution,
@@ -110,6 +111,51 @@ object QualityPack extends QueryPack {
         .agg(Parity.dsum6(col("term")).as("mi"), count(lit(1)).as("n_cells"))
     },
 
+    // ── q151: cross-source contamination matrix ────────────────────────
+    // How much shingle content do sources share? Distinct (source, gram)
+    // pairs — ONE gram-keyed shuffle — self-joined on the gram (the gram
+    // side is df-capped at 10 first: boilerplate grams shared by many
+    // sources would otherwise fan out quadratically per gram and skew the
+    // join), then one count per source pair. The corpus-diagnostics op
+    // behind "which crawls duplicate each other".
+    "q151_source_overlap" -> { (s, d) =>
+      val sg = Tables.documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("sgl"))
+        .select(col("source"), TextOps.hash32(col("sgl")).as("g"))
+        .distinct()
+      val dfCap = sg.groupBy("g").agg(count(lit(1)).as("nsrc")).filter(col("nsrc") <= 10)
+        .select("g")
+      val capped = sg.join(dfCap, "g")
+      val b = capped.select(col("g"), col("source").as("source_b"))
+      capped.join(b, "g").filter(col("source") < col("source_b"))
+        .groupBy("source", "source_b").agg(count(lit(1)).as("shared_grams"))
+    },
+
+    // ── q152: population-stability-index drift ─────────────────────────
+    // Event-type mix drift between the first and second half of the
+    // month: PSI = Σ (p1 − p2)·ln(p1/p2). Two tiny aggregates from one
+    // scan (pivot on the half flag), probabilities as int/int IEEE
+    // divisions, ln rounded at source — the model-monitoring metric as
+    // an exact query.
+    "q152_psi_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      // integer midpoint (DIV, not /): Column./ on longs promotes to
+      // double and the truncation boundary must match the oracle exactly
+      val mid = ev.agg(unix_micros(min(col("ts"))).as("mn"), unix_micros(max(col("ts"))).as("mx"))
+        .select(timestamp_micros(expr("(mn + mx) DIV 2")).as("mid"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .groupBy("event_type")
+        .agg(count(when(col("ts") < col("mid"), lit(1))).as("n1"),
+          count(when(col("ts") >= col("mid"), lit(1))).as("n2"))
+      val tots = halves.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      halves.crossJoin(broadcast(tots))
+        .withColumn("p1", col("n1").cast("double") / col("t1").cast("double"))
+        .withColumn("p2", col("n2").cast("double") / col("t2").cast("double"))
+        .withColumn("term", round((col("p1") - col("p2")) * log(col("p1") / col("p2")), 6))
+        .agg(Parity.dsum6(col("term")).as("psi"), count(lit(1)).as("n_bins"))
+    },
+
     // ── q135: data-quality constraint suite ────────────────────────────
     // Referential integrity, key uniqueness, domain bounds, null rates —
     // each check one aggregate (the FK check a broadcast anti join),
@@ -170,6 +216,36 @@ object QualityPack extends QueryPack {
           SELECT round(${Sql.dsum6("term")}, 6) AS chi2,
                  CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT st) - 1) AS BIGINT) AS dof
           FROM t""",
+
+    "q151_source_overlap" -> {
+      val ngrams5 = graft.text.TextOps.wordNgramsSql("w", 5)
+      s"""WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+          gr AS (SELECT source, unnest(list_distinct($ngrams5)) AS s FROM ws),
+          sg AS (SELECT DISTINCT source, ${graft.text.TextOps.hash32Sql("s")} AS g FROM gr),
+          cap AS (SELECT g FROM (SELECT g, COUNT(*) AS nsrc FROM sg GROUP BY g)
+                  WHERE nsrc <= 10),
+          c AS (SELECT sg.source, sg.g FROM sg JOIN cap USING (g))
+          SELECT a.source, b.source AS source_b, COUNT(*) AS shared_grams
+          FROM c a JOIN c b ON a.g = b.g AND a.source < b.source
+          GROUP BY a.source, b.source"""
+    },
+
+    "q152_psi_drift" ->
+      """WITH mm AS (SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS mn,
+                 epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+          mid AS (SELECT make_timestamp((mn + mx) // 2) AS mid FROM mm),
+          h AS (SELECT event_type,
+                  COUNT(CASE WHEN CAST(ts AS TIMESTAMP) < mid THEN 1 END) AS n1,
+                  COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >= mid THEN 1 END) AS n2
+                FROM events CROSS JOIN mid GROUP BY event_type),
+          t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM h),
+          x AS (SELECT round((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                            - CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+                   * ln((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))), 6) AS term
+                FROM h CROSS JOIN t)
+          SELECT CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS psi,
+                 COUNT(*) AS n_bins FROM x""",
 
     "q148_welch_ttest" -> {
       val mean = Sql.davg("value")
