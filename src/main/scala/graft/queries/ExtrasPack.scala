@@ -103,6 +103,19 @@ object ExtrasPack extends QueryPack {
           grouping_id().cast("long").as("gid"))
     },
 
+    // explicit GROUPING SETS — the third reshape mode beside rollup (q50)
+    // and cube (q60): exactly the requested combinations ((returnflag),
+    // (linestatus)), no intermediate supersets — at scale that's the
+    // difference between 2 and 4 aggregate streams out of the expand.
+    "q153_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping_id().cast("long").as("gid"))
+    },
+
     // approximate distinct (HyperLogLog++): THE cardinality shape at
     // 100 TB — one pass, fixed-size sketch per group, no distinct shuffle
     // of the key space. Deterministic for fixed data/precision, so the
@@ -459,6 +472,12 @@ object ExtrasPack extends QueryPack {
             AND l_shipdate >= o_orderdate
             AND l_shipdate < o_orderdate + INTERVAL 30 DAY
           GROUP BY o_orderstatus""",
+
+    "q153_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
 
     "q60_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${Sql.dsum("l_quantity")} AS qty,
