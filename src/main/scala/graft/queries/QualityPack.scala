@@ -124,6 +124,10 @@ object QualityPack extends QueryPack {
           explode(array_distinct(TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("sgl"))
         .select(col("source"), TextOps.hash32(col("sgl")).as("g"))
         .distinct()
+        // feeds the df-cap aggregate AND both self-join sides: persist
+        // beats re-exploding the corpus (min-of-7 at sf0.1: 3.45 s vs
+        // 4.03 s; session cache clear keeps bench repeats cold)
+        .persist()
       val dfCap = sg.groupBy("g").agg(count(lit(1)).as("nsrc")).filter(col("nsrc") <= 10)
         .select("g")
       val capped = sg.join(dfCap, "g")
