@@ -140,6 +140,21 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"), davg(k).as("avg_k"))
     },
 
+    // schema-driven struct decode of the JSON props column (`from_json`
+    // with a declared schema — the Jackson parse happens ONCE per row and
+    // every field is a codegen-visible struct column, vs q10's per-path
+    // `get_json_object` re-parse), histogrammed by k-decile.
+    "q154_json_struct" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy(expr("k DIV 10").as("k_decile")) // integer DIV: Column./ would promote to double
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
     // date part extraction + monthly rollup of orders.
     "q11_orders_by_month" -> { (s, d) =>
       Tables.orders(s, d)
@@ -309,6 +324,15 @@ object RelationalPack extends QueryPack {
           ${Sql.dsum("value")} AS sum_value,
           ${Sql.davg("CAST(json_extract_string(props, '$.k') AS DOUBLE)")} AS avg_k
           FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)""",
+
+    "q154_json_struct" ->
+      """WITH j AS (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+          SELECT k // 10 AS k_decile, COUNT(*) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                 MIN(k) AS min_k, MAX(k) AS max_k
+          FROM j GROUP BY k // 10""",
 
     "q11_orders_by_month" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
