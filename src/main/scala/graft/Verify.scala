@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist intermediates (q126/q151/…) document release
+      // as "the session's cache discipline" — this is it for Verify (Bench
+      // has its own per-run clear). CacheSpec locks the invariant in.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -180,17 +180,21 @@ object ScaleOpsPack extends QueryPack {
       val grams = base.select(col("doc_id"), col("source"),
           explode(array_distinct(TextOps.wordNgrams(col("w"), 5))).as("sgl"))
         .select(col("doc_id"), col("source"), TextOps.hash32(col("sgl")).as("g"))
-      val benchHashes = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
-        .select(col("g")).distinct().as[Long].collect()
-      val bloom = Bloom.build(benchHashes)
-      // the confirm set reuses the collected array (no third corpus
-      // scan). Deliberately NO broadcast hint: at the benchmark sizes the
-      // bloom exists for, the exact set does NOT fit a broadcast hash
-      // relation — the scalable confirm is a shuffle join of the (tiny,
-      // bloom-surviving) stream against the distributed benchmark grams,
-      // and AQE picks broadcast on its own when the set happens to be
-      // small (as here)
-      val bench = benchHashes.toSeq.toDF("g")
+      // The benchmark gram set stays DISTRIBUTED end-to-end: persisted
+      // once, counted (sizes the bit array), then OR-merged into the bloom
+      // via per-partition partial blooms (treeAggregate) — driver memory is
+      // O(bloom bits), ~6× smaller than the raw 8-byte hash set the bloom
+      // exists to avoid shipping. Released by the session's cache
+      // discipline (Verify/Bench clear per query/run).
+      val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("g")).distinct().persist()
+      val bloom = Bloom.buildDistributed(bench.as[Long].rdd, bench.count())
+      // Deliberately NO broadcast hint on the confirm join: at the
+      // benchmark sizes the bloom exists for, the exact set does NOT fit a
+      // broadcast hash relation — the scalable confirm is a shuffle join
+      // of the (tiny, bloom-surviving) stream against the distributed
+      // benchmark grams, and AQE picks broadcast on its own when the set
+      // happens to be small (as here)
       val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
         .filter(Bloom.probe(bloom)(col("g")))
         .join(bench, "g")

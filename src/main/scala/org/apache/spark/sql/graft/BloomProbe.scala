@@ -33,19 +33,45 @@ object Bloom {
   /** Number of probe functions (k = 7 ≈ optimal for ~10 bits/element). */
   val K = 7
 
-  /** Build a bit set sized to the next power of two ≥ 16·n bits (≈ 0.2–1%
-    * FPR at k=7). The build is driver-side over the SMALL (benchmark) side;
-    * at larger benchmark scales the same bit array can be assembled
-    * distributively (per-partition OR-reduce of Array[Long]) without
-    * changing the probe. */
+  /** Bit-set size (in 64-bit words) for n elements: next power of two
+    * ≥ 16·n bits (≈ 0.2–1% FPR at k=7). Shared by both build paths so the
+    * driver-side and distributed builds are bit-identical. */
+  private def wordsFor(n: Long): Int = {
+    val nBits = java.lang.Long.highestOneBit(math.max(n * 16, 64) * 2 - 1)
+    (nBits >> 6).toInt
+  }
+
+  /** Driver-side build over an in-memory key set — for small sets and for
+    * spec-level parity checks against [[buildDistributed]]. */
   def build(keys: Array[Long]): Array[Long] = {
-    val nBits = java.lang.Long.highestOneBit(math.max(keys.length.toLong * 16, 64) * 2 - 1)
-    val words = new Array[Long]((nBits >> 6).toInt)
+    val words = new Array[Long](wordsFor(keys.length.toLong))
     var i = 0
     while (i < keys.length) {
       set(words, keys(i)); i += 1
     }
     words
+  }
+
+  /** Distributed build: per-partition partial blooms OR-merged through a
+    * depth-2 `treeAggregate`, so driver memory is O(bloom bits), NOT O(key
+    * set) — the key set itself is never collected. `n` is the (pre-counted)
+    * element count that sizes the bit array; callers persist the key frame
+    * and `count()` it first, so sizing and building are two jobs over one
+    * materialization (the SURVEY §1.3 two-job pattern). Because set-bit
+    * positions depend only on the key and the array length, the result is
+    * bit-identical to `build(keys.collect())` regardless of partitioning —
+    * OR is commutative/associative and duplicate sets are idempotent
+    * (BloomSpec asserts the parity). */
+  def buildDistributed(keys: org.apache.spark.rdd.RDD[Long], n: Long): Array[Long] = {
+    val nWords = wordsFor(n)
+    keys.treeAggregate(new Array[Long](nWords))(
+      seqOp = (w, k) => { set(w, k); w },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      },
+      depth = 2)
   }
 
   /** 64-bit finalizer (murmur3 fmix64): probe positions must be uniform

@@ -26,6 +26,34 @@ class ScaleOpsSpec extends SparkSpec {
       s"FPR ${fp.toDouble / nonMembers.size} — sizing regressed")
   }
 
+  test("distributed bloom build is bit-identical to the driver-side build") {
+    import spark.implicits._
+    val keys = (0L until 40000L).map(k => k * 2654435761L + 17)
+    val local = Bloom.build(keys.toArray)
+    // 13 uneven partitions + duplicated keys: OR-merge must be insensitive
+    // to partitioning and idempotent under repeats
+    val dist = Bloom.buildDistributed(
+      spark.createDataset(keys ++ keys.take(5000)).repartition(13).rdd,
+      keys.length.toLong)
+    assert(java.util.Arrays.equals(local, dist),
+      "distributed OR-merge diverged from driver-side build")
+  }
+
+  test("q126 builds its bloom distributively — no row-scale collect in the pack") {
+    // The scale contract the oracle can't see: the benchmark gram set must
+    // never land on the driver as rows. Locked in at the source level —
+    // the q126 region may not contain a collect() call.
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/queries/ScaleOpsPack.scala")), "UTF-8")
+    val start = src.indexOf("q126_bloom_decontam")
+    val end = src.indexOf("override def oracles")
+    assert(start > 0 && end > start, "q126 region not found")
+    val region = src.substring(start, end)
+    assert(!region.contains(".collect()"),
+      "q126 regained a driver-side collect — bloom build must stay distributed")
+    assert(region.contains("buildDistributed"), "q126 no longer uses the distributed build")
+  }
+
   test("q126 bloom prefilter prunes most train grams yet keeps every exact match") {
     import spark.implicits._
     val d = sf("sf0.001")
