@@ -45,8 +45,14 @@ object Metrics {
         sum("p").as("np"),
         (sum("c") - sum("p")).as("nn"))
       .select(
-        ((col("posrank") - col("np").cast("double") * (col("np").cast("double") + lit(1.0)) / lit(2.0))
-          / (col("np").cast("double") * col("nn").cast("double"))).as("auc"),
+        // AUC is undefined on a single-class input (nPos·nNeg = 0): emit an
+        // EXPLICIT null rather than the NaN/Infinity the raw division would
+        // produce — callers see "no ranking statistic exists", not a
+        // poisoned double that propagates through downstream aggregates.
+        when(col("np") === 0 || col("nn") === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("posrank") - col("np").cast("double") * (col("np").cast("double") + lit(1.0)) / lit(2.0))
+              / (col("np").cast("double") * col("nn").cast("double"))).as("auc"),
         col("np").as("n_pos"), col("nn").as("n_neg"))
   }
 }

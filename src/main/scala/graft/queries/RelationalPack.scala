@@ -150,7 +150,12 @@ object RelationalPack extends QueryPack {
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
             .getField("k").as("k"))
-        .groupBy(expr("k DIV 10").as("k_decile")) // integer DIV: Column./ would promote to double
+        // FLOOR division, exact for all longs: subtract the (nonnegative)
+        // pmod remainder, then the truncating DIV is exact division. This
+        // matches DuckDB's flooring `//` even for negative k — plain
+        // `k DIV 10` truncates toward zero and would silently diverge
+        // there. (Column./ would promote to double: wrong above 2^53.)
+        .groupBy(expr("(k - pmod(k, 10)) DIV 10").as("k_decile"))
         .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     },

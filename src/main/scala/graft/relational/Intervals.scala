@@ -22,11 +22,25 @@ import org.apache.spark.sql.functions._
 object Intervals {
 
   /** Closed-interval overlap join on hour bins. Column names must be
-    * disjoint across `left` and `right`; both interval columns must be
-    * timestamps with start <= end. Returns the distinct overlapping
-    * combinations of (left columns ++ right columns). */
+    * disjoint across `left` and `right` (checked — a clash would silently
+    * misbind the overlap predicate); both interval columns must be
+    * timestamps with start <= end. Returns the overlapping (left row,
+    * right row) pairs — exactly what the naive cartesian formulation
+    * yields, so two genuinely identical input rows each produce their own
+    * output pair.
+    *
+    * Multi-bin duplicates never exist to be deduped: a pair overlapping
+    * several shared bins is kept only in its CANONICAL bin — `max` of the
+    * two start-hours, which both intervals provably touch whenever they
+    * overlap (rStart ≤ lEnd ⇒ hour(rStart) ≤ hour(lEnd), symmetrically)
+    * and which is unique per pair. A map-side predicate instead of the
+    * former full-row `distinct()`, which cost an extra shuffle AND
+    * collapsed genuinely duplicate input rows. */
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
                   right: DataFrame, rStart: String, rEnd: String): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"overlapJoin requires disjoint column names; shared: ${clash.mkString(", ")}")
     val lb = left.withColumn("__graft_bin",
       explode(sequence(date_trunc("hour", col(lStart)), date_trunc("hour", col(lEnd)),
         expr("interval 1 hour"))))
@@ -35,7 +49,8 @@ object Intervals {
         expr("interval 1 hour"))))
     lb.join(rb, "__graft_bin")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__graft_bin") ===
+        greatest(date_trunc("hour", col(lStart)), date_trunc("hour", col(rStart))))
       .drop("__graft_bin")
-      .distinct()
   }
 }

@@ -73,6 +73,13 @@ object Streams {
     val ckpt = s"/root/repo/target/scratch/ckpt_$name"
     graft.util.Staging.deleteRecursive(path)
     graft.util.Staging.deleteRecursive(ckpt)
+    // Seed the sink with a zero-row file carrying the result schema: a
+    // bounded stream that yields no batches otherwise leaves no directory
+    // and the read-back below would fail — an empty RESULT is a valid
+    // outcome and must read back as an empty frame. Batch writes land
+    // beside it (append) or replace it (complete/overwrite).
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      .write.mode("overwrite").parquet(path)
     val fileMode = if (outputMode == "complete") "overwrite" else "append"
     val q = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", ckpt)

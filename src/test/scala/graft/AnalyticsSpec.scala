@@ -52,6 +52,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(auc(Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L))) == 0.5)
   }
 
+  test("rocAuc: single-class input yields explicit null, not NaN") {
+    // AUC is undefined without both classes — the contract is a null auc
+    // with the class counts still reported, never a NaN that poisons
+    // downstream aggregates
+    val allPos = Metrics.rocAuc(
+      Seq((0.9, 1L), (0.1, 1L)).toDF("s", "y"), "s", "y").head()
+    assert(allPos.isNullAt(0) && allPos.getLong(1) == 2 && allPos.getLong(2) == 0)
+    val allNeg = Metrics.rocAuc(
+      Seq((0.9, 0L), (0.1, 0L)).toDF("s", "y"), "s", "y").head()
+    assert(allNeg.isNullAt(0) && allNeg.getLong(1) == 0 && allNeg.getLong(2) == 2)
+  }
+
   test("rocAuc: tie handling matches the average-rank convention") {
     // scores: 0.3(y=0), 0.5(y=0), 0.5(y=1), 0.7(y=1)
     // ranks: 1, then tied block avg rank 2.5 (both 0.5s), then 4

@@ -45,6 +45,33 @@ class BehaviorSpec extends SparkSpec {
       "banded overlap join diverges from the naive join")
   }
 
+  test("overlapJoin preserves duplicate input rows and rejects name clashes") {
+    import spark.implicits._
+    // two IDENTICAL left rows must each pair with the overlapping right
+    // row — the former full-row distinct() collapsed them to one pair
+    val l = Seq(("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+                ("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00"))
+      .toDF("tag", "ls", "le")
+      .select(col("tag"), col("ls").cast("timestamp"), col("le").cast("timestamp"))
+    val r = Seq(("x", "2024-01-01 11:00:00", "2024-01-01 11:30:00"))
+      .toDF("rid", "rs", "re")
+      .select(col("rid"), col("rs").cast("timestamp"), col("re").cast("timestamp"))
+    assert(Intervals.overlapJoin(l, "ls", "le", r, "rs", "re").count() == 2)
+    // multi-bin overlaps still emit exactly one pair per input pair
+    // (canonical-bin predicate, not dedup): l spans 3 shared hour bins
+    val wide = Seq(("b", "2024-01-01 09:30:00", "2024-01-01 11:45:00")).toDF("tag", "ls", "le")
+      .select(col("tag"), col("ls").cast("timestamp"), col("le").cast("timestamp"))
+    val rwide = Seq(("y", "2024-01-01 09:00:00", "2024-01-01 12:00:00")).toDF("rid", "rs", "re")
+      .select(col("rid"), col("rs").cast("timestamp"), col("re").cast("timestamp"))
+    assert(Intervals.overlapJoin(wide, "ls", "le", rwide, "rs", "re").count() == 1)
+    // a shared column name must fail loudly, not silently misbind
+    val clash = intercept[IllegalArgumentException] {
+      Intervals.overlapJoin(l, "ls", "le",
+        r.withColumnRenamed("rid", "tag"), "rs", "re")
+    }
+    assert(clash.getMessage.contains("tag"))
+  }
+
   test("q127 funnel: three chained stage windows share ONE user shuffle") {
     val p = executedPlan("q127_funnel")
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length

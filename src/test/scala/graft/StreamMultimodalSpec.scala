@@ -89,6 +89,19 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(viaParquet.exceptAll(viaMemory).count() == 0)
   }
 
+  test("drainToParquet: an all-filtered stream reads back as an EMPTY frame") {
+    // an empty result is a valid outcome — the seeded zero-row sink file
+    // must make the read-back succeed with the right schema even when no
+    // batch ever writes
+    val d = sf("sf0.001")
+    val none = Streams.drainToParquet(
+      Streams.eventsStream(spark, d).filter(col("event_id") < 0)
+        .select("event_id", "user_id", "event_type"),
+      "empty_spec", "append")
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("event_id", "user_id", "event_type"))
+  }
+
   test("stateful streaming runs on the RocksDB state store provider") {
     // the conf is engine-wide (GraftSession.configure): heap-map state is
     // the one remaining 100×-risk in streaming, RocksDB spills to disk
