@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges two-column frame (`src`, `dst`), assumed deduplicated.
-    * @return (node, rank) for every node appearing as src or dst.
+    * @return (node, rank) for every node appearing as src or dst. The
+    *         returned frame is PERSISTED (it is the last iteration's
+    *         materialized state): the caller owns the release and must
+    *         `unpersist()` it when done — the same contract as
+    *         [[graft.dedup.Dedup.connectedComponents]]. Inside the query
+    *         packs the session-level cache discipline (Verify/Bench clear
+    *         the cache after every query) is that release; CacheSpec
+    *         asserts a full pass leaves nothing persisted.
     */
   def run(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
     val spark = edges.sparkSession
