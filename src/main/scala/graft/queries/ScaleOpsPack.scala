@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bloom
 
@@ -70,7 +71,17 @@ object ScaleOpsPack extends QueryPack {
     // the shuffle — at corpus scale that tail IS the aggregation cost).
     // The final top-25 is exact as long as candidates ⊇ true top-25, which
     // the 16× candidate margin guarantees overwhelmingly; the oracle's
-    // full count verifies it on every run.
+    // full count verifies it on every run AT TEST SCALE. At 100 TB no
+    // oracle exists, so the query also emits its own runtime soundness
+    // certificate: any NON-candidate token has sample count ≤ c400 (the
+    // 400th candidate's — else it would be a candidate), so its true
+    // count is extrapolation-bounded by c400·(10/3)·2 (inverse sampling
+    // rate × a 2× concentration margin). `sound` = the 25th exact count
+    // clears that bound → no non-candidate can belong in the top-25.
+    // Integer arithmetic throughout, replayed by the oracle; measured
+    // headroom is ~16× at sf0.01 AND sf0.1 (878 vs 53, 8912 vs 520).
+    // Both windows run over the ≤400-row candidate aggregate — bounded
+    // by the candidate cap at any corpus size, never the token stream.
     "q122_heavy_hitters" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val tokens = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("token"))
@@ -78,10 +89,17 @@ object ScaleOpsPack extends QueryPack {
         .filter(pmod(Parity.keyHash(col("doc_id")), lit(10)) < 3)
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(400)
-        .select("token")
-      tokens.join(broadcast(cands), "token")
-        .groupBy("token").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token")).limit(25)
+      val grouped = tokens.join(broadcast(cands), "token")
+        .groupBy("token").agg(count(lit(1)).as("n"), first(col("cnt")).as("scnt"))
+      val whole = Window.partitionBy(lit(1))
+      grouped
+        .withColumn("c400", min(col("scnt")).over(whole))
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("token"))))
+        .filter(col("rk") <= 25)
+        .withColumn("sound",
+          min(col("n")).over(whole) >= expr("(c400 * 20) DIV 3"))
+        .select(col("token"), col("n"), col("sound"))
+        .orderBy(col("n").desc, col("token"))
     },
 
     // ── q123: bigram language-model quality score ──────────────────────
@@ -217,10 +235,21 @@ object ScaleOpsPack extends QueryPack {
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price
           FROM orders GROUP BY o_custkey""",
 
+    // counts stay INDEPENDENT (full corpus count, no candidate pruning) so
+    // a candidate-set miss still hash-mismatches; only the `sound` bound
+    // arithmetic replays the sampled-candidate pipeline
     "q122_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-          SELECT token, COUNT(*) AS n FROM tok GROUP BY token
-          ORDER BY n DESC, token LIMIT 25""",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          samp AS (SELECT token, COUNT(*) AS cnt FROM tok
+                   WHERE ${Sql.keyHash("doc_id")} % 10 < 3
+                   GROUP BY token ORDER BY cnt DESC, token LIMIT 400),
+          c4 AS (SELECT MIN(cnt) AS c400 FROM samp),
+          top25 AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+                    ORDER BY n DESC, token LIMIT 25),
+          e25 AS (SELECT MIN(n) AS exact25 FROM top25)
+          SELECT token, CAST(n AS BIGINT) AS n,
+                 (e25.exact25 >= (c4.c400 * 20) // 3) AS sound
+          FROM top25, c4, e25 ORDER BY n DESC, token""",
 
     "q123_bigram_lm_score" -> {
       val ngrams = TextOps.wordNgramsSql("w", 2)

@@ -140,6 +140,12 @@ class ScaleOpsSpec extends SparkSpec {
       .select("token").collect().map(_.getString(0)).toSet
     assert(trueTop.subsetOf(cands),
       s"missing from candidates: ${trueTop.diff(cands).take(5)}")
+    // the runtime certificate must agree: at test scale the 25th exact
+    // count clears the extrapolated best-non-candidate bound by ~16×
+    val sound = SparkEntry.queries("q122_heavy_hitters")(spark, d)
+      .select("sound").distinct().collect()
+    assert(sound.map(_.getBoolean(0)).toSeq == Seq(true),
+      "q122's soundness certificate is false at test scale")
   }
 
   test("z-value interleaving is monotone in tile structure (unit)") {
