@@ -172,6 +172,19 @@ object StreamPack extends QueryPack {
         .select(col("view_id"), col("click_id"))
     },
 
+    // COMPOSED streaming capstone: watermark dedup → per-user quota
+    // admission (transformWithState with declared event-time output) →
+    // broadcast category enrich → sealed tumbling 1h aggregate, as ONE
+    // streaming query over the 3-batch late-arrival replay. Proves the
+    // stateful operators CHAIN (three stateful ops + a stream-static
+    // join in a single plan), not just run singly; the oracle replays
+    // the whole composition arithmetically.
+    "q155_stream_composed" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      Streams.drainToParquet(
+        Streams.composedAdmissionPipeline(s, dir, 20L), "composed", "append")
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -376,6 +389,48 @@ object StreamPack extends QueryPack {
           UNION ALL SELECT view_id, click_id FROM latematched
           UNION ALL SELECT view_id, click_id FROM latematched2
           UNION ALL SELECT view_id, click_id FROM unmatched""",
+
+    // End-to-end replay of the composed capstone, stage by stage:
+    //  * arrivals + the q66 lagged late filter (batch-3 rows survive iff
+    //    t > max(batch-1 ts) − 1h), batch index derived arithmetically;
+    //  * dedup = distinct (user, type, t) keeping the EARLIEST arrival
+    //    batch (dropDuplicates emits first arrival);
+    //  * quota admission = first 20 rows per user in (batch, t, type)
+    //    order — the engine admits the remaining-smallest (t, type) rows
+    //    within each batch, and the cumulative prefix of per-batch-sorted
+    //    sequences IS the first-N of the global (batch, t, type) order;
+    //  * enrich + tumbling count, sealed by the q61 final-watermark rule
+    //    (win_end ≤ max(batch-2 ts) − 1h).
+    "q155_stream_composed" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          wml AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0),
+          wm AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                 WHERE t >= b.t1 AND t < b.t2),
+          arr AS (SELECT user_id, event_type, t,
+                    CASE WHEN t >= b.t1 THEN 2
+                         WHEN event_id % 10 <> 0 THEN 1 ELSE 3 END AS batch
+                  FROM e, b, wml
+                  WHERE (t < b.t1 AND event_id % 10 <> 0)
+                     OR (t >= b.t1 AND t < b.t2)
+                     OR (t < b.t1 AND event_id % 10 = 0 AND t > wml.w)),
+          dd AS (SELECT user_id, event_type, t, MIN(batch) AS batch
+                 FROM arr GROUP BY user_id, event_type, t),
+          adm AS (SELECT user_id, event_type, t,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY batch, t, event_type) AS rn
+                  FROM dd),
+          enr AS (SELECT t, CASE event_type
+                    WHEN 'click' THEN 'interaction' WHEN 'view' THEN 'interaction'
+                    WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+                    WHEN 'error' THEN 'fault' END AS category
+                  FROM adm WHERE rn <= 20)
+          SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS win_start, category,
+                 COUNT(*) AS n
+          FROM enr, wm GROUP BY 1, 2, wm.w
+          HAVING win_start + INTERVAL 1 HOUR <= wm.w""",
 
     // Same lagged-late-filter model as q61, on row timestamps: batch-3
     // rows survive iff t > max(batch-1 ts) − 1h; dedup emits on arrival

@@ -379,6 +379,87 @@ object Streams {
       .toDF("user_id", "n_total")
   }
 
+  case class AdmittedEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /** Append-mode quota admission for the COMPOSED pipeline: admit the
+    * first `quota` events per user, where "first" is deterministic —
+    * arrival batch, then (event time, type) WITHIN the batch (the rows
+    * handed to one `handleInputRows` call are sorted locally before the
+    * remaining quota is granted). Unlike [[QuotaProcessor]] (which emits
+    * order-independent counts), this emits the admitted ROWS, which is
+    * only oracle-exact because the upstream dedup makes (user, type, ts)
+    * unique and the replay harness pins batch boundaries. Memory is
+    * O(quota) per key per batch — a bounded max-heap keeps the
+    * `remaining`-smallest rows, never the batch's full row list. */
+  class QuotaAdmitProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, java.sql.Timestamp), AdmittedEvent] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var admitted: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+                                 tv: TimerValues): Iterator[AdmittedEvent] = {
+      val have = if (admitted.exists()) admitted.get() else 0L
+      val remaining = math.max(0L, quota - have).toInt
+      if (remaining == 0) { rows.foreach(_ => ()); Iterator.empty }
+      else {
+        // max-heap capped at `remaining`: push each row, evict the largest
+        // — survivors are the remaining-smallest by (event time, type)
+        val ord = Ordering.by[(Long, String, java.sql.Timestamp), (Long, String)](
+          r => (r._3.getTime, r._2))
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, java.sql.Timestamp)](ord)
+        rows.foreach { r =>
+          heap.enqueue(r)
+          if (heap.size > remaining) heap.dequeue()
+        }
+        admitted.update(have + heap.size)
+        heap.toIndexedSeq.iterator.map(r => AdmittedEvent(r._1, r._2, r._3))
+      }
+    }
+  }
+
+  /** The composed streaming capstone (q147's streaming cousin): ONE query
+    * chaining three stateful operators plus a stateless enrich —
+    *
+    *   watermark dedup (`dropDuplicates` on the full key, late batch-3
+    *   rows dropped by the lagged watermark)
+    *   → per-user quota admission ([[QuotaAdmitProcessor]] via
+    *     `transformWithState` with a DECLARED event-time output column —
+    *     the Spark 4 surface that lets stateful operators chain)
+    *   → broadcast stream-static category enrich
+    *   → tumbling 1h aggregate, append mode: only windows sealed by the
+    *     final watermark emit.
+    *
+    * Runs over the staged 3-micro-batch late-arrival replay so every
+    * watermark interaction is deterministic and the batch oracle can
+    * replay the entire composition arithmetically (q61/q66's lagged-
+    * watermark model: batch-3 rows survive iff ts > max(batch-1 ts) − 1h;
+    * the seal is max(batch-2 ts) − 1h). */
+  def composedAdmissionPipeline(spark: SparkSession, dir: String, quota: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dim = spark.createDataFrame(Seq(
+      ("click", "interaction"), ("view", "interaction"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "fault"))).toDF("event_type", "category")
+    val dd = lateArrivalStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type", "ts"))
+    val admittedRows = dd.as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new QuotaAdmitProcessor(quota), "ts", OutputMode.Append())
+    admittedRows.toDF()
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("category"), col("n"))
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's

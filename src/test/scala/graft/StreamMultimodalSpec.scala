@@ -102,6 +102,28 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("event_id", "user_id", "event_type"))
   }
 
+  test("q155 composition is ONE streaming query with three stateful operators") {
+    // the capstone's claim is composition, not co-existence: dedup, quota
+    // admission (transformWithState), and the sealed window aggregate
+    // must appear as state operators of a single running query
+    val d = sf("sf0.001")
+    val dir = Streams.prepareLateArrivalFiles(spark, d)
+    val ckpt = "/root/repo/target/scratch/ckpt_composed_spec"
+    graft.util.Staging.deleteRecursive(ckpt)
+    val q = Streams.composedAdmissionPipeline(spark, dir, 20L)
+      .writeStream.format("memory").queryName(s"composed_spec_${System.nanoTime()}")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.size == 3, s"expected 3 stateful operators in one query, got $ops")
+      assert(ops.exists(_.contains("dedupe")), s"no dedup operator in $ops")
+      assert(ops.exists(_.contains("transformWithState")), s"no transformWithState in $ops")
+      // the sealed window aggregate surfaces as its state-store writer
+      assert(ops.exists(_.contains("stateStoreSave")), s"no stateful aggregate in $ops")
+    } finally q.stop()
+  }
+
   test("stateful streaming runs on the RocksDB state store provider") {
     // the conf is engine-wide (GraftSession.configure): heap-map state is
     // the one remaining 100×-risk in streaming, RocksDB spills to disk
