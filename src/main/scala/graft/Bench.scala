@@ -53,16 +53,55 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
 
+    // Streaming variance control: micro-batch scheduling jitter swings
+    // streaming walls ±several seconds on identical code (q78 2.1→6.9 s
+    // r3→r4), which pollutes round-over-round regression tracking. Three
+    // countermeasures, all reported: (a) a StreamingQueryListener
+    // attributes micro-batch count + state-commit ms to the bench query
+    // that ran them — a TRUE plan regression moves state/commit work,
+    // jitter moves only the wall; (b) streaming queries get min-of-5
+    // repeats under a 60 s cap (batch queries keep min-of-3/30 s);
+    // (c) every streaming repeat's wall time is emitted so the spread is
+    // visible, not just the min. Listener delivery is async (events ride
+    // a bus thread): attribution is per query NAME with a short drain
+    // pause after each streaming query, so a straggler event lands in
+    // the right query's totals even if it misses its exact repeat.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val streamAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    @volatile var currentQuery: String = ""
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val k = currentQuery
+        if (k.nonEmpty) {
+          val p = e.progress
+          val commit = p.stateOperators.map(_.commitTimeMs).sum
+          streamAgg.compute(k, (_, prev) => {
+            val a = if (prev == null) Array(0L, 0L, 0L) else prev
+            Array(a(0) + 1, a(1) + p.batchDuration, a(2) + commit)
+          })
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+
     var errors = Map.empty[String, String]
     var memByQuery = Map.empty[String, Long]
+    var streamRuns = Map.empty[String, Seq[Double]]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var spent = 0.0
       var runs = 0
       var ok = false
       var lastErr: String = null
+      var runTimes = Vector.empty[Double]
+      currentQuery = name
       resetPeaks()
-      while (runs < repeats && (runs == 0 || spent < 30.0)) {
+      def isStreaming = streamAgg.containsKey(name)
+      def cap = if (isStreaming) 60.0 else 30.0
+      def effRepeats = if (isStreaming) math.max(repeats, 5) else repeats
+      while (runs < effRepeats && (runs == 0 || spent < cap)) {
         spark.catalog.clearCache() // cold runs: no cross-repeat cache flattery
         val t0 = System.nanoTime()
         val failed =
@@ -70,20 +109,38 @@ object Bench {
           catch { case e: Throwable => lastErr = s"${e.getClass.getSimpleName}: ${e.getMessage}"; true }
         val dt = (System.nanoTime() - t0) / 1e9
         spent += dt; runs += 1
-        if (!failed) { ok = true; if (dt < best) best = dt }
+        if (!failed) { ok = true; runTimes :+= dt; if (dt < best) best = dt }
       }
+      if (isStreaming) {
+        Thread.sleep(100) // drain the async listener bus before switching attribution
+        streamRuns += name -> runTimes
+      }
+      currentQuery = ""
       memByQuery += name -> peakMib()
       if (!ok) { errors += name -> String.valueOf(lastErr).take(200); name -> -1.0 }
       else name -> best
     }
+    spark.streams.removeListener(listener)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val memJson = results.map { case (k, _) => jstr(k) + ":" + memByQuery(k) }.mkString("{", ",", "}")
+    // Streaming variance columns: total micro-batches / batch ms /
+    // state-commit ms across ALL repeats of the query (divide by the
+    // stream_runs length for per-run averages), plus every repeat's wall
+    // seconds. Jitter shows as wall spread with flat batch/commit totals;
+    // a plan regression moves the batch/commit columns too.
+    import scala.jdk.CollectionConverters._
+    val sbJson = streamAgg.asScala.toSeq.sortBy(_._1).map { case (k, a) =>
+      jstr(k) + ":" + s"""{"batches":${a(0)},"batch_ms":${a(1)},"commit_ms":${a(2)}}"""
+    }.mkString("{", ",", "}")
+    val srJson = streamRuns.toSeq.sortBy(_._1).map { case (k, ts) =>
+      jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val memMib = if (memByQuery.isEmpty) 0L else memByQuery.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint)"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds"}"""
     println(json)
     // Persist the COMPLETE artifact too: the driver stores only a ~2k tail
     // of stdout, which truncated round 3's per-query seconds map out of
