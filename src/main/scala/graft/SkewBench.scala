@@ -51,7 +51,13 @@ object SkewBench {
         element_at(
           array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
           (pmod(col("h1"), lit(5)) + 1).cast("int")).as("event_type"),
-        timestamp_seconds(lit(1700000000L) + pmod(col("h2"), lit(86400L * 30))).as("ts"))
+        timestamp_seconds(lit(1700000000L) + pmod(col("h2"), lit(86400L * 30))).as("ts"),
+        // real-entropy payload (~30 B of varied digits): the join arm must
+        // shuffle bytes that don't compress away, or the hot partition of
+        // identical user_id longs lands under the skew threshold and the
+        // split never engages (the same pruning defect the SkewSpec AQE
+        // test had)
+        concat_ws("_", lit("pl"), col("h1"), col("h2"), col("event_id")).as("payload"))
       .repartition(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
   }
 
@@ -122,14 +128,17 @@ object SkewBench {
       ev.count()
       try {
         // ── join arm: skewed shuffle join, AQE skew-split expected ──────
+        // max(length(payload)) keeps the payload column alive through the
+        // join exchange — without it Catalyst prunes everything but
+        // user_id/segment and the hot partition compresses below threshold
         val dim = ev.select("user_id").distinct()
           .withColumn("segment", pmod(col("user_id"), lit(7)))
         val joined = ev.join(dim.hint("merge"), "user_id")
-          .groupBy("segment").agg(count(lit(1)).as("n"))
+          .groupBy("segment").agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
         val (_, tJoin) = time(joined.write.format("noop").mode("overwrite").save())
         val plan = {
           val df = ev.join(dim.hint("merge"), "user_id")
-            .groupBy("segment").agg(count(lit(1)).as("n"))
+            .groupBy("segment").agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
           df.collect()
           df.queryExecution.executedPlan.toString
         }

@@ -37,6 +37,10 @@ object Skew {
     */
   def chunkedLead(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
                   valueCol: String, bucket: Column, out: String): DataFrame = {
+    val taken = Set("__graft_bucket", "__graft_within", "__graft_next_first", out)
+    val clash = df.columns.filter(taken)
+    require(clash.isEmpty,
+      s"chunkedLead: input columns clash with internal/output names: ${clash.mkString(", ")}")
     val b = df.withColumn("__graft_bucket", bucket)
     val within = Window.partitionBy(col(keyCol), col("__graft_bucket"))
       .orderBy(col(orderCol), col(tieCol))

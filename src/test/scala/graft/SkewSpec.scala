@@ -78,8 +78,11 @@ class SkewSpec extends SparkSpec {
         concat(lit("payload_padding_padding_padding_"), col("id")).as("v"))
       val dim = spark.range(100001L)
         .select((col("id") * lit(4)).as("k"), pmod(col("id"), lit(7)).as("seg"))
+      // the aggregate must READ v: otherwise Catalyst prunes it before the
+      // exchange, the hot partition is 400k identical longs that compress
+      // below the skew threshold, and the split never triggers
       val joined = big.join(dim.hint("merge"), "k")
-        .groupBy("seg").agg(count(lit(1)).as("n"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), max(length(col("v"))).as("max_len"))
       joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
