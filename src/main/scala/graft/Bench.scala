@@ -62,19 +62,27 @@ object Bench {
     // jitter moves only the wall; (b) streaming queries get min-of-5
     // repeats under a 60 s cap (batch queries keep min-of-3/30 s);
     // (c) every streaming repeat's wall time is emitted so the spread is
-    // visible, not just the min. Listener delivery is async (events ride
-    // a bus thread): attribution is per query NAME with a short drain
-    // pause after each streaming query, so a straggler event lands in
-    // the right query's totals even if it misses its exact repeat.
+    // visible, not just the min. Attribution: onQueryStarted is delivered
+    // SYNCHRONOUSLY with query.start() (inside the bench query's fn call),
+    // so it pins runId → bench-query name and marks the bench query as
+    // streaming from its FIRST repeat; the async progress events are then
+    // attributed by runId, so a straggler arriving after the harness moved
+    // on still lands in the right query's totals and can never reclassify
+    // a batch query as streaming.
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val streamAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val runIdToBench = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+    val streamingBench = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     @volatile var currentQuery: String = ""
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
+        val k = currentQuery // synchronous with start(): this IS the driving bench query
+        if (k.nonEmpty) { runIdToBench.put(e.runId, k); streamingBench.add(k) }
+      }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val k = currentQuery
-        if (k.nonEmpty) {
+        val k = runIdToBench.get(e.progress.runId)
+        if (k != null) {
           val p = e.progress
           val commit = p.stateOperators.map(_.commitTimeMs).sum
           streamAgg.compute(k, (_, prev) => {
@@ -98,7 +106,7 @@ object Bench {
       var runTimes = Vector.empty[Double]
       currentQuery = name
       resetPeaks()
-      def isStreaming = streamAgg.containsKey(name)
+      def isStreaming = streamingBench.contains(name)
       def cap = if (isStreaming) 60.0 else 30.0
       def effRepeats = if (isStreaming) math.max(repeats, 5) else repeats
       while (runs < effRepeats && (runs == 0 || spent < cap)) {
@@ -111,15 +119,13 @@ object Bench {
         spent += dt; runs += 1
         if (!failed) { ok = true; runTimes :+= dt; if (dt < best) best = dt }
       }
-      if (isStreaming) {
-        Thread.sleep(100) // drain the async listener bus before switching attribution
-        streamRuns += name -> runTimes
-      }
+      if (isStreaming) streamRuns += name -> runTimes
       currentQuery = ""
       memByQuery += name -> peakMib()
       if (!ok) { errors += name -> String.valueOf(lastErr).take(200); name -> -1.0 }
       else name -> best
     }
+    Thread.sleep(500) // drain the async listener bus before serializing totals
     spark.streams.removeListener(listener)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""

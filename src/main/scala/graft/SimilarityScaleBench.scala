@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** ANN-path scaling proof (the similarity twin of [[DedupScaleBench]]):
+  * the driver corpus is 500 vectors, far too small to say anything about
+  * corpus-scale behavior, so this main sweeps [[Similarity.indexCells]] →
+  * [[Similarity.ivfTopKIndexed]] over a synthetic embedding corpus at
+  * n = 100k / 400k / 1.6M vectors (dim 32, 64 cells, nprobe 8, k 10) and
+  * prints one JSON line per cell with per-stage wall time, the cell-size
+  * distribution, and recall.
+  *
+  * The corpus is deterministic (integer LCG per (seed, dim), no rand()):
+  * every 40th vector is a planted near-duplicate of its predecessor (same
+  * seed, dim-0 nudged by +0.01), so each sampled query's true nearest
+  * neighbor is KNOWN BY CONSTRUCTION — `recall_planted` (is the planted
+  * neighbor in the IVF top-k?) is exact at every n without a corpus-scale
+  * brute-force pass. `recall_at10` additionally compares the full IVF
+  * top-10 against [[Similarity.bruteForceTopK]] on the same query sample,
+  * at the smallest n by default (the brute pass is O(|Q|·|C|) — that cost
+  * is the point of IVF; set SPARK_GRAFT_ANN_BRUTE_ALL=1 to force it
+  * everywhere).
+  *
+  * What a failure looks like: a hot centroid cell shows as max_cell ≫
+  * mean_cell (probe cost concentrates), recall collapse shows as
+  * recall_planted dropping with n (cells too coarse for the corpus), and
+  * an accidental corpus-wide scoring shows as probe_sec growing ~linearly
+  * with n instead of with n/cells·nprobe·|Q|. Numbers recorded in
+  * BASELINE.md; not part of the per-round driver protocol.
+  * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_ANN_NS (comma list),
+  * SPARK_GRAFT_ANN_BRUTE_ALL.
+  */
+object SimilarityScaleBench {
+
+  val Dim = 32
+  val NCells = 64
+  val NProbe = 8
+  val K = 10
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ns = sys.env.getOrElse("SPARK_GRAFT_ANN_NS", "100000,400000,1600000")
+      .split(",").map(_.trim.toInt).toSeq
+    val bruteAll = sys.env.get("SPARK_GRAFT_ANN_BRUTE_ALL").contains("1")
+    val spark = graft.core.GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (n <- ns) {
+      // seed = the id whose LCG stream this vector carries; planted
+      // near-dups share their predecessor's seed and nudge dim 0
+      val corpus = spark.range(n.toLong).select(
+          col("id").as("vec_id"),
+          when(pmod(col("id"), lit(40)) === 0 && col("id") > 0, col("id") - 1)
+            .otherwise(col("id")).as("__seed"),
+          (pmod(col("id"), lit(40)) === 0 && col("id") > 0).as("__dup"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(Dim - 1)), i =>
+            (pmod((col("__seed") * Dim + i.cast("long")) * lit(1103515245L) + lit(12345L),
+                lit(2147483647L)).cast("double") / lit(2147483647.0) * 2.0 - 1.0)
+              + when(i === lit(0) && col("__dup"), lit(0.01)).otherwise(lit(0.0))).as("v"))
+        .repartition(cpus.toInt) // synthetic range: give every core a slice
+      // centroids: a fixed arithmetic sample of NON-planted vectors —
+      // deterministic, spread across the id space
+      val cStride = math.max(1L, n.toLong / NCells)
+      val cents = corpus
+        .filter(pmod(col("vec_id"), lit(cStride)) === 3 && col("vec_id") < lit(cStride * NCells))
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      // queries: ~100 planted near-dups spread across the id space; each
+      // one's true NN is vec_id − 1 by construction
+      val qStride = math.max(1L, (n.toLong / 40) / 100) * 40
+      val queries = corpus
+        .filter(pmod(col("vec_id"), lit(40)) === 0 && col("vec_id") > 0 &&
+          pmod(col("vec_id"), lit(qStride)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val nQ = queries.count()
+
+      // ── stage 1: index (once per corpus at 100 TB) ─────────────────────
+      val t0 = System.nanoTime()
+      val indexed = Similarity.indexCells(corpus, cents, "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      indexed.count()
+      val tIndex = (System.nanoTime() - t0) / 1e9
+      val hist = indexed.groupBy("__cell").count()
+        .agg(max(col("count")).as("mx"), avg(col("count")).as("mean"),
+          count(lit(1)).as("cells")).collect().head
+      val (maxCell, meanCell, usedCells) = (hist.getLong(0), hist.getDouble(1), hist.getLong(2))
+
+      try {
+        // ── stage 2: probe + exact re-score within candidates ────────────
+        val t1 = System.nanoTime()
+        val ivf = Similarity.ivfTopKIndexed(indexed, queries, cents,
+            "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ivf.count()
+        val tProbe = (System.nanoTime() - t1) / 1e9
+
+        // recall vs the construction-known planted neighbor, at every n
+        val planted = ivf.filter(col("vec_id") === col("q_id") - 1)
+          .select("q_id").distinct().count()
+        val recallPlanted = planted.toDouble / nQ
+
+        // recall@10 vs the brute-force oracle (O(|Q|·|C|) — smallest n
+        // only unless forced)
+        val recallAt10 =
+          if (n == ns.min || bruteAll) {
+            val t2 = System.nanoTime()
+            val brute = Similarity.bruteForceTopK(queries, corpus,
+              "q_id", "vec_id", "qv", "v", k = K)
+            val inter = ivf.select("q_id", "vec_id")
+              .intersect(brute.select("q_id", "vec_id")).count()
+            val tBrute = (System.nanoTime() - t2) / 1e9
+            f"""${inter.toDouble / (nQ * K)}%.4f,"brute_sec":$tBrute%.2f"""
+          } else "null"
+        ivf.unpersist()
+        println(f"""ANNSCALE: {"n":$n,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"recall_planted":$recallPlanted%.4f,"recall_at10":$recallAt10}""")
+      } finally indexed.unpersist()
+    }
+    spark.stop()
+  }
+}

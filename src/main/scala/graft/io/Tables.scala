@@ -20,17 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy nanosAsLong) and
-    * surface a proper microsecond TimestampType column. The conf is set
-    * defensively here because driver-owned sessions don't go through
-    * [[graft.core.GraftSession]].
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark
+    * rejects outright (PARQUET_TYPE_ILLEGAL) unless read as raw nanos via
+    * legacy nanosAsLong — and as plain TIMESTAMP(MICROS), which Spark reads
+    * as TIMESTAMP_NTZ. Adapt on the observed schema and surface one stable
+    * contract either way: a microsecond TimestampType (session-UTC) column.
+    * The conf is set defensively here because driver-owned sessions don't go
+    * through [[graft.core.GraftSession]].
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns > 2^53 would lose bits in double math
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns > 2^53 would lose bits in double math
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

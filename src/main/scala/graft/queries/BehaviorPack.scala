@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.io.Tables
-import graft.relational.Intervals
+import graft.relational.{Intervals, Skew}
 import graft.util.{Parity, Staging}
 
 /** Wave-6 behavioral / event analytics: funnel conversion, cohort
@@ -138,6 +138,25 @@ object BehaviorPack extends QueryPack {
       val pairs = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("event_type").agg(sum(col("n")).as("rt"))
+      counts.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("rt").cast("double")).as("p"))
+    },
+
+    // ── q156: q136's transition matrix via the SKEW-SAFE lead ──────────
+    // Same semantics, same oracle — but the per-user lead runs through
+    // [[Skew.chunkedLead]] with a day bucket, so a zipf mega-user's window
+    // partition is bounded by events/user/DAY instead of events/user. This
+    // registers the mitigation as product (driver-checked every round),
+    // not bench-only code: results must be row-identical to q136's.
+    "q156_transitions_chunked" -> { (s, d) =>
+      val pairs = Skew.chunkedLead(
+          Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+          "user_id", "ts", "event_id", "event_type",
+          date_trunc("day", col("ts")), "next_type")
         .filter(col("next_type").isNotNull)
       val counts = pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
       val totals = counts.groupBy("event_type").agg(sum(col("n")).as("rt"))
@@ -379,6 +398,20 @@ object BehaviorPack extends QueryPack {
             ON sess_start <= inc_end AND inc_start <= sess_end""",
 
     "q136_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+          p AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+                FROM e),
+          c AS (SELECT event_type, next_type, COUNT(*) AS n FROM p
+                WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+          r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rt FROM c GROUP BY event_type)
+          SELECT c.event_type, c.next_type, c.n,
+                 CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE) AS p
+          FROM c JOIN r ON c.event_type = r.event_type""",
+
+    // q156 must be ROW-IDENTICAL to q136 — same oracle SQL by design: the
+    // chunked lead is a pure execution-strategy change, not a semantic one
+    "q156_transitions_chunked" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
           p AS (SELECT event_type,
                   lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type

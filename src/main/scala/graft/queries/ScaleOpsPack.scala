@@ -72,14 +72,21 @@ object ScaleOpsPack extends QueryPack {
     // The final top-25 is exact as long as candidates ⊇ true top-25, which
     // the 16× candidate margin guarantees overwhelmingly; the oracle's
     // full count verifies it on every run AT TEST SCALE. At 100 TB no
-    // oracle exists, so the query also emits its own runtime soundness
-    // certificate: any NON-candidate token has sample count ≤ c400 (the
-    // 400th candidate's — else it would be a candidate), so its true
-    // count is extrapolation-bounded by c400·(10/3)·2 (inverse sampling
-    // rate × a 2× concentration margin). `sound` = the 25th exact count
-    // clears that bound → no non-candidate can belong in the top-25.
-    // Integer arithmetic throughout, replayed by the oracle; measured
-    // headroom is ~16× at sf0.01 AND sf0.1 (878 vs 53, 8912 vs 520).
+    // oracle exists, so the query also emits a runtime soundness SIGNAL:
+    // any NON-candidate token has sample count ≤ c400 (the 400th
+    // candidate's — else it would be a candidate), and `sound` = the 25th
+    // exact count ≥ c400·(10/3)·2 (inverse sampling rate × a 2×
+    // concentration margin). This is a PROBABILISTIC CONCENTRATION
+    // HEURISTIC, not a worst-case certificate: it assumes a token's doc
+    // occurrences spread roughly evenly across the doc-hash sample (true
+    // for natural-language corpora, where token doc-frequency is large
+    // for any top-25 contender). A token pathologically concentrated in
+    // the unsampled 70% of docs has near-zero sample count yet unbounded
+    // true count, so `sound=true` is evidence, not proof — a worst-case
+    // bound would require counting the full vocabulary, i.e. the exact
+    // pass this two-pass design exists to avoid. Integer arithmetic
+    // throughout, replayed by the oracle; measured headroom is ~16× at
+    // sf0.01 AND sf0.1 (878 vs 53, 8912 vs 520).
     // Both windows run over the ≤400-row candidate aggregate — bounded
     // by the candidate cap at any corpus size, never the token stream.
     "q122_heavy_hitters" -> { (s, d) =>

@@ -426,10 +426,14 @@ object StreamPack extends QueryPack {
                     WHEN 'click' THEN 'interaction' WHEN 'view' THEN 'interaction'
                     WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
                     WHEN 'error' THEN 'fault' END AS category
-                  FROM adm WHERE rn <= 20)
+                  FROM adm WHERE rn <= 20),
+          -- inner-join parity: the Spark side joins a 5-row category dim,
+          -- dropping unmapped event types; drop them here by construction
+          -- too, so a future sixth type diverges by intent, not noisily
+          enrk AS (SELECT t, category FROM enr WHERE category IS NOT NULL)
           SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS win_start, category,
                  COUNT(*) AS n
-          FROM enr, wm GROUP BY 1, 2, wm.w
+          FROM enrk, wm GROUP BY 1, 2, wm.w
           HAVING win_start + INTERVAL 1 HOUR <= wm.w""",
 
     // Same lagged-late-filter model as q61, on row timestamps: batch-3

@@ -76,22 +76,29 @@ object Similarity {
       struct((dotDec(col(vCol), lit(cv)) / lit(nc)).as("s"), lit(-cell).as("c"))
     }: _*), asc = false)
 
-  /** IVF-style ANN top-k — the scale path beside [[bruteForceTopK]]: index
-    * the corpus into centroid cells (per-row argmax, zero shuffle), probe
-    * only the `nprobe` nearest cells per query, score exactly within the
-    * candidate union. The probed query set broadcasts, so the only wide
-    * exchange in the whole plan is the final per-query top-k over
-    * candidates — |corpus| / |cells| × nprobe rows instead of |corpus|.
-    * Recall is validated against the brute-force baseline (q35's protocol)
-    * rather than assumed. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
-              qId: String, cId: String, qVec: String, cVec: String,
-              k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Assign every corpus vector to its nearest centroid cell (per-row
+    * argmax, zero shuffle — the corpus is indexed at scan speed) and hoist
+    * its norm. Adds `__cell` and `__cn`. At 100 TB this runs ONCE and the
+    * result persists (parquet partitioned by `__cell`); queries then probe
+    * the index via [[ivfTopKIndexed]] without re-scoring the corpus. */
+  def indexCells(corpus: DataFrame, cents: DataFrame, cVec: String): DataFrame = {
     val cc = collectCents(cents, "__cell", "__cv")
-    val indexed = corpus
+    corpus
       .withColumn("__cell", -element_at(cellScores(cVec, cc), 1).getField("c"))
       .withColumn("__cn", sqrt(dotDec(col(cVec), col(cVec))))
+  }
+
+  /** Probe phase over a pre-indexed corpus (the output of [[indexCells]],
+    * possibly persisted): probe only the `nprobe` nearest cells per query,
+    * score exactly within the candidate union. The probed query set
+    * broadcasts, so the only wide exchange in the whole plan is the final
+    * per-query top-k over candidates — |corpus| / |cells| × nprobe rows
+    * instead of |corpus|. */
+  def ivfTopKIndexed(indexed: DataFrame, queries: DataFrame, cents: DataFrame,
+                     qId: String, cId: String, qVec: String, cVec: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = collectCents(cents, "__cell", "__cv")
     val probed = queries
       .withColumn("__cell",
         explode(transform(slice(cellScores(qVec, cc), 1, nprobe), s => -s.getField("c"))))
@@ -104,6 +111,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("cos"), col("rank"))
   }
+
+  /** IVF-style ANN top-k — the scale path beside [[bruteForceTopK]]:
+    * [[indexCells]] + [[ivfTopKIndexed]] in one call (index recomputed;
+    * use the two-phase form when the index is reused across query sets).
+    * Recall is validated against the brute-force baseline (q35's protocol)
+    * rather than assumed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+              qId: String, cId: String, qVec: String, cVec: String,
+              k: Int, nprobe: Int): DataFrame =
+    ivfTopKIndexed(indexCells(corpus, cents, cVec), queries, cents,
+      qId, cId, qVec, cVec, k, nprobe)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The corpus side never shuffles; ranking is a

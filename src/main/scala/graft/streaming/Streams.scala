@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
-  /** File-source stream over events.parquet with the ns→µs conversion
-    * (same schema dance as [[graft.io.Tables.events]]). The file source
+  /** File-source stream over events.parquet with the same ts-schema
+    * adaptation as [[graft.io.Tables.events]] (long nanos → TimestampType,
+    * TIMESTAMP_NTZ → TimestampType). The file source
     * only accepts directories: if events.parquet is itself a directory of
     * part files (the layout at larger scale factors) it is streamed
     * directly; a single-file layout streams the sf dir filtered down to
@@ -30,7 +31,12 @@ object Streams {
         spark.readStream.schema(schema).parquet(path)
       else
         spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Drain a (bounded) stream into a memory sink and return the result.
@@ -404,7 +410,9 @@ object Streams {
     override def handleInputRows(user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
                                  tv: TimerValues): Iterator[AdmittedEvent] = {
       val have = if (admitted.exists()) admitted.get() else 0L
-      val remaining = math.max(0L, quota - have).toInt
+      // clamp BEFORE narrowing: a quota above Int.MaxValue would wrap the
+      // .toInt negative and silently admit zero rows instead of all
+      val remaining = math.min(math.max(0L, quota - have), Int.MaxValue.toLong).toInt
       if (remaining == 0) { rows.foreach(_ => ()); Iterator.empty }
       else {
         // max-heap capped at `remaining`: push each row, evict the largest
