@@ -13,7 +13,16 @@ import graft.similarity.Similarity
   * prints one JSON line per cell with per-stage wall time, the cell-size
   * distribution, and recall.
   *
-  * The corpus is deterministic (integer LCG per (seed, dim), no rand()):
+  * The corpus is deterministic (QUADRATIC mixed-modulus integer hash per
+  * (seed, dim), no rand()). The nonlinearity is load-bearing and was
+  * found the hard way twice: a single LCG makes every vector the same
+  * arithmetic progression with a per-seed shift (corpus collapses onto a
+  * 1-parameter family), and even two stacked LINEAR stages keep the
+  * per-dim increment constant, so every id-pair whose seed difference
+  * lands near a modular root becomes a near-duplicate FAMILY — both
+  * produce accidental cos≈1 pairs that outrank the planted neighbors
+  * (recall_planted measured 0.10 and 0.88 respectively; 1.00 with the
+  * arg² term, cross-checked against an independent numpy replica):
   * every 40th vector is a planted near-duplicate of its predecessor (same
   * seed, dim-0 nudged by +0.01), so each sampled query's true nearest
   * neighbor is KNOWN BY CONSTRUCTION — `recall_planted` (is the planted
@@ -61,10 +70,15 @@ object SimilarityScaleBench {
             .otherwise(col("id")).as("__seed"),
           (pmod(col("id"), lit(40)) === 0 && col("id") > 0).as("__dup"))
         .select(col("vec_id"),
-          transform(sequence(lit(0), lit(Dim - 1)), i =>
-            (pmod((col("__seed") * Dim + i.cast("long")) * lit(1103515245L) + lit(12345L),
-                lit(2147483647L)).cast("double") / lit(2147483647.0) * 2.0 - 1.0)
-              + when(i === lit(0) && col("__dup"), lit(0.01)).otherwise(lit(0.0))).as("v"))
+          transform(sequence(lit(0), lit(Dim - 1)), i => {
+            // arg² makes the hash nonlinear in the dim index (see scaladoc);
+            // every multiply stays far below Long overflow (ANSI-safe)
+            val arg = col("__seed") * Dim + i.cast("long")
+            val mixed = pmod(arg * arg + arg * lit(2654435761L), lit(1000000007L))
+            (pmod(mixed * lit(1103515245L) + lit(12345L),
+              lit(998244353L)).cast("double") / lit(998244353.0) * 2.0 - 1.0) +
+              when(i === lit(0) && col("__dup"), lit(0.01)).otherwise(lit(0.0))
+          }).as("v"))
         .repartition(cpus.toInt) // synthetic range: give every core a slice
       // centroids: a fixed arithmetic sample of NON-planted vectors —
       // deterministic, spread across the id space

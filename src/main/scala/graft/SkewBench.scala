@@ -9,17 +9,19 @@ import graft.relational.Skew
 /** Skew-robustness proof: every other scale sweep in this repo uses
   * uniform-ish synthetic keys, but a real events/corpus table is
   * zipf-distributed — so this main sweeps a PLANTED hot key from 0% to
-  * 30% of a 2M-row events table (zipf tail for the rest) and measures
-  * the three shapes that hot keys break, printing one JSON line per
-  * (arm, hotShare) cell:
+  * 30% of an events table (default 2M rows; the BASELINE.md round-6
+  * table uses 8M, zipf tail for the rest) and measures the three shapes
+  * that hot keys break, printing one JSON line per (arm, hotShare) cell:
   *
   *  - arm "join": a shuffle equi-join on the skewed key (the q123/q151
   *    shape once their grams/users go zipf). AQE skew-split is the
-  *    mitigation; the cell records whether the final adaptive plan
-  *    actually engaged it (`skew=true` on the SMJ node) — thresholds are
-  *    tuned down to bench scale (8 MB) because the defaults (256 MB) are
-  *    sized for production partitions, and the point is to prove the
-  *    MECHANISM engages, not to ship tuned thresholds.
+  *    mitigation; each cell times the identical query with the rule OFF
+  *    then ON (the delta is the mitigation's value) and records whether
+  *    the final adaptive plan actually engaged it (`skew=true` on the SMJ
+  *    node) — thresholds are tuned down to bench scale (2 MB compressed)
+  *    because the defaults (256 MB) are sized for production partitions,
+  *    and the point is to prove the MECHANISM engages, not to ship tuned
+  *    thresholds.
   *  - arm "window": the q127 funnel's chained per-user windows vs the
   *    cascade-of-aggregations formulation. Window partitions cannot be
   *    split, so the hot user serializes one task; the aggregation form
@@ -114,13 +116,37 @@ object SkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bench-scale skew thresholds (defaults are sized for 100 TB
-    // partitions): engage the skew-split mechanism on ~10 MB partitions
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    // partitions, 256 MB): engage the skew-split mechanism on ~2 MB
+    // COMPRESSED shuffle partitions — shuffle sizes are post-lz4, and the
+    // ~45 B/row hot partition compresses ~3-4×, so an 8 MB threshold needs
+    // >700k hot rows to trip while 2 MB trips from ~10% hot share at n=2M
+    val skewThreshold = sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "2m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThreshold)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", skewThreshold)
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // untimed warmup at n/10: JIT + codegen + shuffle-service spin-up land
+    // here, not in the first sweep cell (the r6 run's first cell was ~2×
+    // its steady-state time before this)
+    locally {
+      val w = genEvents(spark, math.max(100000L, n / 10), 0.05).persist()
+      w.count()
+      val wu = math.max(50L, n / 500)
+      val dim = spark.range(wu + 1)
+        .select(col("id").as("user_id"), pmod(col("id"), lit(7)).as("segment"))
+      w.join(dim.hint("merge"), "user_id")
+        .groupBy("segment").agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
+        .write.format("noop").mode("overwrite").save()
+      funnelByWindow(w).collect()
+      funnelByAgg(w).collect()
+      transitions(plainLead(w)).collect()
+      transitions(Skew.chunkedLead(w, "user_id", "ts", "event_id", "event_type",
+        date_trunc("day", col("ts")), "next_type")).collect()
+      w.unpersist()
     }
 
     for (p <- shares) {
@@ -130,12 +156,31 @@ object SkewBench {
         // ── join arm: skewed shuffle join, AQE skew-split expected ──────
         // max(length(payload)) keeps the payload column alive through the
         // join exchange — without it Catalyst prunes everything but
-        // user_id/segment and the hot partition compresses below threshold
-        val dim = ev.select("user_id").distinct()
-          .withColumn("segment", pmod(col("user_id"), lit(7)))
-        val joined = ev.join(dim.hint("merge"), "user_id")
-          .groupBy("segment").agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
-        val (_, tJoin) = time(joined.write.format("noop").mode("overwrite").save())
+        // user_id/segment and the hot partition compresses below threshold.
+        // The dim is built INDEPENDENTLY (a range superset of the user
+        // space), not as ev.select("user_id").distinct(): OptimizeSkewedJoin
+        // splits a skewed partition by re-reading the OTHER side's shuffle
+        // map output in slices, so it only matches an SMJ whose children
+        // are both fresh shuffle stages — a dim whose distinct() aggregate
+        // sits inline above its shuffle, OR a cached dim whose preserved
+        // hash-partitioning elides the exchange entirely, silently disables
+        // the split AT ANY threshold (both shapes verified in round 6, see
+        // BASELINE.md). Production rule: a skewed join whose other side is
+        // a same-stage aggregate or a co-partitioned cache must break that
+        // partitioning or salt explicitly — AQE will not save it.
+        val users = math.max(50L, n / 50)
+        val dim = spark.range(users + 1)
+          .select(col("id").as("user_id"), pmod(col("id"), lit(7)).as("segment"))
+        def joinOnce(): Unit =
+          ev.join(dim.hint("merge"), "user_id")
+            .groupBy("segment").agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
+            .write.format("noop").mode("overwrite").save()
+        // A/B: identical query with the skew-split rule off, then on —
+        // the wall-time delta IS the mitigation's value at this hot share
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (_, tJoinOff) = time(joinOnce())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val (_, tJoin) = time(joinOnce())
         val plan = {
           val df = ev.join(dim.hint("merge"), "user_id")
             .groupBy("segment").agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
@@ -143,7 +188,9 @@ object SkewBench {
           df.queryExecution.executedPlan.toString
         }
         val skewEngaged = plan.contains("skew=true")
-        println(s"""{"bench":"skew","arm":"join","n":$n,"hot_share":$p,"sec":${f"$tJoin%.2f"},"skew_split_engaged":$skewEngaged}""")
+        if (sys.env.get("SPARK_GRAFT_SKEW_DEBUG").contains("1"))
+          System.err.println(s"SKEWDEBUG hot_share=$p plan:\n$plan")
+        println(s"""{"bench":"skew","arm":"join","n":$n,"hot_share":$p,"sec":${f"$tJoin%.2f"},"sec_split_off":${f"$tJoinOff%.2f"},"skew_split_engaged":$skewEngaged}""")
 
         // ── window arm: funnel window vs aggregation cascade ────────────
         val (wRow, tWin) = time(funnelByWindow(ev).collect().head)

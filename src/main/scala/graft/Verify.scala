@@ -7,11 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.configure(
-        SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus),
-        shufflePartitions = cpus.toInt)
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    // `local-cluster[2,4,4096]` runs a real multi-executor cluster in
+    // child JVMs, surfacing serialization/classpath bugs in the custom
+    // expressions, estimators, and stateful processors that local[n]
+    // can never catch (everything stays in-process there).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+    // local-cluster executors are CHILD JVMs: hand them this JVM's full
+    // classpath, or they can't load graft classes (and fail with
+    // ClassNotFound on the first custom expression)
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      else builder0
+    val spark = graft.core.GraftSession.configure(builder, shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

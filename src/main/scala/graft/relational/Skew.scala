@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * data by the bucket width (the mega-user's stitch window has one row
   * per bucket, not per event).
   *
-  * Evidence: SkewBench sweeps a planted hot user from 0% to 30% of a
-  * 2M-event table; the plain window's wall grows with the hot share
-  * while the chunked form stays flat (table in BASELINE.md).
+  * Evidence: SkewBench sweeps a planted hot user from 0% to 30% of an
+  * 8M-event table; the plain lead's wall grows 2.29 → 8.02 s with the
+  * hot share while the chunked form stays flat at 3.65–4.14 s — 2.2×
+  * faster at 30% hot, crossover near 10% (round-6 table in BASELINE.md).
   */
 object Skew {
 

@@ -42,16 +42,21 @@ object Streams {
   /** Drain a (bounded) stream into a memory sink and return the result.
     * `outputMode` complete for aggregations, append for row streams.
     *
-    * Scratch discipline: the checkpoint path is keyed by `name` (not a
-    * nanoTime suffix) and wiped at the start of every invocation — a fresh
-    * query MUST NOT resume a stale checkpoint's offsets (it would skip the
-    * replay), and per-invocation unique dirs accumulated without bound
-    * across a long session (the round-3 leak). The memory-sink VIEW name
-    * stays invocation-unique: two sequential drains of the same query must
-    * not race on one temp view. */
+    * Scratch discipline: the checkpoint path AND the memory-sink view are
+    * keyed by `name` (not a nanoTime suffix) and wiped/dropped at the start
+    * of every invocation — a fresh query MUST NOT resume a stale
+    * checkpoint's offsets (it would skip the replay), and invocation-unique
+    * names accumulate without bound across a long session: nanoTime-suffixed
+    * checkpoint dirs were the round-3 disk leak, and nanoTime-suffixed
+    * memory-sink VIEWS pinned one full result set to the driver PER REPEAT
+    * (the suspected q43 monotonic repeat slowdown, BASELINE.md round-5
+    * anomaly). Same sequential-consumer contract as [[drainToParquet]]: the
+    * previous invocation's result is dropped at the NEXT invocation, by
+    * which time the caller has consumed it. */
   def drainToTable(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val spark = df.sparkSession
-    val qname = s"${name}_${System.nanoTime()}"
+    val qname = s"${name}_sink"
+    spark.catalog.dropTempView(qname)
     val ckpt = s"/root/repo/target/scratch/ckpt_$name"
     graft.util.Staging.deleteRecursive(ckpt)
     val q = df.writeStream
