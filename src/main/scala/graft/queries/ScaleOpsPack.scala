@@ -112,26 +112,36 @@ object ScaleOpsPack extends QueryPack {
     // ── q123: bigram language-model quality score ──────────────────────
     // Corpus-trained add-one-smoothed bigram log-likelihood per document —
     // the model-free cousin of perplexity filtering in LLM data pipelines.
-    // Three aggregates over one exploded bigram stream (bigram counts,
-    // context counts, context vocabulary), then a per-bigram score joined
-    // back on the bigram / context keys (hash joins; hot n-grams are
-    // AQE-skew-split at scale) and a per-doc exact-decimal average.
+    // The exploded bigram stream collapses to per-(doc, bigram) COUNTS
+    // first (round-6 restructure): every later join then carries one row
+    // per distinct bigram per doc instead of per occurrence, which is the
+    // load-bearing skew mitigation here — a hot stopword bigram ("of the")
+    // contributes |docs| rows to the gram-keyed join, not |occurrences|.
+    // That matters because AQE skew-split CANNOT rescue these joins: their
+    // build sides are same-stage aggregates, one of the two shapes that
+    // silently disable OptimizeSkewedJoin (needs fresh shuffle stages on
+    // BOTH sides — measured in the round-6 skew sweep, BASELINE.md); if a
+    // gram is still hot after the collapse, the explicit salting path
+    // (Scale.saltedJoin) is the remedy, not AQE. Scores re-weight by the
+    // count: lp has ≤6 decimals and nb ≤ 2^31, so lp·nb is exact in
+    // double and the decimal(28,6) sum stays bit-exact cross-engine.
     // ln() is rounded to 6 decimals the moment it's computed (the
     // transcendental parity rule), so every downstream sum is exact.
     "q123_bigram_lm_score" -> { (s, d) =>
       val ws = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-      val bi = ws.select(col("doc_id"),
-        explode(TextOps.wordNgrams(col("w"), 2)).as("b"))
-      val cb = bi.groupBy("b").agg(count(lit(1)).as("cb"))
+      val nb = ws.select(col("doc_id"),
+          explode(TextOps.wordNgrams(col("w"), 2)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+      val cb = nb.groupBy("b").agg(sum(col("nb")).as("cb"))
       // context counts and vocabulary DERIVE from the (far smaller) bigram
       // aggregate — Σ cb by first word ≡ counting the exploded stream, so
-      // the corpus is exploded twice total, not four times
+      // the corpus is exploded once total, not three times
       val cu = cb.groupBy(substring_index(col("b"), " ", 1).as("w1"))
         .agg(sum(col("cb")).as("cu"))
       val vocab = cb.select(substring_index(col("b"), " ", 1).as("w1"))
         .agg(countDistinct(col("w1")).as("v"))
-      bi.join(cb, "b")
+      nb.join(cb, "b")
         .withColumn("w1", substring_index(col("b"), " ", 1))
         .join(cu, "w1")
         .crossJoin(broadcast(vocab))
@@ -143,8 +153,8 @@ object ScaleOpsPack extends QueryPack {
         // final round() can land on a 6-decimal midpoint where Spark and
         // DuckDB tie-break differently (bit sf0.1 doc 1223); callers
         // divide by n_bigrams themselves when they want the mean
-        .agg(count(lit(1)).as("n_bigrams"),
-          Parity.dsum6(col("lp")).as("sum_logprob"))
+        .agg(sum(col("nb")).as("n_bigrams"),
+          Parity.dsum6(col("lp") * col("nb")).as("sum_logprob"))
     },
 
     // ── q124: z-order (Morton) clustering tiles ────────────────────────

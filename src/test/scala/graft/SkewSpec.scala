@@ -89,4 +89,38 @@ class SkewSpec extends SparkSpec {
         s"AQE skew-split did not engage:\n${plan.take(1200)}")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("AQE skew-split is DISABLED when the other join side is an inline aggregate") {
+    // The round-6 blind spot, pinned as a negative: OptimizeSkewedJoin
+    // splits a skewed partition by re-reading the OTHER side's shuffle map
+    // output in slices, so both SMJ children must be fresh shuffle stages.
+    // A dim built as big.select(k).distinct() keeps its final aggregate
+    // inline above its own shuffle — identical hot data to the test above,
+    // yet the split MUST NOT engage (if Spark ever lifts this limitation,
+    // this test failing is good news: revisit the q123-style guidance in
+    // BASELINE.md's round-6 skew section).
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      val big = spark.range(500000L).select(
+        when(col("id") < 400000L, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_padding_padding_padding_"), col("id")).as("v"))
+      val dim = big.select("k").distinct().withColumn("seg", pmod(col("k"), lit(7)))
+      val joined = big.join(dim.hint("merge"), "k")
+        .groupBy("seg").agg(count(lit(1)).as("n"), max(length(col("v"))).as("max_len"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("skew=true"),
+        "skew-split engaged through an inline-aggregate side — Spark lifted " +
+          s"the limitation this repo documents; update the guidance:\n${plan.take(1200)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
