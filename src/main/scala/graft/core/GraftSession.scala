@@ -41,6 +41,12 @@ object GraftSession {
       // spills state to local disk with incremental checkpointing.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // NOT set: rocksdb.changelogCheckpointing — measured on the 5
+      // streaming replay harnesses at sf0.1 (round 6): no win (q92
+      // 9.72→10.41 s, q78 5.22→5.44, q155 7.85→8.13, q43/q61 flat).
+      // Local checkpoints make snapshot upload free, so the changelog
+      // write is pure overhead here; on a real cluster with remote
+      // checkpoint storage it's the right setting — revisit there.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 
