@@ -89,6 +89,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q123 collapses bigrams per doc BEFORE any gram-keyed join") {
+    // the round-6 restructure's load-bearing property: a hot bigram must
+    // contribute |docs| rows to the join, not |occurrences| — the exploded
+    // stream has to aggregate on (doc_id, b) before the first join (AQE
+    // skew-split cannot rescue these aggregate-fed joins, see SkewSpec)
+    val p = plan("q123_bigram_lm_score")
+    val aggIdx = "HashAggregate\\(keys=\\[doc_id#\\d+L?, b#\\d+\\]".r
+      .findFirstMatchIn(p).map(_.start)
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .flatMap(op => { val i = p.indexOf(op); if (i >= 0) Some(i) else None })
+      .minOption
+    assert(aggIdx.isDefined, s"no per-(doc_id, b) aggregate in plan:\n${p.take(800)}")
+    // plan strings print top-down: the aggregate must sit BELOW (after in
+    // text) the first join it feeds
+    assert(joinIdx.isDefined && aggIdx.get > joinIdx.get,
+      s"per-doc collapse does not feed the joins:\n${p.take(800)}")
+  }
+
   test("q09 projection prunes the parquet read schema to selected columns") {
     val p = plan("q09_part_features")
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
