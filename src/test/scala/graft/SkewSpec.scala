@@ -38,6 +38,38 @@ class SkewSpec extends SparkSpec {
       s"chunked: ${chunked.orderBy("event_id").collect().toSeq}")
   }
 
+  test("chunkedLead equals plain lead on seeded random event sets × bucket widths") {
+    // sampled distributed property (PropertySpec convention): random
+    // clustered timestamps — repeated (user, ts) ties broken by event_id,
+    // cross-bucket gaps, single-event users — must agree with the plain
+    // lead under BOTH day and hour buckets (bucket granularity changes
+    // which leads cross the stitch boundary, the code path under test)
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 400).map { i =>
+        val user = rnd.nextInt(8).toLong                 // hot-ish: ~50 events/user
+        val day = rnd.nextInt(5)                          // 5-day span with gaps
+        val sec = rnd.nextInt(3) * 21600                  // coarse → many exact ts ties
+        (user, java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 00:00:00")
+          .toInstant.plusSeconds(sec.toLong).toString.replace("T", " ").replace("Z", ""),
+          i.toLong, s"t${rnd.nextInt(4)}")
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val plain = df.withColumn("next_type",
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .select("user_id", "event_id", "next_type")
+      for (bucket <- Seq(date_trunc("day", col("ts")), date_trunc("hour", col("ts")))) {
+        val chunked = Skew.chunkedLead(df, "user_id", "ts", "event_id", "event_type",
+            bucket, "next_type")
+          .select("user_id", "event_id", "next_type")
+        assert(plain.exceptAll(chunked).isEmpty && chunked.exceptAll(plain).isEmpty,
+          s"seed=$seed bucket=$bucket diverged")
+      }
+    }
+  }
+
   test("chunkedLead equals plain lead on the real events table") {
     val ev = graft.io.Tables.events(spark, sf("sf0.001"))
       .select("user_id", "ts", "event_id", "event_type")
