@@ -11,7 +11,9 @@ import graft.similarity.Similarity
   * [[Similarity.ivfTopKIndexed]] over a synthetic embedding corpus at
   * n = 100k / 400k / 1.6M vectors (dim 32, 64 cells, nprobe 8, k 10) and
   * prints one JSON line per cell with per-stage wall time, the cell-size
-  * distribution, and recall.
+  * distribution, and recall — for BOTH dot paths: the oracle-exact
+  * decimal one (`exact=true`, what q67 gates on) and the production IEEE
+  * fast path (`exact=false`, `DoubleDot`), whose recall must not move.
   *
   * The corpus is deterministic (QUADRATIC mixed-modulus integer hash per
   * (seed, dim), no rand()). The nonlinearity is load-bearing and was
@@ -133,7 +135,25 @@ object SimilarityScaleBench {
             f"""${inter.toDouble / (nQ * K)}%.4f,"brute_sec":$tBrute%.2f"""
           } else "null"
         ivf.unpersist()
-        println(f"""ANNSCALE: {"n":$n,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"recall_planted":$recallPlanted%.4f,"recall_at10":$recallAt10}""")
+
+        // ── production fast path (exact=false): IEEE dots end-to-end ────
+        // same pipeline, no per-element decimal quantization — the 100 TB
+        // index-build configuration; recall must not move
+        val t3 = System.nanoTime()
+        val idxF = Similarity.indexCells(corpus, cents, "v", exact = false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idxF.count()
+        val tIndexF = (System.nanoTime() - t3) / 1e9
+        val t4 = System.nanoTime()
+        val plantedF = Similarity.ivfTopKIndexed(idxF, queries, cents,
+            "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, exact = false)
+          .filter(col("vec_id") === col("q_id") - 1)
+          .select("q_id").distinct().count()
+        val tProbeF = (System.nanoTime() - t4) / 1e9
+        idxF.unpersist()
+        val recallPlantedF = plantedF.toDouble / nQ
+
+        println(f"""ANNSCALE: {"n":$n,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10}""")
       } finally indexed.unpersist()
     }
     spark.stop()

@@ -33,6 +33,18 @@ object Similarity {
   def cosineDec(a: Column, b: Column): Column =
     dotDec(a, b) / (sqrt(dotDec(a, a)) * sqrt(dotDec(b, b)))
 
+  /** Plain IEEE-754 dot product — the PRODUCTION fast path
+    * ([[org.apache.spark.sql.graft.DoubleDot]]): no per-element decimal
+    * quantization, ~an order of magnitude cheaper than [[dotDec]]. Use
+    * wherever no cross-engine oracle gates the result (the 100 TB index
+    * build); agreement with the decimal path is spec-bounded
+    * (DedupTextSpec). */
+  def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DoubleDot(a, b)
+
+  private def dotOf(exact: Boolean): (Column, Column) => Column =
+    if (exact) dotDec else dotF
+
   /** Deterministic LCG pseudo-random hyperplanes in [−1, 1]; pure integer
     * arithmetic so the oracle regenerates identical planes in SQL. */
   object Planes {
@@ -55,14 +67,18 @@ object Similarity {
 
   /** Centroids collected to the driver with exact-decimal norms (the
     * driver-side replica of [[dotDec]]'s scale-10 quantization, so ranking
-    * scores equal the oracle's `dt / sqrt(nrm)` bit-for-bit). Centroid
-    * sets are small by construction — they must fit a broadcast either
-    * way. */
-  private def collectCents(cents: DataFrame, cId: String, cVec: String): Array[(Long, Array[Double], Double)] =
+    * scores equal the oracle's `dt / sqrt(nrm)` bit-for-bit) or, on the
+    * fast path, plain IEEE sums. Centroid sets are small by construction —
+    * they must fit a broadcast either way. */
+  private def collectCents(cents: DataFrame, cId: String, cVec: String,
+                           exact: Boolean): Array[(Long, Array[Double], Double)] =
     cents.select(col(cId).cast("long"), col(cVec)).collect().map { r =>
       val cv = r.getSeq[Double](1).toArray
-      val nrm = cv.map(x => java.math.BigDecimal.valueOf(x * x).setScale(10, java.math.RoundingMode.HALF_UP))
-        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      val nrm =
+        if (exact)
+          cv.map(x => java.math.BigDecimal.valueOf(x * x).setScale(10, java.math.RoundingMode.HALF_UP))
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+        else cv.map(x => x * x).sum
       (r.getLong(0), cv, math.sqrt(nrm))
     }.sortBy(_._1)
 
@@ -71,9 +87,10 @@ object Similarity {
     * the argmax), sorted best-first with ties to the lowest centroid id.
     * No shuffle, no row multiplication: the 100 TB corpus is assigned to
     * cells at scan speed. */
-  private def cellScores(vCol: String, cc: Array[(Long, Array[Double], Double)]): Column =
+  private def cellScores(vCol: String, cc: Array[(Long, Array[Double], Double)],
+                         dot: (Column, Column) => Column): Column =
     sort_array(array(cc.map { case (cell, cv, nc) =>
-      struct((dotDec(col(vCol), lit(cv)) / lit(nc)).as("s"), lit(-cell).as("c"))
+      struct((dot(col(vCol), lit(cv)) / lit(nc)).as("s"), lit(-cell).as("c"))
     }: _*), asc = false)
 
   /** Assign every corpus vector to its nearest centroid cell (per-row
@@ -81,11 +98,13 @@ object Similarity {
     * its norm. Adds `__cell` and `__cn`. At 100 TB this runs ONCE and the
     * result persists (parquet partitioned by `__cell`); queries then probe
     * the index via [[ivfTopKIndexed]] without re-scoring the corpus. */
-  def indexCells(corpus: DataFrame, cents: DataFrame, cVec: String): DataFrame = {
-    val cc = collectCents(cents, "__cell", "__cv")
+  def indexCells(corpus: DataFrame, cents: DataFrame, cVec: String,
+                 exact: Boolean = true): DataFrame = {
+    val cc = collectCents(cents, "__cell", "__cv", exact)
+    val dot = dotOf(exact)
     corpus
-      .withColumn("__cell", -element_at(cellScores(cVec, cc), 1).getField("c"))
-      .withColumn("__cn", sqrt(dotDec(col(cVec), col(cVec))))
+      .withColumn("__cell", -element_at(cellScores(cVec, cc, dot), 1).getField("c"))
+      .withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
   }
 
   /** Probe phase over a pre-indexed corpus (the output of [[indexCells]],
@@ -96,16 +115,17 @@ object Similarity {
     * instead of |corpus|. */
   def ivfTopKIndexed(indexed: DataFrame, queries: DataFrame, cents: DataFrame,
                      qId: String, cId: String, qVec: String, cVec: String,
-                     k: Int, nprobe: Int): DataFrame = {
+                     k: Int, nprobe: Int, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = collectCents(cents, "__cell", "__cv")
+    val cc = collectCents(cents, "__cell", "__cv", exact)
+    val dot = dotOf(exact)
     val probed = queries
       .withColumn("__cell",
-        explode(transform(slice(cellScores(qVec, cc), 1, nprobe), s => -s.getField("c"))))
-      .withColumn("__qn", sqrt(dotDec(col(qVec), col(qVec))))
+        explode(transform(slice(cellScores(qVec, cc, dot), 1, nprobe), s => -s.getField("c"))))
+      .withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
     val cand = indexed.join(broadcast(probed), Seq("__cell"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", round(dotDec(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+      .withColumn("cos", round(dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -119,9 +139,9 @@ object Similarity {
     * rather than assumed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
               qId: String, cId: String, qVec: String, cVec: String,
-              k: Int, nprobe: Int): DataFrame =
-    ivfTopKIndexed(indexCells(corpus, cents, cVec), queries, cents,
-      qId, cId, qVec, cVec, k, nprobe)
+              k: Int, nprobe: Int, exact: Boolean = true): DataFrame =
+    ivfTopKIndexed(indexCells(corpus, cents, cVec, exact), queries, cents,
+      qId, cId, qVec, cVec, k, nprobe, exact)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The corpus side never shuffles; ranking is a

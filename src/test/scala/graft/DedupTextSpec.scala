@@ -118,6 +118,35 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("DoubleDot fast path agrees with DecimalDot within 1e-8 relative") {
+    // the production fast path trades the per-element decimal quantization
+    // for IEEE summation; on unit-scale embedding values the two must
+    // agree to well below any ranking-relevant difference (cos rounds to
+    // 6 decimals downstream), and null semantics must match exactly
+    val vecs = spark.range(200).select(
+      transform(sequence(lit(0), lit(31)), c => {
+        val h = pmod((col("id") * 32 + c) * (col("id") * 32 + c) + (col("id") * 32 + c) * 2654435761L,
+          lit(1000000007L))
+        pmod(h * 1103515245L + 12345L, lit(998244353L)).cast("double") / 998244353.0 * 2.0 - 1.0
+      }).as("a"),
+      transform(sequence(lit(0), lit(31)), c => {
+        val h = pmod((col("id") * 32 + c + 7) * (col("id") * 32 + c + 7) + (col("id") * 32 + c) * 1099511628211L,
+          lit(1000000007L))
+        pmod(h * 1103515245L + 12345L, lit(998244353L)).cast("double") / 998244353.0 * 2.0 - 1.0
+      }).as("b"))
+    val rows = vecs.select(
+      Similarity.dotDec($"a", $"b").as("dec"),
+      Similarity.dotF($"a", $"b").as("fast")).collect()
+    rows.foreach { r =>
+      val (d, f) = (r.getDouble(0), r.getDouble(1))
+      val rel = math.abs(d - f) / math.max(1.0, math.max(math.abs(d), math.abs(f)))
+      assert(rel <= 1e-8, s"dec=$d fast=$f rel=$rel")
+    }
+    val nulls = Seq((Seq(0.1), Seq(0.1, 0.2))).toDF("a", "b")
+      .select(Similarity.dotF($"a", $"b")).head()
+    assert(nulls.isNullAt(0), "length mismatch must be null on the fast path too")
+  }
+
   test("cosineDec: self=1, orthogonal=0; signBucket deterministic") {
     val r = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b").select(
       Similarity.cosineDec($"a", $"a").as("self"),
