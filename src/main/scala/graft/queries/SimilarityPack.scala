@@ -57,6 +57,22 @@ object SimilarityPack extends QueryPack {
       Similarity.bruteForceTopK(queries, base, "q_id", "vec_id", "qv", "v", 5)
     },
 
+    // ── q157: q35's PRODUCTION-fast-path twin (DoubleDot, exact=false) ──
+    // Same top-k, IEEE dots end-to-end. Oracle-exact WITHOUT decimals:
+    // DoubleDot accumulates left-to-right in double, and DuckDB's
+    // list_inner_product over DOUBLE[] is the same left-to-right loop —
+    // verified bit-identical on the real embeddings before registration —
+    // so cos, round(·, 6), and the (cos DESC, id) ranking all reproduce.
+    // This gates the fast path the 100 TB index build actually runs
+    // (BASELINE.md round-6 ANN table: 5.6–13.9× over the decimal path).
+    "q157_ann_topk_fast" -> { (s, d) =>
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      Similarity.bruteForceTopK(queries, base, "q_id", "vec_id", "qv", "v", 5, exact = false)
+    },
+
     // IVF-style ANN (the scale path beside q35's brute force): corpus
     // indexed into deterministic centroid cells (every 500th vector),
     // queries probe their 2 nearest cells, exact scoring within candidates.
@@ -174,6 +190,20 @@ object SimilarityPack extends QueryPack {
                        round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
                      FROM pd JOIN norms na ON na.vec_id = pd.q_id
                              JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5""",
+
+    // IEEE fast-path twin: list_inner_product over DOUBLE[] is the same
+    // left-to-right double loop as DoubleDot — no decimal CTEs needed
+    "q157_ann_topk_fast" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id % 50 = 0),
+          scored AS (SELECT q.q_id, b.vec_id,
+                       round(list_inner_product(q.qv, b.v) /
+                             (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+                     FROM q JOIN base b ON b.vec_id <> q.q_id),
           ranked AS (SELECT q_id, vec_id, cos,
                        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
                      FROM scored)

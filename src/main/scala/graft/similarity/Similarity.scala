@@ -148,16 +148,17 @@ object Similarity {
     * per-query-partition top-k. This is the exact baseline ANN variants are
     * validated against. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-                     qVec: String, cVec: String, k: Int): DataFrame = {
+                     qVec: String, cVec: String, k: Int, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val dot = dotOf(exact)
     // norms hoisted to per-vector columns: recomputing ||v|| inside the
     // cosine of every (query, corpus) pair would redo the corpus-side norm
     // |queries| times (measured ~3× on the brute-force scan).
-    val q2 = queries.withColumn("__qn", sqrt(dotDec(col(qVec), col(qVec))))
-    val c2 = corpus.withColumn("__cn", sqrt(dotDec(col(cVec), col(cVec))))
+    val q2 = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    val c2 = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
     val joined = c2.crossJoin(broadcast(q2))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", round(dotDec(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+      .withColumn("cos", round(dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
