@@ -165,6 +165,35 @@ object ScaleOpsPack extends QueryPack {
     // column. The layout job itself is `repartitionByRange(z).
     // sortWithinPartitions(z).write` — one range shuffle at any scale
     // (file-level extents spec-asserted in ScaleOpsSpec).
+    // ── q158: Count-Min sketch heavy hitters ───────────────────────────
+    // The streaming/mergeable cousin of q122's two-pass exact counts:
+    // one fixed-size CMS built distributively (map-side partial sketches,
+    // driver merge — `DataFrameStatFunctions.countMinSketch`), probed for
+    // the exact top-50 keys. The sketch estimate itself is not
+    // engine-portable (DuckDB has no CMS), so the ORACLE gates the
+    // GUARANTEE, not the estimate: emit the exact count (oracle replays
+    // it) plus `ok` = exact ≤ est ≤ exact + ⌈eps·N⌉ — CMS never
+    // underestimates, and with seed fixed the ≤ eps·N overshoot is
+    // deterministic, so `ok` must be uniformly true (the q122 `sound`
+    // pattern: the driver hash-checks a provable property). At 100 TB
+    // the sketch is the only state that moves: ~eps⁻¹·ln(1/δ) longs,
+    // mergeable across partitions/streams, vs q122's candidate shuffle.
+    "q158_cms_heavy_hitters" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cms = ev.stat.countMinSketch("user_id", eps = 0.001, confidence = 0.99, seed = 42)
+      val bound = math.ceil(0.001 * cms.totalCount()).toLong
+      val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id").asc).limit(50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import s.implicits._
+      val out = probes.toSeq.map { case (uid, exact) =>
+        val est = cms.estimateCount(java.lang.Long.valueOf(uid))
+        (uid, exact, est >= exact && est <= exact + bound)
+      }
+      out.toDF("user_id", "exact", "ok")
+        .orderBy(col("exact").desc, col("user_id").asc)
+    },
+
     "q124_zorder_tiles" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       li.select(
@@ -251,6 +280,14 @@ object ScaleOpsPack extends QueryPack {
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price
           FROM orders GROUP BY o_custkey""",
+
+    // the exact counts replay fully; `ok` replays as the literal the CMS
+    // guarantee forces (never-underestimate + seeded ≤ eps·N overshoot)
+    "q158_cms_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS exact FROM events
+                    GROUP BY user_id ORDER BY exact DESC, user_id LIMIT 50)
+          SELECT user_id, exact, TRUE AS ok FROM c
+          ORDER BY exact DESC, user_id""",
 
     // counts stay INDEPENDENT (full corpus count, no candidate pruning) so
     // a candidate-set miss still hash-mismatches; only the `sound` bound
