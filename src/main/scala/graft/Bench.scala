@@ -125,7 +125,22 @@ object Bench {
       if (!ok) { errors += name -> String.valueOf(lastErr).take(200); name -> -1.0 }
       else name -> best
     }
-    Thread.sleep(500) // drain the async listener bus before serializing totals
+    // drain the async listener bus before serializing totals: poll until
+    // the stream aggregates stop moving (two quiet polls), bounded at 5 s —
+    // a fixed sleep could drop a straggler progress event of the LAST
+    // streaming query under end-of-run GC pressure
+    locally {
+      import scala.jdk.CollectionConverters._
+      var prev = ""
+      var quiet = 0
+      var waited = 0
+      while (quiet < 2 && waited < 5000) {
+        Thread.sleep(250); waited += 250
+        val snap = streamAgg.asScala.toSeq.sortBy(_._1)
+          .map { case (k, a) => s"$k:${a.mkString(",")}" }.mkString(";")
+        if (snap == prev) quiet += 1 else { quiet = 0; prev = snap }
+      }
+    }
     spark.streams.removeListener(listener)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""

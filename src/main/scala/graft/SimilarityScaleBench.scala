@@ -123,8 +123,8 @@ object SimilarityScaleBench {
         val recallPlanted = planted.toDouble / nQ
 
         // recall@10 vs the brute-force oracle (O(|Q|·|C|) — smallest n
-        // only unless forced)
-        val recallAt10 =
+        // only unless forced); both fields always present for parsers
+        val (recallAt10, bruteSec) =
           if (n == ns.min || bruteAll) {
             val t2 = System.nanoTime()
             val brute = Similarity.bruteForceTopK(queries, corpus,
@@ -132,8 +132,8 @@ object SimilarityScaleBench {
             val inter = ivf.select("q_id", "vec_id")
               .intersect(brute.select("q_id", "vec_id")).count()
             val tBrute = (System.nanoTime() - t2) / 1e9
-            f"""${inter.toDouble / (nQ * K)}%.4f,"brute_sec":$tBrute%.2f"""
-          } else "null"
+            (f"${inter.toDouble / (nQ * K)}%.4f", f"$tBrute%.2f")
+          } else ("null", "null")
         ivf.unpersist()
 
         // ── production fast path (exact=false): IEEE dots end-to-end ────
@@ -153,7 +153,7 @@ object SimilarityScaleBench {
         idxF.unpersist()
         val recallPlantedF = plantedF.toDouble / nQ
 
-        println(f"""ANNSCALE: {"n":$n,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10}""")
+        println(f"""ANNSCALE: {"n":$n,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10,"brute_sec":$bruteSec}""")
       } finally indexed.unpersist()
     }
     spark.stop()

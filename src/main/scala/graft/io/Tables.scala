@@ -30,6 +30,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ cast below reads wall-times in the SESSION zone: a
+    // driver-owned non-UTC session would shift every instant by its
+    // offset (the long-nanos path was epoch-exact and immune) — pin it
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {

@@ -102,9 +102,14 @@ object Similarity {
                  exact: Boolean = true): DataFrame = {
     val cc = collectCents(cents, "__cell", "__cv", exact)
     val dot = dotOf(exact)
+    // the dot path is stamped into __cn's metadata so a probe with the
+    // OTHER flag over a persisted index fails loudly instead of mixing
+    // decimal corpus norms with IEEE query scores (silently-wrong cos)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.exact", exact).build()
     corpus
       .withColumn("__cell", -element_at(cellScores(cVec, cc, dot), 1).getField("c"))
-      .withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
+      .withColumn("__cn", sqrt(dot(col(cVec), col(cVec))).as("__cn", md))
   }
 
   /** Probe phase over a pre-indexed corpus (the output of [[indexCells]],
@@ -117,6 +122,10 @@ object Similarity {
                      qId: String, cId: String, qVec: String, cVec: String,
                      k: Int, nprobe: Int, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val idxMeta = indexed.schema("__cn").metadata
+    require(!idxMeta.contains("graft.exact") || idxMeta.getBoolean("graft.exact") == exact,
+      s"ivfTopKIndexed(exact=$exact) over an index built with exact=${idxMeta.getBoolean("graft.exact")}: " +
+        "corpus norms and query scores would mix dot paths — rebuild the index or match the flag")
     val cc = collectCents(cents, "__cell", "__cv", exact)
     val dot = dotOf(exact)
     val probed = queries

@@ -24,6 +24,8 @@ object Streams {
     * the events file — either way no rows are silently dropped. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→LTZ cast is session-zone dependent; pin UTC like Tables.events
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val src =

@@ -148,6 +148,25 @@ class ScaleOpsSpec extends SparkSpec {
       "q122's soundness certificate is false at test scale")
   }
 
+  test("q158 CMS estimates respect the eps*N overshoot bound on the current testdata") {
+    // the PROBABILISTIC half of the CMS guarantee (q158's oracle gates
+    // only the structural never-underestimate half, so a driver data
+    // regen can't flip a coin into a spurious hash failure) — asserted
+    // here per-dataset, where it IS deterministic for the fixed seed
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val cms = ev.stat.countMinSketch("user_id", eps = 0.001, confidence = 0.99, seed = 42)
+    val bound = math.ceil(0.001 * cms.totalCount()).toLong
+    val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("user_id").asc).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val violations = probes.filter { case (uid, exact) =>
+      val est = cms.estimateCount(java.lang.Long.valueOf(uid))
+      est < exact || est > exact + bound
+    }
+    assert(violations.isEmpty,
+      s"CMS bound violated for keys: ${violations.take(5).mkString(", ")} (bound=$bound)")
+  }
+
   test("z-value interleaving is monotone in tile structure (unit)") {
     import spark.implicits._
     val df = Seq((3L, 5L), (3L, 6L), (200L, 7L), (255L, 255L), (0L, 0L))
