@@ -185,6 +185,23 @@ object StreamPack extends QueryPack {
         Streams.composedAdmissionPipeline(s, dir, 20L), "composed", "append")
     },
 
+    // CRASH-RECOVERY twin of q155: the same composed pipeline, but the
+    // sink dies mid-replay — after batch 1's rows are visible in the
+    // sink, before the batch commits — and the query restarts from the
+    // SAME checkpoint with fresh StatefulProcessor instances. Recovery
+    // must reconstruct the crashed batch from the offset WAL (watermark
+    // included), reload RocksDB state at the last committed version,
+    // and REPLACE the pre-crash partial output (batch-id-idempotent
+    // sink), so the oracle is q155's, unchanged: a recovered run that
+    // double-admits, re-deduplicates, or loses the batch-0 watermark
+    // hash-mismatches here.
+    "q159_crash_recovery" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      Streams.drainWithCrashRecovery(
+        () => Streams.composedAdmissionPipeline(s, dir, 20L),
+        "crashrec", "append", crashAtBatch = 1L)
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -200,7 +217,8 @@ object StreamPack extends QueryPack {
     }
   )
 
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] = {
+    val base = Map(
     "q40_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
           COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
@@ -452,5 +470,10 @@ object StreamPack extends QueryPack {
                    WHERE t < b.t1 AND event_id % 10 = 0 AND t > wml.w),
           dd AS (SELECT DISTINCT user_id, event_type, t FROM kept)
           SELECT event_type, COUNT(*) AS n FROM dd GROUP BY event_type"""
-  )
+    )
+    // q159 replays the identical composition through a crash + restart:
+    // the recovered result must equal the uninterrupted one, so the
+    // correctness target is q155's oracle verbatim.
+    base + ("q159_crash_recovery" -> base("q155_stream_composed"))
+  }
 }

@@ -475,6 +475,88 @@ object Streams {
       .select(col("window.start").as("win_start"), col("category"), col("n"))
   }
 
+  /** Deterministic failure injected by [[drainWithCrashRecovery]]. */
+  final class SimulatedCrash(batchId: Long)
+      extends RuntimeException(s"simulated crash at batch $batchId")
+
+  /** Crash-recovery harness — the round-7 evidence gap: every streaming
+    * query writes a checkpoint, but nothing exercised restarting from
+    * one. Runs `mkQuery` twice against ONE checkpoint:
+    *
+    *   attempt 1 — the `foreachBatch` sink crashes at `crashAtBatch`
+    *   AFTER that batch's rows are visible in the sink but BEFORE the
+    *   batch commits: offsets are already in the WAL, the commit log
+    *   stops at `crashAtBatch − 1`, and the state store's last
+    *   checkpointed version is the previous batch — the worst-case
+    *   failure point (output partially published, state not yet
+    *   advanced).
+    *
+    *   attempt 2 — the SAME query is rebuilt from scratch (fresh
+    *   StatefulProcessor instances: recovered state can only come from
+    *   the checkpoint), started on the same checkpoint dir. The engine
+    *   reconstructs the crashed batch from the offset WAL (same files,
+    *   same watermark), reloads state at the last committed version,
+    *   replays it, and continues.
+    *
+    * The sink is idempotent-by-batch-id — each batch (over)writes its
+    * own `b<id>` subdirectory — so the replayed batch REPLACES its
+    * pre-crash partial output instead of appending a duplicate: the
+    * exactly-once parquet-sink pattern a production job needs at
+    * 100 TB, where mid-batch executor/driver loss is routine.
+    *
+    * Self-checking (fails loudly rather than silently passing on a
+    * non-exercised path): requires that attempt 1 really crashed, that
+    * the commit log at that point did NOT contain `crashAtBatch`, and
+    * that after recovery it does. */
+  def drainWithCrashRecovery(mkQuery: () => DataFrame, name: String,
+                             outputMode: String, crashAtBatch: Long): DataFrame = {
+    val path = s"/root/repo/target/scratch/sink_$name"
+    val ckpt = s"/root/repo/target/scratch/ckpt_$name"
+    graft.util.Staging.deleteRecursive(path)
+    graft.util.Staging.deleteRecursive(ckpt)
+    @volatile var crashed = false // foreachBatch body runs on the driver
+    def start(df: DataFrame) = df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/b$batchId")
+        if (batchId == crashAtBatch && !crashed) {
+          crashed = true
+          throw new SimulatedCrash(batchId)
+        }
+      }
+      .start()
+    def committedBatches(): Set[Long] = {
+      val d = new java.io.File(s"$ckpt/commits")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    }
+    val first = mkQuery()
+    val outSchema = first.schema
+    val q1 = start(first)
+    try {
+      q1.processAllAvailable()
+      throw new IllegalStateException(
+        s"crash at batch $crashAtBatch never fired — stream had fewer batches; recovery NOT exercised")
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[SimulatedCrash]) c = c.getCause
+        if (c == null) throw e // a real failure, not our injected one
+    } finally q1.stop()
+    require(crashed, "sink never reached the crash batch")
+    val afterCrash = committedBatches()
+    require(!afterCrash.contains(crashAtBatch),
+      s"batch $crashAtBatch already committed before the crash — nothing to recover")
+    val q2 = start(mkQuery())
+    try q2.processAllAvailable() finally q2.stop()
+    require(committedBatches().contains(crashAtBatch),
+      s"recovered run never replayed batch $crashAtBatch")
+    // union of the per-batch sink dirs; recursive lookup so `b0/`, `b1/`
+    // read as plain nested dirs, not inferred partition columns
+    first.sparkSession.read.schema(outSchema)
+      .option("recursiveFileLookup", "true").parquet(path)
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's
