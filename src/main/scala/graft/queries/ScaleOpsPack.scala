@@ -64,49 +64,25 @@ object ScaleOpsPack extends QueryPack {
           col("sum_price").cast("double").as("sum_price"))
     },
 
-    // ── q122: two-pass exact heavy hitters ─────────────────────────────
+    // ── q122: two-pass exact heavy hitters, CERTIFIED ──────────────────
     // Pass 1 counts tokens on a deterministic 30% doc sample and keeps the
     // top 400 as candidates; pass 2 exact-counts ONLY candidate tokens
     // (broadcast semi prefilter → the long-tail vocabulary never enters
     // the shuffle — at corpus scale that tail IS the aggregation cost).
-    // The final top-25 is exact as long as candidates ⊇ true top-25, which
-    // the 16× candidate margin guarantees overwhelmingly; the oracle's
-    // full count verifies it on every run AT TEST SCALE. At 100 TB no
-    // oracle exists, so the query also emits a runtime soundness SIGNAL:
-    // any NON-candidate token has sample count ≤ c400 (the 400th
-    // candidate's — else it would be a candidate), and `sound` = the 25th
-    // exact count ≥ c400·(10/3)·2 (inverse sampling rate × a 2×
-    // concentration margin). This is a PROBABILISTIC CONCENTRATION
-    // HEURISTIC, not a worst-case certificate: it assumes a token's doc
-    // occurrences spread roughly evenly across the doc-hash sample (true
-    // for natural-language corpora, where token doc-frequency is large
-    // for any top-25 contender). A token pathologically concentrated in
-    // the unsampled 70% of docs has near-zero sample count yet unbounded
-    // true count, so `sound=true` is evidence, not proof — a worst-case
-    // bound would require counting the full vocabulary, i.e. the exact
-    // pass this two-pass design exists to avoid. Integer arithmetic
-    // throughout, replayed by the oracle; measured headroom is ~16× at
-    // sf0.01 AND sf0.1 (878 vs 53, 8912 vs 520).
-    // Both windows run over the ≤400-row candidate aggregate — bounded
-    // by the candidate cap at any corpus size, never the token stream.
+    // The final top-25 is exact iff candidates ⊇ true top-25; the oracle
+    // verifies that at test scale, and at 100 TB the query CERTIFIES it:
+    // every non-candidate occurrence streams through a Count-Min sketch,
+    // whose min-over-rows max-cell is a HARD upper bound on every tail
+    // token's true count (CMS never undercounts — no distributional
+    // assumption, unlike the round-6 concentration heuristic this
+    // replaces). `sound` = 25th exact count ≥ that bound, a worst-case
+    // certificate; a token pathologically concentrated in unsampled docs
+    // now provably flips it false (spec-asserted). Collisions can only
+    // RAISE the bound — an undersized sketch says "cannot certify",
+    // never certifies falsely. See [[graft.text.HeavyHitters]].
     "q122_heavy_hitters" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tokens = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("token"))
-      val cands = tokens
-        .filter(pmod(Parity.keyHash(col("doc_id")), lit(10)) < 3)
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(400)
-      val grouped = tokens.join(broadcast(cands), "token")
-        .groupBy("token").agg(count(lit(1)).as("n"), first(col("cnt")).as("scnt"))
-      val whole = Window.partitionBy(lit(1))
-      grouped
-        .withColumn("c400", min(col("scnt")).over(whole))
-        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("token"))))
-        .filter(col("rk") <= 25)
-        .withColumn("sound",
-          min(col("n")).over(whole) >= expr("(c400 * 20) DIV 3"))
-        .select(col("token"), col("n"), col("sound"))
-        .orderBy(col("n").desc, col("token"))
+      graft.text.HeavyHitters.topKCertified(docs, col("text"), col("doc_id"))
     },
 
     // ── q123: bigram language-model quality score ──────────────────────
@@ -123,8 +99,11 @@ object ScaleOpsPack extends QueryPack {
     // BOTH sides — measured in the round-6 skew sweep, BASELINE.md); if a
     // gram is still hot after the collapse, the explicit salting path
     // (Scale.saltedJoin) is the remedy, not AQE. Scores re-weight by the
-    // count: lp has ≤6 decimals and nb ≤ 2^31, so lp·nb is exact in
-    // double and the decimal(28,6) sum stays bit-exact cross-engine.
+    // count IN DECIMAL: lp (≤6 decimals) is cast to decimal(28,6) BEFORE
+    // the ×nb — decimal×bigint is exact at any nb, whereas the double
+    // product could cross a 0.5e-6 rounding boundary once nb·|lp|·2⁻⁵²
+    // exceeds 5e-7 (nb ≈ 9e7 at |lp| ≈ 25) and diverge from the oracle's
+    // per-occurrence sum (round-6 review finding).
     // ln() is rounded to 6 decimals the moment it's computed (the
     // transcendental parity rule), so every downstream sum is exact.
     "q123_bigram_lm_score" -> { (s, d) =>
@@ -154,7 +133,8 @@ object ScaleOpsPack extends QueryPack {
         // DuckDB tie-break differently (bit sf0.1 doc 1223); callers
         // divide by n_bigrams themselves when they want the mean
         .agg(sum(col("nb")).as("n_bigrams"),
-          Parity.dsum6(col("lp") * col("nb")).as("sum_logprob"))
+          sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(28, 6)) * col("nb"))
+            .cast("double").as("sum_logprob"))
     },
 
     // ── q158: Count-Min sketch heavy hitters ───────────────────────────
@@ -297,18 +277,28 @@ object ScaleOpsPack extends QueryPack {
     // counts stay INDEPENDENT (full corpus count, no candidate pruning) so
     // a candidate-set miss still hash-mismatches; only the `sound` bound
     // arithmetic replays the sampled-candidate pipeline
+    // The CMS arithmetic is replayed cell-for-cell: same portable md5
+    // hash, same (row ':' token) keying, same width — the oracle derives
+    // the identical tail_ub and certificate bit.
     "q122_heavy_hitters" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
           samp AS (SELECT token, COUNT(*) AS cnt FROM tok
                    WHERE ${Sql.keyHash("doc_id")} % 10 < 3
                    GROUP BY token ORDER BY cnt DESC, token LIMIT 400),
-          c4 AS (SELECT MIN(cnt) AS c400 FROM samp),
           top25 AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
                     ORDER BY n DESC, token LIMIT 25),
-          e25 AS (SELECT MIN(n) AS exact25 FROM top25)
+          e25 AS (SELECT MIN(n) AS exact25 FROM top25),
+          tail AS (SELECT token FROM tok
+                   WHERE token NOT IN (SELECT token FROM samp)),
+          cells AS (SELECT r, ${TextOps.hash32Sql("concat(CAST(r AS VARCHAR), ':', token)")} % 65536 AS cell,
+                      COUNT(*) AS c
+                    FROM tail CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+          rowmax AS (SELECT r, MAX(c) AS mc FROM cells GROUP BY r),
+          ub AS (SELECT COALESCE(MIN(mc), 0) AS tail_ub FROM rowmax)
           SELECT token, CAST(n AS BIGINT) AS n,
-                 (e25.exact25 >= (c4.c400 * 20) // 3) AS sound
-          FROM top25, c4, e25 ORDER BY n DESC, token""",
+                 CAST(ub.tail_ub AS BIGINT) AS tail_ub,
+                 (e25.exact25 >= ub.tail_ub) AS sound
+          FROM top25, e25, ub ORDER BY n DESC, token""",
 
     "q123_bigram_lm_score" -> {
       val ngrams = TextOps.wordNgramsSql("w", 2)

@@ -140,12 +140,40 @@ class ScaleOpsSpec extends SparkSpec {
       .select("token").collect().map(_.getString(0)).toSet
     assert(trueTop.subsetOf(cands),
       s"missing from candidates: ${trueTop.diff(cands).take(5)}")
-    // the runtime certificate must agree: at test scale the 25th exact
-    // count clears the extrapolated best-non-candidate bound by ~16×
-    val sound = SparkEntry.queries("q122_heavy_hitters")(spark, d)
-      .select("sound").distinct().collect()
-    assert(sound.map(_.getBoolean(0)).toSeq == Seq(true),
-      "q122's soundness certificate is false at test scale")
+    // the runtime certificate must agree: the corpus vocabulary fits the
+    // candidate cap, so the tail sketch is empty and the bound is 0
+    val out = SparkEntry.queries("q122_heavy_hitters")(spark, d)
+      .select("sound", "tail_ub").distinct().collect()
+    assert(out.map(r => (r.getBoolean(0), r.getLong(1))).toSeq == Seq((true, 0L)),
+      "q122's worst-case certificate is false at test scale")
+  }
+
+  test("q122 certificate flips to false under a planted concentrated token") {
+    import spark.implicits._
+    // Natural docs (sampled + unsampled) + an adversarial token that
+    // appears 50× per doc in EXCLUSIVELY unsampled docs (keyHash % 10
+    // >= 3): it can never become a candidate, yet its true count
+    // exceeds the smallest emitted top-k count — the corpus the round-6
+    // concentration heuristic would have wrongly certified. The CMS
+    // tail bound must cover the planted count and flip `sound` false.
+    val kh = (id: Long) =>
+      (BigInt(id % util.Parity.HashMod) * util.Parity.HashPrime % util.Parity.HashMod).toLong
+    val unsampled = (0L until 400L).filter(id => kh(id) % 10 >= 3)
+    val sampledOk = (0L until 400L).filter(id => kh(id) % 10 < 3)
+    assert(unsampled.size >= 50 && sampledOk.size >= 50)
+    val natural = (sampledOk ++ unsampled.drop(40)).map(id =>
+      (id, Seq.fill(20)(s"w${id % 7}").mkString(" ")))
+    val planted = unsampled.take(40).map(id =>
+      (id, (Seq.fill(20)(s"w${id % 7}") ++ Seq.fill(50)("zzadversary")).mkString(" ")))
+    val docs = (natural ++ planted).toDF("doc_id", "text")
+    val out = graft.text.HeavyHitters.topKCertified(docs, col("text"), col("doc_id"))
+    val rows = out.collect()
+    val ub = rows.head.getLong(2)
+    val plantedTrue = 50L * 40L
+    assert(ub >= plantedTrue, s"certified bound $ub misses the planted count $plantedTrue")
+    assert(rows.forall(!_.getBoolean(3)), "certificate stayed true despite an uncertifiable tail")
+    // and the planted token is indeed invisible to the candidate pass
+    assert(!rows.map(_.getString(0)).contains("zzadversary"))
   }
 
   test("q158 CMS estimates respect the eps*N overshoot bound on the current testdata") {
