@@ -29,19 +29,34 @@ object Tables {
     * through [[graft.core.GraftSession]].
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Reader-enabling conf: without it the NANOS layout fails the scan
+    // outright. It is session-global by nature (documented contract);
+    // unlike the former session.timeZone pin it changes no SEMANTICS —
+    // it only unlocks a layout Spark would otherwise reject.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the NTZ→LTZ cast below reads wall-times in the SESSION zone: a
-    // driver-owned non-UTC session would shift every instant by its
-    // offset (the long-nanos path was epoch-exact and immune) — pin it
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns > 2^53 would lose bits in double math
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", utcNtzToInstant(col("ts")))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** NTZ wall-times are UTC by the corpus contract. A bare NTZ→LTZ cast
+    * reads walls in the SESSION zone — a caller-owned non-UTC session
+    * would shift every instant by its offset (round-6 review finding; the
+    * former fix pinned `spark.sql.session.timeZone` globally, silently
+    * changing ALL the caller's timestamp semantics). Column-scoped
+    * instead: shift the wall into the session zone first, then cast —
+    * the two session-zone dependencies cancel, yielding the UTC instant
+    * under ANY session zone. */
+  private[graft] def utcNtzToInstant(ntz: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    convert_timezone(lit("UTC"), expr("current_timezone()"), ntz).cast("timestamp")
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

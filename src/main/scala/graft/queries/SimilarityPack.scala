@@ -63,6 +63,14 @@ object SimilarityPack extends QueryPack {
     // list_inner_product over DOUBLE[] is the same left-to-right loop —
     // verified bit-identical on the real embeddings before registration —
     // so cos, round(·, 6), and the (cos DESC, id) ranking all reproduce.
+    // DUCKDB-VERSION DEPENDENCE (round-6 review): that left-to-right
+    // parity is a property of DuckDB's CURRENT scalar implementation,
+    // verified on DuckDB 1.0.0 (the driver's oracle engine this round).
+    // A DuckDB upgrade to SIMD/pairwise accumulation would flip
+    // round(cos, 6) at boundary values and fail this oracle SPURIOUSLY —
+    // diagnose such a failure as an oracle-engine change (re-verify dot
+    // parity first), not an engine regression. q35 (decimal-exact twin)
+    // is the version-immune gate.
     // This gates the fast path the 100 TB index build actually runs
     // (BASELINE.md round-6 ANN table: 5.6–13.9× over the decimal path).
     "q157_ann_topk_fast" -> { (s, d) =>

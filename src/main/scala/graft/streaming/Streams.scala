@@ -23,9 +23,10 @@ object Streams {
     * directly; a single-file layout streams the sf dir filtered down to
     * the events file — either way no rows are silently dropped. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // reader-enabling conf only (see Tables.events contract note); the
+    // former session.timeZone pin is replaced by the column-scoped
+    // Tables.utcNtzToInstant conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ→LTZ cast is session-zone dependent; pin UTC like Tables.events
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val src =
@@ -36,9 +37,23 @@ object Streams {
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", graft.io.Tables.utcNtzToInstant(col("ts")))
       case _ =>
         src.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** File-source stream over the documents table (no ts adaptation —
+    * documents carry no event time; same single-file/directory handling
+    * as [[eventsStream]]). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema).option("pathGlobFilter", "documents.parquet").parquet(sfDir)
   }
 
   /** Drain a (bounded) stream into a memory sink and return the result.
@@ -66,7 +81,18 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(qname)
+    // Return an EAGER driver-local snapshot, not the name-keyed view: a
+    // handle consumed after the next invocation would otherwise silently
+    // resolve to that invocation's contents (round-6 review finding).
+    // The memory sink already holds the full result on the driver, so
+    // the copy adds one transient duplicate of a bounded aggregate (row
+    // streams use drainToParquet), and the LocalRelation stays valid for
+    // the handle's lifetime with no view to leak.
+    val view = spark.table(qname)
+    val snapshot = spark.createDataFrame(
+      java.util.Arrays.asList(view.collect(): _*), view.schema)
+    spark.catalog.dropTempView(qname)
+    snapshot
   }
 
   /** Drain a (bounded) stream through `foreachBatch` into a parquet sink

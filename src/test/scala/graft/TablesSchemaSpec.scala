@@ -46,6 +46,43 @@ class TablesSchemaSpec extends SparkSpec {
     assert(av == bv, s"instants diverge:\n  nanos: $av\n  ntz:   $bv")
   }
 
+  test("Tables.events is session-timezone independent and leaves the caller's zone untouched") {
+    // round-6 review: the reader used to pin spark.sql.session.timeZone
+    // to UTC globally — correct instants, but it silently changed ALL of
+    // a non-UTC caller session's timestamp semantics. Now the NTZ cast
+    // is column-scoped: same instants under any session zone, caller's
+    // zone preserved.
+    val (nanosDir, ntzDir) = writeVariants()
+    val utc = graft.io.Tables.events(spark, ntzDir)
+      .select("event_id", "ts").orderBy("event_id").collect().toSeq
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val offset = graft.io.Tables.events(spark, ntzDir)
+        .select("event_id", "ts").orderBy("event_id").collect().toSeq
+      assert(spark.conf.get(tzKey) == "America/New_York",
+        "reader mutated the caller's session timezone")
+      // Row.toString renders session-zone walls; compare epoch instants
+      val offsetUs = graft.io.Tables.events(spark, ntzDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us")).orderBy("event_id")
+        .collect().toSeq
+      spark.conf.set(tzKey, saved)
+      val utcUs = graft.io.Tables.events(spark, ntzDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us")).orderBy("event_id")
+        .collect().toSeq
+      assert(offsetUs == utcUs,
+        s"instants shift with session zone:\n  ET:  $offsetUs\n  UTC: $utcUs")
+      // the long-nanos layout is epoch-based and must agree too
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      val nanosUs = graft.io.Tables.events(spark, nanosDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us")).orderBy("event_id")
+        .collect().toSeq
+      assert(nanosUs == utcUs)
+    } finally spark.conf.set(tzKey, saved)
+    assert(utc.nonEmpty)
+  }
+
   test("Streams.eventsStream surfaces identical instants for both ts layouts") {
     val (nanosDir, ntzDir) = writeVariants()
     def drained(dir: String, name: String) =
