@@ -41,7 +41,16 @@ import graft.similarity.Similarity
   * an accidental corpus-wide scoring shows as probe_sec growing ~linearly
   * with n instead of with n/cells·nprobe·|Q|. Numbers recorded in
   * BASELINE.md; not part of the per-round driver protocol.
+  * Round-7 extension: `SPARK_GRAFT_ANN_NPROBES` sweeps the probe width
+  * (one JSON line per (n, nprobe); the brute oracle is computed ONCE per
+  * n and reused across the sweep — brute is nprobe-independent), and
+  * `SPARK_GRAFT_ANN_BRUTE_MAX` raises the largest n that pays for the
+  * brute pass (default: smallest n), so the 100 TB recall/latency
+  * trade-off is chosen from a recall@10 × nprobe × n CURVE rather than
+  * one measured point.
+  *
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_ANN_NS (comma list),
+  * SPARK_GRAFT_ANN_NPROBES (comma list), SPARK_GRAFT_ANN_BRUTE_MAX,
   * SPARK_GRAFT_ANN_BRUTE_ALL.
   */
 object SimilarityScaleBench {
@@ -55,7 +64,11 @@ object SimilarityScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ns = sys.env.getOrElse("SPARK_GRAFT_ANN_NS", "100000,400000,1600000")
       .split(",").map(_.trim.toInt).toSeq
+    val nprobes = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBES", NProbe.toString)
+      .split(",").map(_.trim.toInt).toSeq
     val bruteAll = sys.env.get("SPARK_GRAFT_ANN_BRUTE_ALL").contains("1")
+    val bruteMax = sys.env.get("SPARK_GRAFT_ANN_BRUTE_MAX").map(_.trim.toInt)
+      .getOrElse(ns.min)
     val spark = graft.core.GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]")
           .config("spark.sql.shuffle.partitions", cpus),
@@ -108,53 +121,69 @@ object SimilarityScaleBench {
           count(lit(1)).as("cells")).collect().head
       val (maxCell, meanCell, usedCells) = (hist.getLong(0), hist.getDouble(1), hist.getLong(2))
 
+      // the fast index is shared across the nprobe sweep too
+      val t3 = System.nanoTime()
+      val idxF = Similarity.indexCells(corpus, cents, "v", exact = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idxF.count()
+      val tIndexF = (System.nanoTime() - t3) / 1e9
+
       try {
-        // ── stage 2: probe + exact re-score within candidates ────────────
-        val t1 = System.nanoTime()
-        val ivf = Similarity.ivfTopKIndexed(indexed, queries, cents,
-            "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ivf.count()
-        val tProbe = (System.nanoTime() - t1) / 1e9
-
-        // recall vs the construction-known planted neighbor, at every n
-        val planted = ivf.filter(col("vec_id") === col("q_id") - 1)
-          .select("q_id").distinct().count()
-        val recallPlanted = planted.toDouble / nQ
-
-        // recall@10 vs the brute-force oracle (O(|Q|·|C|) — smallest n
-        // only unless forced); both fields always present for parsers
-        val (recallAt10, bruteSec) =
-          if (n == ns.min || bruteAll) {
+        // brute-force oracle ONCE per n (O(|Q|·|C|) — that cost is the
+        // point of IVF), shared across the whole nprobe sweep
+        val (brute, bruteSec) =
+          if (n <= bruteMax || bruteAll) {
             val t2 = System.nanoTime()
-            val brute = Similarity.bruteForceTopK(queries, corpus,
-              "q_id", "vec_id", "qv", "v", k = K)
-            val inter = ivf.select("q_id", "vec_id")
-              .intersect(brute.select("q_id", "vec_id")).count()
-            val tBrute = (System.nanoTime() - t2) / 1e9
-            (f"${inter.toDouble / (nQ * K)}%.4f", f"$tBrute%.2f")
-          } else ("null", "null")
-        ivf.unpersist()
+            val b = Similarity.bruteForceTopK(queries, corpus,
+                "q_id", "vec_id", "qv", "v", k = K)
+              .select("q_id", "vec_id")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            b.count()
+            (Some(b), f"${(System.nanoTime() - t2) / 1e9}%.2f")
+          } else (None, "null")
 
-        // ── production fast path (exact=false): IEEE dots end-to-end ────
-        // same pipeline, no per-element decimal quantization — the 100 TB
-        // index-build configuration; recall must not move
-        val t3 = System.nanoTime()
-        val idxF = Similarity.indexCells(corpus, cents, "v", exact = false)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        idxF.count()
-        val tIndexF = (System.nanoTime() - t3) / 1e9
-        val t4 = System.nanoTime()
-        val plantedF = Similarity.ivfTopKIndexed(idxF, queries, cents,
-            "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, exact = false)
-          .filter(col("vec_id") === col("q_id") - 1)
-          .select("q_id").distinct().count()
-        val tProbeF = (System.nanoTime() - t4) / 1e9
-        idxF.unpersist()
-        val recallPlantedF = plantedF.toDouble / nQ
+        for (nprobe <- nprobes) {
+          // ── stage 2: probe + exact re-score within candidates ──────────
+          val t1 = System.nanoTime()
+          val ivf = Similarity.ivfTopKIndexed(indexed, queries, cents,
+              "q_id", "vec_id", "qv", "v", k = K, nprobe = nprobe)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ivf.count()
+          val tProbe = (System.nanoTime() - t1) / 1e9
 
-        println(f"""ANNSCALE: {"n":$n,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10,"brute_sec":$bruteSec}""")
-      } finally indexed.unpersist()
+          // recall vs the construction-known planted neighbor, at every n
+          val planted = ivf.filter(col("vec_id") === col("q_id") - 1)
+            .select("q_id").distinct().count()
+          val recallPlanted = planted.toDouble / nQ
+
+          val recallAt10 = brute.map { b =>
+            val inter = ivf.select("q_id", "vec_id").intersect(b).count()
+            f"${inter.toDouble / (nQ * K)}%.4f"
+          }.getOrElse("null")
+          ivf.unpersist()
+
+          // ── production fast path (exact=false): IEEE dots end-to-end ──
+          // same pipeline, no per-element decimal quantization — the
+          // 100 TB index-build configuration; recall must not move
+          val t4 = System.nanoTime()
+          val ivfF = Similarity.ivfTopKIndexed(idxF, queries, cents,
+              "q_id", "vec_id", "qv", "v", k = K, nprobe = nprobe, exact = false)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ivfF.count()
+          val tProbeF = (System.nanoTime() - t4) / 1e9
+          val plantedF = ivfF.filter(col("vec_id") === col("q_id") - 1)
+            .select("q_id").distinct().count()
+          val recallAt10F = brute.map { b =>
+            val inter = ivfF.select("q_id", "vec_id").intersect(b).count()
+            f"${inter.toDouble / (nQ * K)}%.4f"
+          }.getOrElse("null")
+          ivfF.unpersist()
+          val recallPlantedF = plantedF.toDouble / nQ
+
+          println(f"""ANNSCALE: {"n":$n,"nprobe":$nprobe,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10,"recall_at10_fast":$recallAt10F,"brute_sec":$bruteSec}""")
+        }
+        brute.foreach(_.unpersist())
+      } finally { indexed.unpersist(); idxF.unpersist() }
     }
     spark.stop()
   }

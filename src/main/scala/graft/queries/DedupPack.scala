@@ -66,6 +66,34 @@ object DedupPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q160: STREAMING near-dup admission against a static LSH index ──
+    // The 100 TB ingest shape: the historical corpus (doc_id % 3 ≠ 0) is
+    // banded ONCE into the q30-style LSH index; newly ARRIVING documents
+    // (doc_id % 3 = 0, replayed as a file stream) minhash themselves
+    // map-side and probe the index with a stream-STATIC equi-join on
+    // (band, sig) — no stream-stream state, no all-pairs, each new doc
+    // touches only its own band buckets. The index is broadcast at test
+    // scale; at corpus scale the same plan runs as a shuffled join
+    // against the bucketed index table, with the probe side partitioned
+    // by the identical (band, sig) key. dropDuplicates collapses multi-
+    // band collisions (state is bounded by the emitted pair set; a
+    // production stream would watermark on arrival time to age it out).
+    "q160_stream_lsh_dedup" -> { (s, d) =>
+      import graft.streaming.Streams
+      val index = Dedup.bandTable(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text")
+        .withColumnRenamed("doc_id", "dup_of")
+      val probes = Dedup.bandTable(
+        Streams.documentsStream(s, d).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text")
+      val hits = probes.join(broadcast(index), Seq("band", "sig"))
+        .select(col("doc_id").as("new_id"), col("dup_of"))
+        .dropDuplicates(Seq("new_id", "dup_of"))
+      Streams.drainToParquet(hits, "lshstream", "append")
+    },
+
     // exact dedup: hash-groupBy, canonical = min id.
     "q29_exact_dedup" -> { (s, d) =>
       Dedup.exactGroups(dupCorpus(s, d), "doc_id", "text")
@@ -243,6 +271,14 @@ object DedupPack extends QueryPack {
     "q30_minhash_bands" ->
       s"""WITH ${bandSqlCtes("documents")}
           SELECT doc_id, band, sig FROM bandtab""",
+
+    // batch replay of the stream-static probe: same band CTEs over the
+    // full corpus, split by the arrival predicate at join time
+    "q160_stream_lsh_dedup" ->
+      s"""WITH ${bandSqlCtes("documents")}
+          SELECT DISTINCT p.doc_id AS new_id, ix.doc_id AS dup_of
+          FROM bandtab p JOIN bandtab ix ON p.band = ix.band AND p.sig = ix.sig
+          WHERE p.doc_id % 3 = 0 AND ix.doc_id % 3 <> 0""",
 
     "q31_minhash_pairs" ->
       s"""WITH $augCorpusSql,
