@@ -168,7 +168,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val memMib = if (memByQuery.isEmpty) 0L else memByQuery.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"sf":"$sfDir","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"sf":"$sfDir","master":"$master","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds"}"""
     println(json)
     // Persist the COMPLETE artifact too: the driver stores only a ~2k tail
     // of stdout, which truncated round 3's per-query seconds map out of
