@@ -50,10 +50,17 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 
-  /** Local session for tests / verify / bench. */
+  /** Local session for tests / verify / bench.
+    *
+    * `local[n, 2]`: two task attempts, so the retry path EXISTS locally —
+    * plain `local[n]` pins maxFailures=1 and can never exercise the
+    * recompute-on-retry semantics every real cluster has (where lost
+    * executors make retries routine). RetrySpec injects a first-attempt
+    * failure through this session to prove sampling/split decisions are
+    * retry-idempotent (keyHash, not rand()). */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = configure(
-      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      SparkSession.builder().master(s"local[$cores,2]").appName(appName),
       shufflePartitions = math.max(cores, 1)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

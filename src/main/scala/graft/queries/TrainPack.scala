@@ -37,6 +37,12 @@ object TrainPack extends QueryPack {
   /** Token budget per packed sequence for q100. */
   private val PackBudget = 256L
 
+  /** q161 epoch-shuffle parameters: seed stride folds the epoch into the
+    * hash argument (prime, ≫ max doc_id, so epochs never collide);
+    * shard count is the per-epoch output-manifest width. */
+  private val EpochSeedStride = 982451653L
+  private val EpochShards = 8L
+
   /** PII patterns — constructs that behave identically under Java regex
     * (Spark) and RE2 (DuckDB): classes, alternation-free, bounded reps. */
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -283,6 +289,28 @@ object TrainPack extends QueryPack {
         .select(col("source"), col("n_bins"), col("n_docs"), col("total_tokens"),
           Parity.r6(col("total_tokens").cast("double") / col("n_bins").cast("double"))
             .as("avg_bin_tokens"))
+    },
+
+    // ---- q161: deterministic epoch shuffle (training-epoch reorder) --
+    // Re-shards and re-orders the corpus per training epoch with a
+    // seeded hash — the 100 TB epoch-shuffle shape: `shard = hash mod
+    // nShards` is ONE keyed exchange and `pos` is a SHARD-LOCAL
+    // row_number, so the "global random permutation" never pays a
+    // global ORDER BY (no range exchange, no driver-side sampling of
+    // sort boundaries). Epoch folds into the hash seed, so consecutive
+    // epochs yield distinct permutations while every placement stays
+    // bit-replayable across engines AND across task retries
+    // (keyHash, not rand()).
+    "q161_epoch_shuffle" -> { (s, d) =>
+      val epochs = s.range(0, 2).select(col("id").cast("long").as("epoch"))
+      val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
+      docs.crossJoin(broadcast(epochs))
+        .withColumn("h", Parity.keyHash(col("doc_id") + col("epoch") * lit(EpochSeedStride)))
+        .withColumn("shard", pmod(col("h"), lit(EpochShards)))
+        .withColumn("pos", row_number().over(
+            Window.partitionBy("epoch", "shard")
+              .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+        .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
     }
   )
 
@@ -429,6 +457,17 @@ object TrainPack extends QueryPack {
           SELECT source, CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
                  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
                  round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(DISTINCT bin) AS DOUBLE), 6) AS avg_bin_tokens
-          FROM binned GROUP BY source"""
+          FROM binned GROUP BY source""",
+
+    "q161_epoch_shuffle" ->
+      s"""WITH e AS (SELECT CAST(epoch AS BIGINT) AS epoch
+                     FROM (VALUES (0), (1)) AS t(epoch)),
+          h AS (SELECT epoch, CAST(doc_id AS BIGINT) AS doc_id,
+                  ${Parity.keyHashSql(s"(CAST(doc_id AS BIGINT) + epoch * $EpochSeedStride)")} AS h
+                FROM documents CROSS JOIN e)
+          SELECT epoch, doc_id, h % $EpochShards AS shard,
+                 CAST(row_number() OVER (PARTITION BY epoch, h % $EpochShards
+                                         ORDER BY h, doc_id) AS BIGINT) AS pos
+          FROM h"""
   )
 }

@@ -15,6 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Shuffle partitions for STATEFUL streaming stages = state-store
+    * instances per stateful operator. The round-7 cluster bench
+    * (BASELINE.md "Cluster-mode bench") measured the cost model directly:
+    * at sf0.1 the per-partition state is tiny, so per-instance commit
+    * overhead (RocksDB snapshot/sync per store per micro-batch) dominates
+    * and scales with INSTANCE COUNT, not state volume — q92's state-commit
+    * totals dropped 934 s → 86 s (10.8×) going from 32 to 8 instances,
+    * and the heavy streaming queries ran ~2× faster. Batch stages keep the
+    * session's core-matched shuffle.partitions; only the streaming drains
+    * narrow to this value, which (unlike batch) is PINNED in the
+    * checkpoint from batch 0 — exactly why it must be sized to state
+    * volume up front rather than left at the core count.
+    *
+    * Override per session with `graft.streaming.statePartitions`, or per
+    * process with env `SPARK_GRAFT_STATE_PARTITIONS` (bench A/B aid). */
+  def statePartitions(spark: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .orElse(spark.conf.getOption("graft.streaming.statePartitions"))
+      .map(_.toInt).getOrElse(8)
+
+  /** Run `body` (a streaming start + drain) with shuffle partitions set to
+    * [[statePartitions]], restoring the caller's value afterwards. The
+    * stateful-operator partition count is resolved when the query plans
+    * its first batch and pinned in the checkpoint thereafter, so the
+    * narrowed conf only needs to cover the drain. */
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions(spark).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** File-source stream over events.parquet with the same ts-schema
     * adaptation as [[graft.io.Tables.events]] (long nanos → TimestampType,
     * TIMESTAMP_NTZ → TimestampType). The file source
@@ -76,11 +108,13 @@ object Streams {
     spark.catalog.dropTempView(qname)
     val ckpt = s"/root/repo/target/scratch/ckpt_$name"
     graft.util.Staging.deleteRecursive(ckpt)
-    val q = df.writeStream
-      .format("memory").queryName(qname).outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(spark) {
+      val q = df.writeStream
+        .format("memory").queryName(qname).outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     // Return an EAGER driver-local snapshot, not the name-keyed view: a
     // handle consumed after the next invocation would otherwise silently
     // resolve to that invocation's contents (round-6 review finding).
@@ -120,13 +154,15 @@ object Streams {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
       .write.mode("overwrite").parquet(path)
     val fileMode = if (outputMode == "complete") "overwrite" else "append"
-    val q = df.writeStream.outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode(fileMode).parquet(path); ()
-      }
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(spark) {
+      val q = df.writeStream.outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode(fileMode).parquet(path); ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.read.parquet(path)
   }
 
@@ -558,25 +594,27 @@ object Streams {
     }
     val first = mkQuery()
     val outSchema = first.schema
-    val q1 = start(first)
-    try {
-      q1.processAllAvailable()
-      throw new IllegalStateException(
-        s"crash at batch $crashAtBatch never fired — stream had fewer batches; recovery NOT exercised")
-    } catch {
-      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-        var c: Throwable = e
-        while (c != null && !c.isInstanceOf[SimulatedCrash]) c = c.getCause
-        if (c == null) throw e // a real failure, not our injected one
-    } finally q1.stop()
-    require(crashed, "sink never reached the crash batch")
-    val afterCrash = committedBatches()
-    require(!afterCrash.contains(crashAtBatch),
-      s"batch $crashAtBatch already committed before the crash — nothing to recover")
-    val q2 = start(mkQuery())
-    try q2.processAllAvailable() finally q2.stop()
-    require(committedBatches().contains(crashAtBatch),
-      s"recovered run never replayed batch $crashAtBatch")
+    withStatePartitions(first.sparkSession) {
+      val q1 = start(first)
+      try {
+        q1.processAllAvailable()
+        throw new IllegalStateException(
+          s"crash at batch $crashAtBatch never fired — stream had fewer batches; recovery NOT exercised")
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          var c: Throwable = e
+          while (c != null && !c.isInstanceOf[SimulatedCrash]) c = c.getCause
+          if (c == null) throw e // a real failure, not our injected one
+      } finally q1.stop()
+      require(crashed, "sink never reached the crash batch")
+      val afterCrash = committedBatches()
+      require(!afterCrash.contains(crashAtBatch),
+        s"batch $crashAtBatch already committed before the crash — nothing to recover")
+      val q2 = start(mkQuery())
+      try q2.processAllAvailable() finally q2.stop()
+      require(committedBatches().contains(crashAtBatch),
+        s"recovered run never replayed batch $crashAtBatch")
+    }
     // union of the per-batch sink dirs; recursive lookup so `b0/`, `b1/`
     // read as plain nested dirs, not inferred partition columns
     first.sparkSession.read.schema(outSchema)
