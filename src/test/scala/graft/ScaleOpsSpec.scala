@@ -104,6 +104,62 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spans.map(_._1).max <= 255 && spans.nonEmpty)
   }
 
+  test("z-order layout measurably prunes row-groups on a 2D range filter") {
+    // The extent test above shows WHY pruning can work; this one measures
+    // that it DOES: the same rows written z-ordered vs hash-ordered with
+    // small row-groups, probed with a ~0.4%-selectivity 2D box. The scan's
+    // numOutputRows counts rows surviving parquet row-group min/max skip
+    // (the residual filter runs above the scan), so the ratio between
+    // layouts IS the pruning win — the mechanism a 100 TB scan relies on
+    // for any engine without file-level stats (and the same stats
+    // file-skipping uses where a table format carries them).
+    val d = sf("sf0.01")
+    // both dims need a full 0..255 domain at sf0.01 (l_suppkey's is ~100)
+    val rows = Tables.lineitem(spark, d).select(
+      ZOrder.zValue(col("l_partkey"), col("l_orderkey"), 8).as("z"),
+      graft.util.Parity.keyHash(col("l_linenumber") + col("l_orderkey") * 8).as("r"),
+      pmod(col("l_partkey"), lit(256L)).as("x"),
+      pmod(col("l_orderkey"), lit(256L)).as("y"))
+    val zDir = util.Staging.dirFor("zorder_prune_z", d)
+    val hDir = util.Staging.dirFor("zorder_prune_h", d)
+    util.Staging.deleteRecursive(zDir); util.Staging.deleteRecursive(hDir)
+    rows.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.option("parquet.block.size", 32 * 1024).mode("overwrite").parquet(zDir)
+    rows.repartitionByRange(8, col("r")).sortWithinPartitions("r")
+      .write.option("parquet.block.size", 32 * 1024).mode("overwrite").parquet(hDir)
+
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("x").between(40, 55) && col("y").between(200, 215))
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case _ if p.children.isEmpty => Seq(p)
+        case _ => p.children.flatMap(leaves)
+      }
+      leaves(df.queryExecution.executedPlan)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value }
+        .sum
+    }
+    val zScan = scannedRows(zDir)
+    val hScan = scannedRows(hDir)
+    info(s"scan rows after row-group skip: z-ordered=$zScan, hash-ordered=$hScan " +
+      f"(${hScan.toDouble / math.max(zScan, 1)}%.1fx pruning win)")
+    // identical answers, different IO
+    val zRes = spark.read.parquet(zDir)
+      .filter(col("x").between(40, 55) && col("y").between(200, 215))
+      .select("x", "y", "z").orderBy("z", "x", "y").collect().toSeq
+    val hRes = spark.read.parquet(hDir)
+      .filter(col("x").between(40, 55) && col("y").between(200, 215))
+      .select("x", "y", "z").orderBy("z", "x", "y").collect().toSeq
+    assert(zRes == hRes && zRes.nonEmpty)
+    assert(hScan > 0 && zScan * 2 <= hScan,
+      s"z-order did not prune: scanned $zScan (z) vs $hScan (hash-ordered)")
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
