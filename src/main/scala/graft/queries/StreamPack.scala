@@ -44,6 +44,20 @@ object StreamPack extends QueryPack {
         "sessions", "complete")
     },
 
+    // hand-rolled session windows on the remaining arbitrary-state
+    // surfaces — ListState of pending gap-islands + EVENT-TIME TIMERS
+    // for watermark-correct emission (the state-eviction facet) — run
+    // over the staged late-arrival replay: batch-3 late rows fall behind
+    // the lagged watermark and drop; islands close only when the final
+    // watermark passes last+gap (the timer), replayed by the oracle as
+    // gap-islands over admitted rows against the final watermark.
+    "q162_timer_sessions" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      Streams.drainToParquet(
+        Streams.timerSessions(Streams.lateArrivalStream(s, dir), 1800L),
+        "timersessions", "append")
+    },
+
     // streaming dedup (state-backed dropDuplicates) → distinct users/type.
     // The deduped row stream grows with the data → parquet sink; only the
     // small per-type rollup is collected.
@@ -230,6 +244,38 @@ object StreamPack extends QueryPack {
                                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS TIMESTAMP) AS win_start
            FROM events)
          GROUP BY win_start""",
+
+    // q162: gap-islands (strict session_window break rule, diff >= gap)
+    // over the ADMITTED rows (batch 1: on-time bulk; batch 2: tail; the
+    // late batch 3 falls behind the lagged watermark), second-truncated
+    // timestamps, closed only when the FINAL watermark (max admitted ts
+    // − 1h delay) passes last + gap — the timer-firing boundary
+    // (equality fires) is pinned by SessionTimerSpec.
+    "q162_timer_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+                       date_trunc('second', CAST(ts AS TIMESTAMP)) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          adm AS (SELECT user_id, t FROM e, b
+                  WHERE (t < b.t1 AND event_id % 10 <> 0)
+                     OR (t >= b.t1 AND t < b.t2)),
+          wm AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM adm),
+          g AS (SELECT user_id, t,
+                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                              >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+                FROM adm),
+          sn AS (SELECT user_id, t,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM g),
+          sess AS (SELECT user_id, MIN(t) AS st, MAX(t) AS en, COUNT(*) AS n
+                   FROM sn GROUP BY user_id, sid)
+          SELECT user_id, epoch_us(st) AS session_start_us,
+                 epoch_us(en) AS session_end_us, n
+          FROM sess, wm
+          WHERE epoch_us(en) + 1800000000 <= epoch_us(wm.w)""",
 
     "q42_stream_sessions" ->
       """WITH ordered AS (

@@ -621,6 +621,110 @@ object Streams {
       .option("recursiveFileLookup", "true").parquet(path)
   }
 
+  /** A pending (not yet watermark-closed) gap-island of one user's
+    * events; timestamps in epoch micros. */
+  case class PendingSession(start_us: Long, last_us: Long, n: Long)
+
+  /** Hand-rolled session windows on the remaining arbitrary-state
+    * surfaces — `ListState` + EVENT-TIME TIMERS (q101 exercises MapState,
+    * q150 ValueState, q108 initial state; this is the timer/TTL facet,
+    * the state-EVICTION machinery a 100 TB stateful job needs so per-key
+    * state cannot grow forever):
+    *
+    *  - every user's open gap-islands live in a `ListState[PendingSession]`;
+    *    arriving rows merge into islands (interval coalescing) and NOTHING
+    *    emits eagerly — an allowed-late event in a later batch may still
+    *    bridge two islands, so emission must wait for the watermark;
+    *  - one event-time timer per key tracks the EARLIEST island expiry
+    *    (`last + gap`); when the watermark passes it, the expired islands
+    *    emit as closed sessions, state shrinks to the survivors, and the
+    *    timer re-arms at the next expiry — i.e. timers implement exactly
+    *    the session_window eviction rule, by hand;
+    *  - rows behind the CURRENT watermark are dropped in the processor
+    *    (`ts < wm`, same strict rule as the engine's late-row filter, and
+    *    deterministic on the staged replay either way);
+    *  - timer-firing boundary pinned by SessionTimerSpec: a timer whose
+    *    expiry EQUALS the final watermark fires, and the oracle's closing
+    *    condition (`last + gap <= wm`) matches it.
+    *
+    * Input (user, ts truncated to whole SECONDS as epoch micros) — the
+    * truncation keeps every boundary on an exact millisecond so the
+    * ms-granular timer/watermark arithmetic replays exactly in the
+    * µs-granular oracle. */
+  class TimerSessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ExpiredTimerInfo}
+    import org.apache.spark.sql.Encoders
+    private val gapUs = gapSec * 1000000L
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[PendingSession]("pending",
+        Encoders.product[PendingSession], TTLConfig.NONE)
+
+    /** Coalesce islands: neighbours merge when STRICTLY within gap —
+      * `session_window` semantics (sessions are [start, last+gap) half
+      * open; an event at exactly last+gap starts a new session), matching
+      * q42/q117. */
+    private def merged(islands: Seq[PendingSession]): Seq[PendingSession] =
+      islands.sortBy(s => (s.start_us, s.last_us))
+        .foldLeft(Vector.empty[PendingSession]) { (acc, s) =>
+          acc.lastOption match {
+            case Some(p) if s.start_us < p.last_us + gapUs =>
+              acc.init :+ PendingSession(p.start_us, math.max(p.last_us, s.last_us), p.n + s.n)
+            case _ => acc :+ s
+          }
+        }
+
+    /** One timer per key: the earliest pending expiry. */
+    private def rearm(live: Seq[PendingSession]): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      if (live.nonEmpty)
+        getHandle.registerTimer(live.map(s => s.last_us + gapUs).min / 1000L)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = tv.getCurrentWatermarkInMs * 1000L
+      val fresh = rows.map(_._2).filter(_ >= wmUs).map(e => PendingSession(e, e, 1L)).toSeq
+      if (fresh.nonEmpty) {
+        val all = merged((if (pending.exists()) pending.get().toSeq else Nil) ++ fresh)
+        pending.put(all.toArray)
+        rearm(all)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = tv.getCurrentWatermarkInMs * 1000L
+      val all = if (pending.exists()) pending.get().toSeq else Nil
+      val (closed, live) = all.partition(s => s.last_us + gapUs <= wmUs)
+      if (live.isEmpty) pending.clear() else pending.put(live.toArray)
+      rearm(live)
+      closed.iterator.map(s => (user, s.start_us, s.last_us, s.n))
+    }
+  }
+
+  /** [[TimerSessionProcessor]] wired up over a watermarked event stream:
+    * second-truncated event times, 1-hour watermark delay (≥ gap, so an
+    * allowed-late arrival can never bridge islands the oracle's global
+    * replay would keep apart), append output — only watermark-closed
+    * sessions ever emit. */
+  def timerSessions(events: DataFrame, gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), unix_micros(col("ts"))).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start_us", "session_end_us", "n")
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's
