@@ -58,6 +58,29 @@ object StreamPack extends QueryPack {
         "timersessions", "append")
     },
 
+    // the custom TypedImperativeAggregate (TopKCollect) INSIDE streaming
+    // state: tumbling 1-day windows over the 3-batch late-arrival replay
+    // aggregate a deterministic hash-ordered top-10 of each window's
+    // events — batch 1's k-sized heap states persist in the state store
+    // and MERGE with batches 2/3 (the mergeable-partial property, now
+    // exercised across micro-batch boundaries and state-store
+    // serialization, not just shuffle). Complete mode, no watermark, so
+    // all three staged chunks (ts < t2) count.
+    "q163_stream_topk_agg" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      val agg = Streams.lateArrivalStream(s, dir)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.graft.TopKCollect(
+            graft.util.Parity.keyHash(col("event_id")), col("event_id"),
+            col("user_id"), 10).as("kept"))
+        .select(col("window.start").as("win_start"), col("n"), col("kept"))
+      Streams.drainToTable(agg, "topkagg", "complete")
+        .select(col("win_start"), col("n"), posexplode(col("kept")))
+        .select(col("win_start"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+          col("col.id").as("event_id"), col("col.payload").as("user_id"))
+    },
+
     // streaming dedup (state-backed dropDuplicates) → distinct users/type.
     // The deduped row stream grows with the data → parquet sink; only the
     // small per-type rollup is collected.
@@ -244,6 +267,26 @@ object StreamPack extends QueryPack {
                                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS TIMESTAMP) AS win_start
            FROM events)
          GROUP BY win_start""",
+
+    // q163: the staged set is exactly ts < t2 (on-time bulk + tail +
+    // late chunk); windows are epoch-aligned 1-day buckets == calendar
+    // days in UTC; heap output is sorted by the full (hash, id, payload)
+    // tuple, replayed by row_number over the same ordering.
+    "q163_stream_topk_agg" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          r AS (SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS win_start,
+                       event_id, user_id,
+                       ${graft.util.Parity.keyHashSql("event_id")} AS h
+                FROM e, b WHERE t < b.t2),
+          n AS (SELECT win_start, COUNT(*) AS n FROM r GROUP BY 1),
+          k AS (SELECT win_start, event_id, user_id,
+                       row_number() OVER (PARTITION BY win_start
+                         ORDER BY h, event_id, user_id) AS pos
+                FROM r)
+          SELECT k.win_start, n.n, CAST(k.pos AS BIGINT) AS pos,
+                 k.event_id, k.user_id
+          FROM k JOIN n USING (win_start) WHERE k.pos <= 10""",
 
     // q162: gap-islands (strict session_window break rule, diff >= gap)
     // over the ADMITTED rows (batch 1: on-time bulk; batch 2: tail; the
