@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
       s"q35 is expected to be the exact cross-product baseline:\n${p.take(800)}")
   }
 
+  test("q161 epoch shuffle pays ONE keyed exchange and no global sort") {
+    val p = plan("q161_epoch_shuffle")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"epoch shuffle must not pay a range exchange (global sort):\n${p.take(800)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 keyed exchange, found $hashExchanges:\n${p.take(800)}")
+  }
+
   test("q05 top-k plans as TakeOrdered, not a global sort") {
     val p = plan("q05_top_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
