@@ -1,0 +1,46 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-driven FILE-level data skipping — the table-format pattern
+  * (Delta/Iceberg per-file column stats) without a table format: a tiny
+  * manifest table maps each data file to its key min/max, and a reader
+  * consults it to open ONLY the files whose range intersects the
+  * predicate. Complements parquet's row-group skip (ScaleOpsSpec's
+  * z-order measurement) one level up: row groups prune WITHIN an opened
+  * file; the manifest prunes the file OPEN itself — at 100 TB the
+  * difference between listing/footer-reading 10⁵ files and a handful.
+  *
+  * Reference scope note: the reference reads whole parquet datasets
+  * (`/root/reference/functions/dask_pipeline.py:124-157`) — this is a
+  * beyond-reference scale component, oracle-gated through q164.
+  */
+object FileSkipping {
+
+  /** One manifest row per data file: (file, min_key, max_key, n_rows).
+    * Built in one scan via `input_file_name()`; in production this is
+    * maintained incrementally at write time (the Delta-log shape) — a
+    * rebuild is a single pass and the result is |files| rows. */
+  def buildManifest(spark: SparkSession, dataDir: String, keyCol: String): DataFrame =
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** Read only the files whose [min_key, max_key] intersects [lo, hi].
+    * The manifest collect is driver-bounded BY DESIGN (|files| rows —
+    * 100 TB at 1 GB/file is ~10⁵ rows, the same order as the driver's
+    * own file listing). File pruning admits a superset, so the caller's
+    * residual predicate still applies — exactly like row-group skip. */
+  def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
+                 lo: Column, hi: Column): DataFrame = {
+    val files = spark.read.parquet(manifestDir)
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      // preserve the data schema on an empty admit (footer-only read)
+      spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+}

@@ -41,7 +41,22 @@ object ScaleOpsPack extends QueryPack {
         .write.mode("overwrite").parquet(dir)
     }
 
-  override def stage(s: SparkSession, d: String): Unit = { stagedView(s, d); () }
+  /** q164: orders laid out as 16 date-range-sorted files plus their
+    * per-file min/max manifest — staged TOGETHER so the manifest can
+    * never go stale against a re-staged layout. */
+  private def stagedDateLayout(s: SparkSession, d: String): String =
+    Staging.ensure(Staging.dirFor("orders_bydate", d), s"$d/orders.parquet") { dir =>
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      graft.io.FileSkipping.buildManifest(s, s"$dir/data", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
+  override def stage(s: SparkSession, d: String): Unit = {
+    stagedView(s, d); stagedDateLayout(s, d); ()
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -255,10 +270,34 @@ object ScaleOpsPack extends QueryPack {
         .select(col("source"), col("n_train"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
           coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+    },
+
+    // ── q164: manifest-driven FILE-level data skipping ────────────────
+    // The table-format pattern without the table format: a per-file
+    // min/max manifest (staged with the layout) decides which files a
+    // 2-month date probe OPENS — row-group skip prunes inside a file;
+    // this prunes the file open itself. The residual filter keeps the
+    // answer exact, so the oracle is the plain filtered aggregate over
+    // the source table; ScaleOpsSpec measures the file-open reduction.
+    "q164_manifest_pruned_read" -> { (s, d) =>
+      val base = stagedDateLayout(s, d)
+      val lo = lit("1998-03-01").cast("timestamp")
+      val hi = lit("1998-04-30").cast("timestamp")
+      graft.io.FileSkipping.prunedRead(s, s"$base/data", s"$base/manifest", lo, hi)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
   override def oracles: Map[String, String] = Map(
+
+    "q164_manifest_pruned_read" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-03-01'
+            AND o_orderdate <= TIMESTAMP '1998-04-30'
+          GROUP BY 1""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

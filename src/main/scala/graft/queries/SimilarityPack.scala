@@ -94,6 +94,30 @@ object SimilarityPack extends QueryPack {
       Similarity.ivfTopK(base, queries, cents, "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2)
     },
 
+    // ── q165: INCREMENTAL IVF index maintenance (delta segment) ───────
+    // New vectors are indexed against the FROZEN centroid set (one
+    // map-side pass over the delta only — the base segment is never
+    // rescanned, the FAISS/Lucene delta-segment shape) and the probe
+    // runs over base ∪ delta. Because cell assignment is a per-row
+    // argmax under fixed centroids, the incrementally-maintained index
+    // is BIT-IDENTICAL to a full rebuild — which is exactly what the
+    // oracle checks: q67's full-index replay must reproduce this
+    // incremental path's results verbatim (same probe protocol).
+    "q165_incremental_ann" -> { (s, d) =>
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      val cents = base.filter(pmod(col("vec_id"), lit(500)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val hist = base.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val delta = base.filter(pmod(col("vec_id"), lit(7)) === 3)
+      val idx = Similarity.indexCells(hist, cents, "v")          // persisted at 100 TB
+        .unionByName(Similarity.indexCells(delta, cents, "v"))   // the delta segment
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      Similarity.ivfTopKIndexed(idx, queries, cents, "q_id", "vec_id", "qv", "v",
+        k = 5, nprobe = 2)
+    },
+
     // seeded k-means clustering over the embeddings — corpus-curation
     // shape (topic balancing / cluster-level pruning). Fitted centroids
     // are dumped; the oracle re-derives every vector's argmin centroid in
@@ -220,7 +244,14 @@ object SimilarityPack extends QueryPack {
     // IVF replay: centroid set → exact-decimal cosine of every vector vs
     // every centroid → argmax cell (ties to lowest centroid id) → top-2
     // probe cells per query → exact scoring within the candidate union.
-    "q67_ivf_ann" ->
+    // q165 shares this replay VERBATIM: the incremental (base ∪ delta
+    // segment) index must be bit-identical to the full rebuild the SQL
+    // models — that equality IS the incremental-maintenance contract.
+    "q165_incremental_ann" -> ivfReplaySql,
+    "q67_ivf_ann" -> ivfReplaySql
+  ) ++ restOracles
+
+  private def ivfReplaySql: String =
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           ${elemCtes("base")},
           ce AS (SELECT vec_id AS cell FROM base WHERE vec_id % 500 = 0),
@@ -254,8 +285,9 @@ object SimilarityPack extends QueryPack {
           ranked AS (SELECT q_id, vec_id, cos,
                        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
                      FROM scored)
-          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5""",
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
 
+  private def restOracles: Map[String, String] = Map(
     // k-means replay from the dumped centroids: every vector's nearest
     // centroid (euclidean; ties to lowest cluster id) must reproduce the
     // engine's cluster sizes exactly.
