@@ -118,6 +118,58 @@ object SimilarityPack extends QueryPack {
         k = 5, nprobe = 2)
     },
 
+    // ── q166: scalar-quantized (int8) ANN with exact re-rank ──────────
+    // The index-RESIDENCY op: per-dimension affine int8 codes shrink the
+    // resident index 4× (64 doubles → 64 bytes + 2·dim corpus-wide
+    // floats), the probe scores the DEQUANTIZED vectors (asymmetric
+    // distance: query side stays full precision), and the approx top-20
+    // per query re-ranks under full-precision cosine for the final
+    // top-5. Quantization error only moves WHICH candidates re-rank —
+    // the emitted scores are exact — and the whole path (code rounding,
+    // dequantized scoring, re-rank) is decimal/IEEE-portable, so the
+    // oracle replays it bit-for-bit with no tolerance gate.
+    "q166_quantized_ann" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      // per-dim code range: ONE tiny aggregate (2·dim doubles), broadcast
+      // back as literals — the corpus-wide "codebook"
+      val st = base.agg(
+        array((1 to width).map(i => min(element_at(col("v"), i))): _*).as("los"),
+        array((1 to width).map(i => max(element_at(col("v"), i))): _*).as("his")).head()
+      val los = st.getSeq[Double](0).toArray
+      val his = st.getSeq[Double](1).toArray
+      val vhat = transform(col("v"), (x, i) => {
+        val lo = element_at(lit(los), i + 1)
+        val sc = element_at(lit(his), i + 1) - lo
+        val code = when(sc === 0, lit(0.0)).otherwise(round((x - lo) / sc * 255))
+        lo + code / lit(255.0) * sc
+      })
+      val corpus = base.select(col("vec_id"), vhat.as("vh"))
+        .withColumn("nv", sqrt(Similarity.dotDec(col("vh"), col("vh"))))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("nq", sqrt(Similarity.dotDec(col("qv"), col("qv"))))
+      val wa = Window.partitionBy("q_id").orderBy(col("acos").desc, col("vec_id").asc)
+      val cand = corpus.crossJoin(broadcast(queries))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("acos",
+          round(Similarity.dotDec(col("qv"), col("vh")) / (col("nq") * col("nv")), 6))
+        .withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= 20)
+        .select("q_id", "vec_id", "qv", "nq")
+      // exact re-rank: the tiny candidate list broadcasts; the corpus
+      // never shuffles
+      val full = base.withColumn("nvf", sqrt(Similarity.dotDec(col("v"), col("v"))))
+      val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      full.join(broadcast(cand), "vec_id")
+        .withColumn("cos",
+          round(Similarity.dotDec(col("qv"), col("v")) / (col("nq") * col("nvf")), 6))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+    },
+
     // seeded k-means clustering over the embeddings — corpus-curation
     // shape (topic balancing / cluster-level pruning). Fitted centroids
     // are dumped; the oracle re-derives every vector's argmin centroid in
@@ -248,7 +300,49 @@ object SimilarityPack extends QueryPack {
     // segment) index must be bit-identical to the full rebuild the SQL
     // models — that equality IS the incremental-maintenance contract.
     "q165_incremental_ann" -> ivfReplaySql,
-    "q67_ivf_ann" -> ivfReplaySql
+    "q67_ivf_ann" -> ivfReplaySql,
+
+    // q166 replay: per-dim lo/hi → int8 code → dequantized elements →
+    // decimal-exact asymmetric scoring → approx top-20 → full-precision
+    // re-rank. Same decimal/IEEE conventions as the IVF replay.
+    "q166_quantized_ann" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ${elemCtes("base")},
+          st AS (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM el GROUP BY i),
+          vh AS (SELECT el.vec_id, el.i,
+                   st.lo + (CASE WHEN st.hi = st.lo THEN 0
+                                 ELSE round((el.e - st.lo) / (st.hi - st.lo) * 255) END)
+                          / 255.0 * (st.hi - st.lo) AS e
+                 FROM el JOIN st USING (i)),
+          vn AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                 FROM vh GROUP BY vec_id),
+          q AS (SELECT vec_id AS q_id FROM base WHERE vec_id % 50 = 0),
+          ad AS (SELECT qq.q_id, vh.vec_id,
+                   CAST(SUM(CAST(ea.e * vh.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM q qq JOIN el ea ON ea.vec_id = qq.q_id
+                 JOIN vh ON vh.i = ea.i AND vh.vec_id <> qq.q_id
+                 GROUP BY qq.q_id, vh.vec_id),
+          ac AS (SELECT ad.q_id, ad.vec_id,
+                   round(ad.dt / (sqrt(nq.nrm) * sqrt(vn.nrm)), 6) AS acos
+                 FROM ad JOIN norms nq ON nq.vec_id = ad.q_id
+                         JOIN vn ON vn.vec_id = ad.vec_id),
+          cand AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY acos DESC, vec_id) AS ar
+                     FROM ac) WHERE ar <= 20),
+          pd AS (SELECT c.q_id, c.vec_id,
+                   CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN el eb ON eb.vec_id = c.vec_id AND eb.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
+          scored AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
+                             JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
   ) ++ restOracles
 
   private def ivfReplaySql: String =
