@@ -63,6 +63,35 @@ class RetrySpec extends SparkSpec {
     assert(clean.nonEmpty && retried == clean)
   }
 
+  test("a REDUCE-stage retry (post-shuffle task failure) is also idempotent") {
+    // the failure lands AFTER the exchange: the retried task re-fetches
+    // its shuffle blocks and re-reduces — the recompute path a lost
+    // executor takes mid-aggregation on a real cluster
+    import spark.implicits._
+    val before = RetrySpec.fired
+    def agg(inject: Boolean) = {
+      val folded = docIds(inject = false).toDF("doc_id")
+        .withColumn("fold", pmod(Parity.keyHash(col("doc_id")), lit(7L)))
+        .groupBy("fold").agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+        .as[(Long, Long, Long)]
+      val maybeInjected =
+        if (!inject) folded
+        else folded.mapPartitions { it =>
+          val tc = TaskContext.get()
+          if (tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+            RetrySpec.fired += 1
+            throw new RuntimeException("injected reduce-stage failure")
+          }
+          it
+        }
+      maybeInjected.collect().toSeq.sortBy(_._1)
+    }
+    val clean = agg(inject = false)
+    val retried = agg(inject = true)
+    assert(RetrySpec.fired > before, "reduce-stage injection never fired")
+    assert(clean.nonEmpty && retried == clean)
+  }
+
   test("deterministic split assignment survives a retry mid-aggregation") {
     val before = RetrySpec.fired
     def foldCounts(inject: Boolean) = docIds(inject).toDF("doc_id")
