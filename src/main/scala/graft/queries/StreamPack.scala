@@ -81,6 +81,39 @@ object StreamPack extends QueryPack {
           col("col.id").as("event_id"), col("col.payload").as("user_id"))
     },
 
+    // streaming drift monitor: per-day event-type distributions from the
+    // 3-batch replay (complete-mode windowed counts) scored as PSI
+    // against a BROADCAST batch reference (the on-time bulk week) — the
+    // production data-quality gate that watches a live feed drift away
+    // from its training distribution. Reference totals are a tiny batch
+    // aggregate; the stream side pays one windowed count; PSI math
+    // follows q152's conventions (IEEE divisions, ln rounded at source,
+    // exact-decimal total) so the whole monitor replays in SQL.
+    "q167_stream_drift" -> { (s, d) =>
+      import graft.util.Parity
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      val ev = graft.io.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val t0 = ev.agg(date_trunc("DAY", min(col("ts")))).head().getTimestamp(0)
+      val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+      val ref = ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) =!= 0)
+        .groupBy("event_type").agg(count(lit(1)).as("n1"))
+      val refTot = ref.agg(sum("n1")).head().getLong(0)
+      val winCounts = Streams.drainToTable(
+        Streams.lateArrivalStream(s, dir)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n2"))
+          .select(col("window.start").as("win_start"), col("event_type"), col("n2")),
+        "driftwin", "complete")
+      val winTot = winCounts.groupBy("win_start").agg(sum("n2").as("t2"))
+      winCounts.join(winTot, "win_start").join(broadcast(ref), "event_type")
+        .withColumn("p1", col("n1").cast("double") / lit(refTot.toDouble))
+        .withColumn("p2", col("n2").cast("double") / col("t2").cast("double"))
+        .withColumn("term", round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 6))
+        .groupBy("win_start")
+        .agg(Parity.dsum6(col("term")).as("psi"), count(lit(1)).as("n_bins"))
+    },
+
     // streaming dedup (state-backed dropDuplicates) → distinct users/type.
     // The deduped row stream grows with the data → parquet sink; only the
     // small per-type rollup is collected.
@@ -287,6 +320,30 @@ object StreamPack extends QueryPack {
           SELECT k.win_start, n.n, CAST(k.pos AS BIGINT) AS pos,
                  k.event_id, k.user_id
           FROM k JOIN n USING (win_start) WHERE k.pos <= 10""",
+
+    // q167: the staged set is exactly ts < t2; reference = the on-time
+    // bulk week; inner join on event_type keeps only bins present in the
+    // window (every reference bin has n1 > 0 by construction).
+    "q167_stream_drift" ->
+      s"""WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          ref AS (SELECT event_type, COUNT(*) AS n1 FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0 GROUP BY 1),
+          rt AS (SELECT SUM(n1) AS t1tot FROM ref),
+          wc AS (SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS win_start,
+                        event_type, COUNT(*) AS n2
+                 FROM e, b WHERE t < b.t2 GROUP BY 1, 2),
+          wt AS (SELECT win_start, SUM(n2) AS t2tot FROM wc GROUP BY 1),
+          terms AS (SELECT wc.win_start,
+                      round((CAST(n2 AS DOUBLE) / CAST(t2tot AS DOUBLE)
+                             - CAST(n1 AS DOUBLE) / CAST(t1tot AS DOUBLE))
+                            * ln((CAST(n2 AS DOUBLE) / CAST(t2tot AS DOUBLE))
+                                 / (CAST(n1 AS DOUBLE) / CAST(t1tot AS DOUBLE))), 6) AS term
+                    FROM wc JOIN wt USING (win_start) JOIN ref USING (event_type)
+                    CROSS JOIN rt)
+          SELECT win_start, ${Sql.dsum6("term")} AS psi, COUNT(*) AS n_bins
+          FROM terms GROUP BY win_start""",
 
     // q162: gap-islands (strict session_window break rule, diff >= gap)
     // over the ADMITTED rows (batch 1: on-time bulk; batch 2: tail; the
