@@ -89,6 +89,15 @@ object StreamPack extends QueryPack {
     // aggregate; the stream side pays one windowed count; PSI math
     // follows q152's conventions (IEEE divisions, ln rounded at source,
     // exact-decimal total) so the whole monitor replays in SQL.
+    // KNOWN LIMITATION (round-7 review, kept deliberately): the inner
+    // join on event_type means categories present in the live window but
+    // absent from the reference (and vice versa) contribute NOTHING to
+    // PSI — a NOVEL event type, the strongest drift signal, is invisible
+    // here. The deployable variant is q170_stream_drift_append: sealed
+    // append-mode windows + an epsilon-smoothed full category grid
+    // (standard PSI practice), where novel and vanished categories both
+    // score. This complete-mode inner-join form is retained as the
+    // replay-exact baseline the oracle mirrors clause for clause.
     "q167_stream_drift" -> { (s, d) =>
       import graft.util.Parity
       val dir = Streams.prepareLateArrivalFiles(s, d)

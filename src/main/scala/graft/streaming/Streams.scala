@@ -39,7 +39,16 @@ object Streams {
     * [[statePartitions]], restoring the caller's value afterwards. The
     * stateful-operator partition count is resolved when the query plans
     * its first batch and pinned in the checkpoint thereafter, so the
-    * narrowed conf only needs to cover the drain. */
+    * narrowed conf only needs to cover the drain.
+    *
+    * SINGLE-THREADED CALLER ASSUMPTION (round-7 review): the override
+    * mutates the session-global `spark.sql.shuffle.partitions` for the
+    * drain's duration, so a batch query planned CONCURRENTLY on the same
+    * session would silently pick up the narrowed value. Every current
+    * runner (tests, Verify, Bench) drives the session from one thread; a
+    * multithreaded driver must either serialize drains with its batch
+    * planning or hand each drain its own `SparkSession.newSession()`
+    * (session-scoped confs, shared context). */
   def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
