@@ -5,35 +5,49 @@ import org.apache.spark.sql.functions._
 
 import graft.similarity.Similarity
 
-/** q166's memory claim, measured at corpus scale: the scalar-quantized
-  * (int8) index must be several× smaller RESIDENT than the full-precision
-  * vectors, at essentially unchanged recall once the exact re-rank runs.
-  * Sweeps the [[SimilarityScaleBench]] synthetic corpus (same planted
-  * near-duplicate construction, so recall is known without a brute pass
-  * at every n) and reports, per n:
+/** q166/q168's scale claims, measured at corpus scale:
   *
-  *  - cached bytes of the full `array<double>` index vs the
-  *    `array<tinyint>` code index (InMemoryRelation stats after a full
-  *    materialization — the honest residency metric; parquet-on-disk
-  *    bytes are also printed for the storage axis);
-  *  - the quantized probe (IEEE dots against dequantized codes, approx
-  *    top-4k) + full-precision re-rank wall, and planted recall;
-  *  - recall@10 vs brute force at the smallest n (brute is the cost IVF
-  *    and quantization both exist to avoid).
+  *  - RESIDENCY: the int8 code segment must be several× smaller resident
+  *    than the full-precision index (InMemoryRelation byte deltas after a
+  *    full materialization; parquet-on-disk also visible via the ratio).
+  *  - PROBE (the round-7 verdict's ask): the COMPOSED quantized-IVF probe
+  *    ([[Similarity.probeQuantizedIvf]] — cell-routed scan over int8
+  *    codes + exact re-rank) is timed against BOTH parents on the same
+  *    persisted indexes: q166's full-scan quantized probe (broadcast
+  *    cross over every code row) and q67's full-precision IVF probe
+  *    (cell-routed scan over `array<double>`), at equal recall.
+  *  - RECALL at EVERY n: the planted-neighbor recall is exact by
+  *    construction everywhere, and the brute-force recall@10 oracle runs
+  *    on a deterministic QUERY SUBSAMPLE when the full query set would
+  *    make the brute pass unaffordable (closing the round-7 "brute
+  *    skipped above 400k" gap) — full brute below
+  *    SPARK_GRAFT_QANN_BRUTE_MAX (default: smallest n), sampled
+  *    (≤ SPARK_GRAFT_QANN_BRUTE_SAMPLE queries, default 20) above.
   *
-  * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_QANN_NS (comma list, default
-  * 100000,400000). Not part of the per-round driver protocol; numbers
-  * recorded in BASELINE.md.
+  * Corpus construction is identical to [[SimilarityScaleBench]] (planted
+  * near-duplicate every 40th id; quadratic mixed-modulus hash), dim 32,
+  * 64 cells, nprobe 8, production IEEE dot path throughout. Env:
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_QANN_NS (default 100000,400000).
+  * Not part of the per-round driver protocol; numbers → BASELINE.md.
   */
 object QuantScaleBench {
 
-  val Dim = 32
+  /** Vector width — env-overridable (SPARK_GRAFT_QANN_DIM): dim 32 mirrors
+    * SimilarityScaleBench; dim 256 is the realistic-embedding regime where
+    * the probe is memory-bandwidth-bound and the int8 scan's 8× fewer
+    * bytes per row show up as wall-clock, not just residency. */
+  val Dim = sys.env.getOrElse("SPARK_GRAFT_QANN_DIM", "32").toInt
+  val NCells = 64
+  val NProbe = 8
   val K = 10
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ns = sys.env.getOrElse("SPARK_GRAFT_QANN_NS", "100000,400000")
       .split(",").map(_.trim.toInt).toSeq
+    val bruteMax = sys.env.get("SPARK_GRAFT_QANN_BRUTE_MAX").map(_.trim.toInt)
+      .getOrElse(ns.min)
+    val bruteSample = sys.env.getOrElse("SPARK_GRAFT_QANN_BRUTE_SAMPLE", "20").toInt
     val spark = graft.core.GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]")
           .config("spark.sql.shuffle.partitions", cpus),
@@ -43,8 +57,6 @@ object QuantScaleBench {
     import org.apache.spark.storage.StorageLevel
 
     for (n <- ns) {
-      // identical corpus construction to SimilarityScaleBench (planted
-      // near-dup every 40th id; quadratic mixed-modulus hash)
       val corpus = spark.range(n.toLong).select(
           col("id").as("vec_id"),
           when(pmod(col("id"), lit(40)) === 0 && col("id") > 0, col("id") - 1)
@@ -60,84 +72,133 @@ object QuantScaleBench {
           }).as("v"))
         .repartition(cpus.toInt)
 
-      // per-dim code range (the 2·Dim-double codebook)
-      val st = corpus.agg(
-        array((1 to Dim).map(i => min(element_at(col("v"), i))): _*).as("los"),
-        array((1 to Dim).map(i => max(element_at(col("v"), i))): _*).as("his")).head()
-      val los = st.getSeq[Double](0).toArray
-      val his = st.getSeq[Double](1).toArray
-      // codes shifted to [-128, 127] so the tinyint cast is ANSI-safe
-      def codeOf = transform(col("v"), (x, i) => {
-        val lo = element_at(lit(los), i + 1)
-        val sc = element_at(lit(his), i + 1) - lo
-        (when(sc === 0, lit(0.0)).otherwise(round((x - lo) / sc * 255)) - 128)
-          .cast("tinyint")
-      })
-      def dequant(codes: org.apache.spark.sql.Column) =
-        transform(codes, (c, i) => {
-          val lo = element_at(lit(los), i + 1)
-          val sc = element_at(lit(his), i + 1) - lo
-          lo + (c.cast("double") + 128.0) / 255.0 * sc
-        })
-
-      // resident bytes via storage-info DELTAS (measured sequentially)
-      def storedBytes(): Long =
-        spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
-      def cachedBytes(df: org.apache.spark.sql.DataFrame): Long = {
-        val before = storedBytes()
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        storedBytes() - before
-      }
-
-      val full = corpus.select(col("vec_id"), col("v"))
-      val quant = corpus.select(col("vec_id"), codeOf.as("codes"))
-      val fullBytes = cachedBytes(full)
-      val quantBytes = cachedBytes(quant)
-
+      val cb = Similarity.affineCodebook(corpus, "v", Dim)
+      val cStride = math.max(1L, n.toLong / NCells)
+      val cents = corpus
+        .filter(pmod(col("vec_id"), lit(cStride)) === 3 && col("vec_id") < lit(cStride * NCells))
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val qStride = math.max(1L, (n.toLong / 40) / 100) * 40
       val queries = corpus
         .filter(pmod(col("vec_id"), lit(40)) === 0 && col("vec_id") > 0 &&
-          pmod(col("vec_id"), lit(math.max(1L, (n.toLong / 40) / 100) * 40)) === 0)
+          pmod(col("vec_id"), lit(qStride)) === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nQ = queries.count()
 
-      // quantized probe: IEEE dots against the dequantized codes
-      // (production path), approx top-4K → full-precision re-rank
-      import org.apache.spark.sql.expressions.Window
-      val t0 = System.nanoTime()
-      val scored = full.join(quant, "vec_id")
-        .withColumn("vh", dequant(col("codes")))
-        .withColumn("nv", sqrt(Similarity.dotF(col("vh"), col("vh"))))
-        .crossJoin(broadcast(queries
-          .withColumn("nq", sqrt(Similarity.dotF(col("qv"), col("qv"))))))
-        .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("acos", Similarity.dotF(col("qv"), col("vh")) / (col("nq") * col("nv")))
-      val wa = Window.partitionBy("q_id").orderBy(col("acos").desc, col("vec_id").asc)
-      val cand = scored.withColumn("ar", row_number().over(wa)).filter(col("ar") <= 4 * K)
-        .select("q_id", "vec_id", "qv", "nq")
-      val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-      val top = full.withColumn("nvf", sqrt(Similarity.dotF(col("v"), col("v"))))
-        .join(broadcast(cand), "vec_id")
-        .withColumn("cos", Similarity.dotF(col("qv"), col("v")) / (col("nq") * col("nvf")))
-        .withColumn("rank", row_number().over(wr)).filter(col("rank") <= K)
-        .select("q_id", "vec_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      top.count()
-      val probeSec = (System.nanoTime() - t0) / 1e9
-      val planted = top.filter(col("vec_id") === col("q_id") - 1)
-        .select("q_id").distinct().count()
-      val recallPlanted = planted.toDouble / nQ
+      // resident bytes via storage-info DELTAS (measured sequentially)
+      def storedBytes(): Long =
+        spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      def cache(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) = {
+        val before = storedBytes()
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        (df, storedBytes() - before)
+      }
 
-      val recallAt10 =
-        if (n == ns.min) {
-          val b = Similarity.bruteForceTopK(queries, full,
-            "q_id", "vec_id", "qv", "v", k = K).select("q_id", "vec_id")
-          f"${top.intersect(b).count().toDouble / (nQ * K)}%.4f"
-        } else "null"
+      // full-precision IVF index (q67's resident shape) and the int8 code
+      // segment carved from it (q168's) — both persisted CLUSTERED BY CELL
+      // (the index's natural production layout: one range exchange at
+      // build time), so cached-batch min/max stats let probe and re-rank
+      // scans prune to the routed cells
+      val (indexed, fullBytes) = cache(
+        Similarity.indexCells(corpus, cents, "v", exact = false)
+          .repartitionByRange(cpus.toInt, col("__cell")))
+      val (segment, quantBytes) =
+        cache(Similarity.quantizedSegment(indexed, cb, "vec_id", "v", exact = false)
+          .repartitionByRange(cpus.toInt, col("__cell")))
 
-      println(f"""QUANTSCALE: {"n":$n,"queries":$nQ,"full_bytes":$fullBytes,"quant_bytes":$quantBytes,"ratio":${fullBytes.toDouble / quantBytes}%.2f,"probe_sec":$probeSec%.2f,"recall_planted":$recallPlanted%.4f,"recall_at10":$recallAt10}""")
-      top.unpersist(); queries.unpersist(); full.unpersist(); quant.unpersist()
+      def force(df: org.apache.spark.sql.DataFrame) = {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      }
+      // min-of-2: the first run of each probe pays plan/codegen compile
+      // (the composed plan is the largest — two windows, two joins), which
+      // at these corpus sizes is the same order as the scan itself; the
+      // warm repeat is the per-probe-batch cost a serving index pays
+      def timed[T](body: => org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Double) = {
+        val t0 = System.nanoTime(); val r = force(body)
+        val w1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); r.unpersist(); val r2 = force(body)
+        val w2 = (System.nanoTime() - t1) / 1e9
+        (r2, math.min(w1, w2))
+      }
+
+      // (a) COMPOSED: cell-routed int8 scan + exact re-rank
+      val (composed, tComposed) = timed(
+        Similarity.probeQuantizedIvf(segment, indexed, queries, cents, cb,
+          "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, rerank = 4 * K,
+          exact = false))
+      // (b) parent 1: full-precision IVF probe over the same cells
+      val (ivf, tIvf) = timed(
+        Similarity.ivfTopKIndexed(indexed, queries, cents,
+          "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, exact = false))
+      // (c) parent 2: q166's full-scan quantized probe (broadcast cross
+      // over EVERY code row, then the same exact re-rank)
+      val (fullScan, tFullScan) = timed {
+        import org.apache.spark.sql.expressions.Window
+        val scored = segment
+          .withColumn("__vh", Similarity.dequantize(col("__codes"), cb))
+          .crossJoin(broadcast(queries
+            .withColumn("__qn", sqrt(Similarity.dotF(col("qv"), col("qv"))))))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("acos", Similarity.dotF(col("qv"), col("__vh")) / (col("__qn") * col("__nv")))
+        val wa = Window.partitionBy("q_id").orderBy(col("acos").desc, col("vec_id").asc)
+        val cand = scored.withColumn("__ar", row_number().over(wa)).filter(col("__ar") <= 4 * K)
+          .select("q_id", "vec_id", "qv", "__qn")
+        val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+        indexed.join(broadcast(cand), "vec_id")
+          .withColumn("cos", Similarity.dotF(col("qv"), col("v")) / (col("__qn") * col("__cn")))
+          .withColumn("rank", row_number().over(wr)).filter(col("rank") <= K)
+          .select("q_id", "vec_id")
+      }
+
+      def plantedRecall(df: org.apache.spark.sql.DataFrame): Double =
+        df.filter(col("vec_id") === col("q_id") - 1)
+          .select("q_id").distinct().count().toDouble / nQ
+
+      // brute oracle: full query set while affordable, deterministic
+      // subsample above (closing the "brute skipped at 1.6M" dash)
+      val (bq, bruteMode) =
+        if (n <= bruteMax) (queries, "full")
+        else {
+          val step = math.max(1L, nQ / bruteSample)
+          (queries.withColumn("__rn",
+              row_number().over(org.apache.spark.sql.expressions.Window.orderBy("q_id")))
+            .filter(pmod(col("__rn"), lit(step)) === 0).drop("__rn"), "sampled")
+        }
+      val bqN = bq.count()
+      val (brute, tBrute) = timed(
+        Similarity.bruteForceTopK(bq, corpus, "q_id", "vec_id", "qv", "v", k = K,
+          exact = false).select("q_id", "vec_id"))
+      def recallAt10(df: org.apache.spark.sql.DataFrame): Double =
+        df.select("q_id", "vec_id").intersect(brute).count().toDouble / (bqN * K)
+
+      val (rpC, rpI, rpF) = (plantedRecall(composed), plantedRecall(ivf), plantedRecall(fullScan))
+      val (r10C, r10I, r10F) = (recallAt10(composed), recallAt10(ivf), recallAt10(fullScan))
+
+      // capacity-bound regime — the one quantization EXISTS for: at 100 TB
+      // the index does not sit deserialized in executor memory. Both
+      // indexes re-persist SERIALIZED on disk and the two cell-routed
+      // probes re-run; the quantized scan pays 1/4.2 the IO+deserialize
+      // bytes per probe batch. The result caches from the in-memory phase
+      // are dropped FIRST — Spark's CacheManager matches identical plans,
+      // and a persisted probe result would otherwise serve these "probes"
+      // from cache (caught round 8: sub-second fakes + "already cached"
+      // warnings).
+      Seq(composed, ivf, fullScan).foreach(_.unpersist(true))
+      indexed.unpersist(true); segment.unpersist(true)
+      indexed.persist(StorageLevel.DISK_ONLY); indexed.count()
+      segment.persist(StorageLevel.DISK_ONLY); segment.count()
+      val (cd, tComposedDisk) = timed(
+        Similarity.probeQuantizedIvf(segment, indexed, queries, cents, cb,
+          "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, rerank = 4 * K,
+          exact = false))
+      val (ivfd, tIvfDisk) = timed(
+        Similarity.ivfTopKIndexed(indexed, queries, cents,
+          "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, exact = false))
+      cd.unpersist(); ivfd.unpersist()
+
+      println(f"""QUANTSCALE: {"n":$n,"dim":$Dim,"queries":$nQ,"full_bytes":$fullBytes,"quant_bytes":$quantBytes,"ratio":${fullBytes.toDouble / quantBytes}%.2f,"probe_composed_sec":$tComposed%.2f,"probe_ivf_full_sec":$tIvf%.2f,"probe_fullscan_quant_sec":$tFullScan%.2f,"probe_composed_disk_sec":$tComposedDisk%.2f,"probe_ivf_full_disk_sec":$tIvfDisk%.2f,"recall_planted_composed":$rpC%.4f,"recall_planted_ivf":$rpI%.4f,"recall_planted_fullscan":$rpF%.4f,"brute_mode":"$bruteMode","brute_queries":$bqN,"brute_sec":$tBrute%.2f,"recall_at10_composed":$r10C%.4f,"recall_at10_ivf":$r10I%.4f,"recall_at10_fullscan":$r10F%.4f}""")
+      Seq(brute, queries, indexed, segment).foreach(_.unpersist())
     }
     spark.stop()
   }

@@ -130,17 +130,28 @@ object SimilarityScaleBench {
 
       try {
         // brute-force oracle ONCE per n (O(|Q|·|C|) — that cost is the
-        // point of IVF), shared across the whole nprobe sweep
-        val (brute, bruteSec) =
-          if (n <= bruteMax || bruteAll) {
-            val t2 = System.nanoTime()
-            val b = Similarity.bruteForceTopK(queries, corpus,
-                "q_id", "vec_id", "qv", "v", k = K)
-              .select("q_id", "vec_id")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            b.count()
-            (Some(b), f"${(System.nanoTime() - t2) / 1e9}%.2f")
-          } else (None, "null")
+        // point of IVF), shared across the whole nprobe sweep. Above
+        // bruteMax the oracle runs on a deterministic ~20-query SUBSAMPLE
+        // instead of being skipped (round-7: the 1.6M recall cell was a
+        // dash) — recall estimates then carry `"brute_mode":"sampled"`.
+        val (bruteQ, bruteMode) =
+          if (n <= bruteMax || bruteAll) (queries, "full")
+          else {
+            val step = math.max(1L, nQ / 20)
+            (queries.withColumn("__rn",
+                row_number().over(org.apache.spark.sql.expressions.Window.orderBy("q_id")))
+              .filter(pmod(col("__rn"), lit(step)) === 0).drop("__rn"), "sampled")
+          }
+        val bruteN = bruteQ.count()
+        val (brute, bruteSec) = {
+          val t2 = System.nanoTime()
+          val b = Similarity.bruteForceTopK(bruteQ, corpus,
+              "q_id", "vec_id", "qv", "v", k = K)
+            .select("q_id", "vec_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          b.count()
+          (Some(b), f"${(System.nanoTime() - t2) / 1e9}%.2f")
+        }
 
         for (nprobe <- nprobes) {
           // ── stage 2: probe + exact re-score within candidates ──────────
@@ -158,7 +169,7 @@ object SimilarityScaleBench {
 
           val recallAt10 = brute.map { b =>
             val inter = ivf.select("q_id", "vec_id").intersect(b).count()
-            f"${inter.toDouble / (nQ * K)}%.4f"
+            f"${inter.toDouble / (bruteN * K)}%.4f"
           }.getOrElse("null")
           ivf.unpersist()
 
@@ -175,12 +186,12 @@ object SimilarityScaleBench {
             .select("q_id").distinct().count()
           val recallAt10F = brute.map { b =>
             val inter = ivfF.select("q_id", "vec_id").intersect(b).count()
-            f"${inter.toDouble / (nQ * K)}%.4f"
+            f"${inter.toDouble / (bruteN * K)}%.4f"
           }.getOrElse("null")
           ivfF.unpersist()
           val recallPlantedF = plantedF.toDouble / nQ
 
-          println(f"""ANNSCALE: {"n":$n,"nprobe":$nprobe,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10,"recall_at10_fast":$recallAt10F,"brute_sec":$bruteSec}""")
+          println(f"""ANNSCALE: {"n":$n,"nprobe":$nprobe,"queries":$nQ,"cells":$usedCells,"max_cell":$maxCell,"mean_cell":$meanCell%.0f,"index_sec":$tIndex%.2f,"probe_sec":$tProbe%.2f,"index_fast_sec":$tIndexF%.2f,"probe_fast_sec":$tProbeF%.2f,"recall_planted":$recallPlanted%.4f,"recall_planted_fast":$recallPlantedF%.4f,"recall_at10":$recallAt10,"recall_at10_fast":$recallAt10F,"brute_mode":"$bruteMode","brute_queries":$bruteN,"brute_sec":$bruteSec}""")
         }
         brute.foreach(_.unpersist())
       } finally { indexed.unpersist(); idxF.unpersist() }

@@ -170,6 +170,31 @@ object SimilarityPack extends QueryPack {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
     },
 
+    // ── q168: quantized-IVF COMPOSED index (q67 × q166) ───────────────
+    // The round-7 verdict's one weak component, built for real: int8
+    // codes live INSIDE the IVF cells, so a probe routes to its nprobe=2
+    // nearest cells and scans only those cells' codes —
+    // |corpus|/|cells|·nprobe rows at ~1/4.7 the resident bytes — then
+    // exact-re-ranks the top-20 shortlist under full precision. Emitted
+    // scores stay EXACT (quantization + routing only move which
+    // candidates re-rank), and every stage (cell argmax, code rounding,
+    // dequantized decimal scoring, re-rank) is decimal/IEEE-portable, so
+    // the oracle replays the whole composition bit-for-bit with no
+    // tolerance gate. QuantScaleBench measures the composed probe against
+    // both parents (q166's full scan, q67's full-precision IVF) at equal
+    // recall.
+    "q168_quantized_ivf" -> { (s, d) =>
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      val cents = base.filter(pmod(col("vec_id"), lit(500)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cb = Similarity.affineCodebook(base, "v", width)
+      Similarity.ivfQuantizedTopK(base, queries, cents, cb,
+        "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2, rerank = 20)
+    },
+
     // seeded k-means clustering over the embeddings — corpus-curation
     // shape (topic balancing / cluster-level pruning). Fitted centroids
     // are dumped; the oracle re-derives every vector's argmin centroid in
@@ -322,6 +347,64 @@ object SimilarityPack extends QueryPack {
                  FROM q qq JOIN el ea ON ea.vec_id = qq.q_id
                  JOIN vh ON vh.i = ea.i AND vh.vec_id <> qq.q_id
                  GROUP BY qq.q_id, vh.vec_id),
+          ac AS (SELECT ad.q_id, ad.vec_id,
+                   round(ad.dt / (sqrt(nq.nrm) * sqrt(vn.nrm)), 6) AS acos
+                 FROM ad JOIN norms nq ON nq.vec_id = ad.q_id
+                         JOIN vn ON vn.vec_id = ad.vec_id),
+          cand AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY acos DESC, vec_id) AS ar
+                     FROM ac) WHERE ar <= 20),
+          pd AS (SELECT c.q_id, c.vec_id,
+                   CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN el eb ON eb.vec_id = c.vec_id AND eb.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
+          scored AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
+                             JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5""",
+    // q168 replay: the q67 routing CTEs (assignment argmax, top-2 probe
+    // cells) composed with the q166 quantization CTEs (per-dim lo/hi,
+    // dequantized elements/norms); the asymmetric scoring runs ONLY over
+    // cell-routed candidates, then the exact re-rank reproduces q166's.
+    "q168_quantized_ivf" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ${elemCtes("base")},
+          ce AS (SELECT vec_id AS cell FROM base WHERE vec_id % 500 = 0),
+          cd AS (SELECT ea.vec_id, c.cell, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM el ea CROSS JOIN ce c
+                 JOIN el eb ON eb.vec_id = c.cell AND eb.i = ea.i
+                 GROUP BY ea.vec_id, c.cell),
+          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / sqrt(nb.nrm) AS cos
+                 FROM cd JOIN norms nb ON nb.vec_id = cd.cell),
+          assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc) WHERE pr = 1),
+          probes AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc WHERE vec_id % 50 = 0) WHERE pr <= 2),
+          st AS (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM el GROUP BY i),
+          vh AS (SELECT el.vec_id, el.i,
+                   st.lo + (CASE WHEN st.hi = st.lo THEN 0
+                                 ELSE round((el.e - st.lo) / (st.hi - st.lo) * 255) END)
+                          / 255.0 * (st.hi - st.lo) AS e
+                 FROM el JOIN st USING (i)),
+          vn AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                 FROM vh GROUP BY vec_id),
+          cand0 AS (SELECT p.q_id, a.vec_id FROM probes p
+                    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+          ad AS (SELECT c.q_id, c.vec_id,
+                   CAST(SUM(CAST(ea.e * vh.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand0 c JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN vh ON vh.vec_id = c.vec_id AND vh.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
           ac AS (SELECT ad.q_id, ad.vec_id,
                    round(ad.dt / (sqrt(nq.nrm) * sqrt(vn.nrm)), 6) AS acos
                  FROM ad JOIN norms nq ON nq.vec_id = ad.q_id

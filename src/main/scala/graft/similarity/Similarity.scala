@@ -132,9 +132,13 @@ object Similarity {
       .withColumn("__cell",
         explode(transform(slice(cellScores(qVec, cc, dot), 1, nprobe), s => -s.getField("c"))))
       .withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    // thin-row top-k: score at the scan, then shuffle ONLY (q, id, cos)
+    // into the per-query window — carrying the vector arrays through the
+    // rank exchange measured ~2× the whole probe at 1.6M (round 8)
     val cand = indexed.join(broadcast(probed), Seq("__cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", round(dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+      .select(col(qId), col(cId), col("cos"))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -152,6 +156,152 @@ object Similarity {
     ivfTopKIndexed(indexCells(corpus, cents, cVec, exact), queries, cents,
       qId, cId, qVec, cVec, k, nprobe, exact)
 
+  /** Per-dimension affine int8 codebook: the corpus-wide (lo, hi) range of
+    * every dimension — 2·dim doubles, ONE tiny aggregate over the corpus,
+    * broadcast back as literals. */
+  final case class AffineCodebook(los: Array[Double], his: Array[Double])
+
+  def affineCodebook(corpus: DataFrame, vCol: String, dim: Int): AffineCodebook = {
+    val st = corpus.agg(
+      array((1 to dim).map(i => min(element_at(col(vCol), i))): _*).as("los"),
+      array((1 to dim).map(i => max(element_at(col(vCol), i))): _*).as("his")).head()
+    AffineCodebook(st.getSeq[Double](0).toArray, st.getSeq[Double](1).toArray)
+  }
+
+  /** int8 codes under the codebook: `round((x−lo)/(hi−lo)·255) − 128`,
+    * shifted so the tinyint cast is ANSI-safe. A constant dimension
+    * (hi = lo) codes to 0 and dequantizes back to lo exactly. */
+  def int8Codes(v: Column, cb: AffineCodebook): Column =
+    transform(v, (x, i) => {
+      val lo = element_at(lit(cb.los), i + 1)
+      val sc = element_at(lit(cb.his), i + 1) - lo
+      (when(sc === 0, lit(0.0)).otherwise(round((x - lo) / sc * 255)) - 128)
+        .cast("tinyint")
+    })
+
+  /** Dequantized elements `lo + code/255·(hi−lo)` — the asymmetric-distance
+    * reconstruction (query side stays full precision). Bit-identical to the
+    * oracle's replay: the shift by 128 cancels exactly (`c + 128` is exact
+    * integer arithmetic in double), so the value is the same
+    * `lo + round(...)/255·sc` both engines compute. */
+  def dequantize(codes: Column, cb: AffineCodebook): Column =
+    transform(codes, (c, i) => {
+      val lo = element_at(lit(cb.los), i + 1)
+      val sc = element_at(lit(cb.his), i + 1) - lo
+      lo + (c.cast("double") + 128.0) / 255.0 * sc
+    })
+
+  /** The RESIDENT form of the quantized index: one row per corpus vector,
+    * `(id, __cell, __codes: array<tinyint>, __nv)` — int8 codes plus one
+    * double norm, ~1/4.7 the bytes of the full `array<double>` vectors
+    * (QuantScaleBench). Built map-side from a cell-indexed corpus
+    * ([[indexCells]] output); at 100 TB this is what persists
+    * (parquet/cache partitioned by `__cell`), the full-precision vectors
+    * stay on cheap storage for the re-rank. */
+  def quantizedSegment(indexed: DataFrame, cb: AffineCodebook, cId: String,
+                       cVec: String, exact: Boolean = true): DataFrame = {
+    val dot = dotOf(exact)
+    indexed.select(col(cId), col("__cell"), int8Codes(col(cVec), cb).as("__codes"))
+      .withColumn("__vh", dequantize(col("__codes"), cb))
+      .withColumn("__nv", sqrt(dot(col("__vh"), col("__vh"))))
+      .drop("__vh")
+  }
+
+  /** Quantized-IVF probe — the COMPOSITION of q67's cell routing and
+    * q166's int8 residency (round-7 verdict: the one production shape
+    * that existed only as a claim of orthogonality). Per query:
+    *
+    *   1. route to the `nprobe` nearest cells (full-precision query side,
+    *      same deterministic argmax as [[ivfTopKIndexed]]);
+    *   2. scan ONLY those cells' int8 codes — |corpus|/|cells|·nprobe rows
+    *      at ~1/4.7 the resident bytes, never the full corpus — scoring
+    *      the dequantized codes asymmetrically (approx top-`rerank`);
+    *   3. exact re-rank: the tiny shortlist broadcasts against the
+    *      full-precision vectors for the final top-k, so EMITTED scores
+    *      are exact — quantization error only moves which candidates
+    *      re-rank, and the whole path stays decimal/IEEE-portable for the
+    *      oracle (q168, no tolerance gate).
+    *
+    * `segment` is [[quantizedSegment]]'s output (possibly persisted);
+    * `fullIndexed` the full-precision side for the re-rank (only the
+    * shortlist rows are ever scored there). */
+  def probeQuantizedIvf(segment: DataFrame, fullIndexed: DataFrame, queries: DataFrame,
+                        cents: DataFrame, cb: AffineCodebook,
+                        qId: String, cId: String, qVec: String, cVec: String,
+                        k: Int, nprobe: Int, rerank: Int,
+                        exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = dotOf(exact)
+    val cc = collectCents(cents, "__cell", "__cv", exact)
+    val probed0 = queries
+      .withColumn("__cell",
+        explode(transform(slice(cellScores(qVec, cc, dot), 1, nprobe), s => -s.getField("c"))))
+      .withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    // production path — FAISS's SQ8 scan identity: dot(q, dequant(c)) =
+    // qconst + Σ t[i]·c[i] with t = q·sc/255 and qconst = dot(q, lo) +
+    // 128·Σt, both computed ONCE per (query, cell) row BEFORE the join.
+    // Scoring a code row is then one fused byte multiply-add per dim
+    // (Int8Dot): no dequantized array is ever materialized and the scan
+    // reads int8.
+    val scOver255 = cb.los.zip(cb.his).map { case (l, h) => (h - l) / 255.0 }
+    val probed =
+      if (exact) probed0
+      else probed0
+        .withColumn("__tq", zip_with(col(qVec), lit(scOver255), (x, s) => x * s))
+        .withColumn("__qc",
+          org.apache.spark.sql.graft.DoubleDot(col(qVec), lit(cb.los)) +
+            lit(128.0) * aggregate(col("__tq"), lit(0.0), _ + _))
+    val joined = segment.join(broadcast(probed), Seq("__cell"))
+      .filter(col(qId) =!= col(cId))
+    val approx =
+      if (exact)
+        // oracle path: dequantize, then the same decimal-quantized dot the
+        // SQL replays element for element
+        joined.withColumn("__vh", dequantize(col("__codes"), cb))
+          .withColumn("acos",
+            round(dot(col(qVec), col("__vh")) / (col("__qn") * col("__nv")), 6))
+      else
+        joined.withColumn("acos",
+          round((col("__qc") + org.apache.spark.sql.graft.Int8Dot(col("__tq"), col("__codes")))
+            / (col("__qn") * col("__nv")), 6))
+    // thin-row shortlist: only (q, id, acos) enters the rank exchange —
+    // the query vectors rejoin from the tiny broadcast afterwards
+    val wa = Window.partitionBy(qId).orderBy(col("acos").desc, col(cId).asc)
+    val short = approx.select(col(qId), col(cId), col("acos"))
+      .withColumn("__ar", row_number().over(wa)).filter(col("__ar") <= rerank)
+      .select(col(qId), col(cId))
+    // exact re-rank against the stored full-precision norms (__cn from
+    // indexCells) — only shortlist rows are ever scored. The full-index
+    // scan is pre-filtered to the PROBED CELLS (a tiny driver-side list,
+    // |Q|·nprobe values): every shortlisted vector lives in one of them,
+    // and with the index laid out by __cell (its natural production
+    // layout — parquet partitioned / cache clustered by cell) the filter
+    // prunes the scan to n/cells·nprobe rows, the Spark analog of the
+    // keyed point-fetch a serving re-rank does at 100 TB.
+    val probedCells = probed.select("__cell").distinct().collect().map(_.getLong(0))
+    val qn = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    val wr = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
+    fullIndexed.filter(col("__cell").isin(probedCells.toIndexedSeq: _*))
+      .join(broadcast(short), Seq(cId))
+      .join(broadcast(qn), Seq(qId))
+      .withColumn("cos", round(dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rank"))
+  }
+
+  /** [[indexCells]] + [[quantizedSegment]] + [[probeQuantizedIvf]] in one
+    * call (index recomputed; use the pieces directly when the segment is
+    * persisted and reused across query sets). */
+  def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+                       cb: AffineCodebook, qId: String, cId: String,
+                       qVec: String, cVec: String, k: Int, nprobe: Int,
+                       rerank: Int, exact: Boolean = true): DataFrame = {
+    val indexed = indexCells(corpus, cents, cVec, exact)
+    probeQuantizedIvf(quantizedSegment(indexed, cb, cId, cVec, exact), indexed,
+      queries, cents, cb, qId, cId, qVec, cVec, k, nprobe, rerank, exact)
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The corpus side never shuffles; ranking is a
     * per-query-partition top-k. This is the exact baseline ANN variants are
@@ -168,6 +318,7 @@ object Similarity {
     val joined = c2.crossJoin(broadcast(q2))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", round(dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+      .select(col(qId), col(cId), col("cos")) // thin rows into the rank exchange
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
