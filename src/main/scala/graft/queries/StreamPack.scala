@@ -81,6 +81,64 @@ object StreamPack extends QueryPack {
           col("col.id").as("event_id"), col("col.payload").as("user_id"))
     },
 
+    // ── q169: the DEPLOYABLE twin of q163 — watermark + APPEND mode ───
+    // Same custom TopKCollect aggregate inside streaming state, but with
+    // a 1-hour watermark and append output: a window emits ONCE when the
+    // watermark seals it and its state is evicted (complete mode re-emits
+    // every window ever seen each micro-batch — linear growth on an
+    // unbounded feed; this is the bounded-state production shape). The
+    // replay semantics follow q61's pinned model: batch-3 late rows
+    // survive iff their 1-DAY window outlives the lagged batch-1
+    // watermark; only windows with win_end ≤ the final watermark emit.
+    // StreamAppendSpec asserts the state-metrics side: sealed windows
+    // leave the store.
+    "q169_stream_topk_append" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      val agg = Streams.lateArrivalStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.graft.TopKCollect(
+            graft.util.Parity.keyHash(col("event_id")), col("event_id"),
+            col("user_id"), 10).as("kept"))
+        .select(col("window.start").as("win_start"), col("n"), col("kept"))
+      Streams.drainToParquet(agg, "topkappend", "append")
+        .select(col("win_start"), col("n"), posexplode(col("kept")))
+        .select(col("win_start"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+          col("col.id").as("event_id"), col("col.payload").as("user_id"))
+    },
+
+    // ── q170: the DEPLOYABLE twin of q167 — sealed windows + smoothed
+    // full-grid PSI ─────────────────────────────────────────────────────
+    // Two round-7 findings closed in one query: (a) the windowed counts
+    // run watermarked in APPEND mode (state evicted at the seal, q61's
+    // replay model — not complete-mode re-emission), and (b) the PSI
+    // join is an epsilon-smoothed FULL CATEGORY GRID (Laplace +0.5 per
+    // cell, standard PSI practice): every window scores every category
+    // in (reference ∪ windows), so a NOVEL event type — the strongest
+    // drift signal, invisible to q167's inner join — contributes a large
+    // positive term, and a vanished one still scores. Probabilities are
+    // mirrored IEEE ops ((n + 0.5)/(tot + 0.5·k)), ln rounded at source,
+    // exact-decimal total — fully SQL-replayable, no tolerance gate.
+    "q170_stream_drift_append" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      val ev = graft.io.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val t0 = ev.agg(date_trunc("DAY", min(col("ts")))).head().getTimestamp(0)
+      val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+      val ref = ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) =!= 0)
+        .groupBy("event_type").agg(count(lit(1)).as("n1"))
+      val refTot = ref.agg(sum("n1")).head().getLong(0)
+      val winCounts = Streams.drainToParquet(
+        Streams.lateArrivalStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n2"))
+          .select(col("window.start").as("win_start"), col("event_type"), col("n2")),
+        "driftappend", "append")
+      Streams.smoothedPsi(winCounts, ref, refTot)
+    },
+
     // streaming drift monitor: per-day event-type distributions from the
     // 3-batch replay (complete-mode windowed counts) scored as PSI
     // against a BROADCAST batch reference (the on-time bulk week) — the
@@ -121,6 +179,44 @@ object StreamPack extends QueryPack {
         .withColumn("term", round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 6))
         .groupBy("win_start")
         .agg(Parity.dsum6(col("term")).as("psi"), count(lit(1)).as("n_bins"))
+    },
+
+    // ── q171: checkpoint state RE-SHARD, 8 → 16 stores ────────────────
+    // The round-7 "pinned from batch 0" caveat as a managed operation
+    // (see graft.streaming.StateReshard): an 8-store quota job processes
+    // the replay's first two batches and stops; its ValueState is read
+    // OFFLINE from the checkpoint via Spark's `statestore` data source;
+    // a seeded twin (StatefulProcessorWithInitialState) restarts on 16
+    // stores — keys re-hashed across the new count, nothing reprocessed,
+    // nothing discarded — and continues with the tail batch. The final
+    // per-user counts must equal an uninterrupted run, which is exactly
+    // what the oracle replays (q150's arithmetic over the staged set).
+    "q171_state_reshard" -> { (s, d) =>
+      val (histDir, tailDir) = Streams.prepareReshardSplit(s, d)
+      // history runs at the engine default (8 stores)
+      val phase1 = Streams.drainToTable(
+        Streams.quotaAdmission(Streams.lateArrivalStream(s, histDir), 20L),
+        "reshard8", "update")
+      val state = graft.streaming.StateReshard.readValueState(
+          s, Streams.checkpointFor("reshard8"), "seen")
+        .select(col("key").as("user_id"), col("value").as("n_seen"))
+      val prev = s.conf.getOption("graft.streaming.statePartitions")
+      s.conf.set("graft.streaming.statePartitions", "16")
+      val phase2 =
+        try Streams.drainToTable(
+          Streams.quotaAdmissionSeeded(Streams.lateArrivalStream(s, tailDir), 20L, state),
+          "reshard16", "update")
+        finally prev match {
+          case Some(v) => s.conf.set("graft.streaming.statePartitions", v)
+          case None => s.conf.unset("graft.streaming.statePartitions")
+        }
+      // final count per user: the last (= max, counts are monotone) update
+      // across both phases; phase-2 users supersede their phase-1 row
+      val f1 = phase1.groupBy("user_id")
+        .agg(max("n_seen").as("n_seen"), max("n_admitted").as("n_admitted"))
+      val f2 = phase2.groupBy("user_id")
+        .agg(max("n_seen").as("n_seen"), max("n_admitted").as("n_admitted"))
+      f1.join(f2, Seq("user_id"), "left_anti").unionByName(f2)
     },
 
     // streaming dedup (state-backed dropDuplicates) → distinct users/type.
@@ -281,6 +377,24 @@ object StreamPack extends QueryPack {
         "crashrec", "append", crashAtBatch = 1L)
     },
 
+    // ── q172: crash recovery for the TIMER processor ──────────────────
+    // q159 proved recovery for the ValueState/MapState chain; this runs
+    // the round-7 timer surface (TimerSessionProcessor: ListState of
+    // pending gap-islands + one event-time timer per key) through the
+    // same mid-batch crash — after batch 1's output is visible, before
+    // it commits. Recovery must reload the pending islands AND the
+    // registered timers from the checkpoint (fresh processor instances),
+    // re-fire what the recovered watermark owes, and never re-emit a
+    // closed session. The oracle is q162's, verbatim: a recovered run
+    // that loses a timer (sessions never close) or double-fires one
+    // (duplicate sessions) hash-mismatches.
+    "q172_timer_recovery" -> { (s, d) =>
+      val dir = Streams.prepareLateArrivalFiles(s, d)
+      Streams.drainWithCrashRecovery(
+        () => Streams.timerSessions(Streams.lateArrivalStream(s, dir), 1800L),
+        "timercrash", "append", crashAtBatch = 1L)
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -329,6 +443,83 @@ object StreamPack extends QueryPack {
           SELECT k.win_start, n.n, CAST(k.pos AS BIGINT) AS pos,
                  k.event_id, k.user_id
           FROM k JOIN n USING (win_start) WHERE k.pos <= 10""",
+
+    // q169: q163's replay restricted by the q61 watermark model — late
+    // batch-3 rows count iff their 1-day window outlives the lagged
+    // batch-1 watermark; only windows sealed by the final watermark
+    // (win_end ≤ max batch-2 ts − 1h) emit.
+    "q169_stream_topk_append" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          wml AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0),
+          wm AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                 WHERE t >= b.t1 AND t < b.t2),
+          cnt AS (SELECT e.* FROM e, b
+                  WHERE (t < b.t1 AND event_id % 10 <> 0) OR (t >= b.t1 AND t < b.t2)
+                  UNION ALL
+                  SELECT e.* FROM e, b, wml
+                  WHERE t < b.t1 AND event_id % 10 = 0
+                    AND date_trunc('day', t) + INTERVAL 1 DAY > wml.w),
+          r AS (SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS win_start,
+                       event_id, user_id,
+                       ${graft.util.Parity.keyHashSql("event_id")} AS h
+                FROM cnt),
+          n AS (SELECT win_start, COUNT(*) AS n FROM r GROUP BY 1),
+          k AS (SELECT win_start, event_id, user_id,
+                       row_number() OVER (PARTITION BY win_start
+                         ORDER BY h, event_id, user_id) AS pos
+                FROM r)
+          SELECT k.win_start, n.n, CAST(k.pos AS BIGINT) AS pos,
+                 k.event_id, k.user_id
+          FROM k JOIN n USING (win_start), wm
+          WHERE k.pos <= 10 AND k.win_start + INTERVAL 1 DAY <= wm.w""",
+
+    // q170: sealed windows (q61 model, as q169) × the smoothed full
+    // category grid — (n + 0.5)/(tot + 0.5·k) per cell over
+    // types(reference) ∪ types(sealed windows), mirrored IEEE ops, ln
+    // rounded at source, exact-decimal PSI total.
+    "q170_stream_drift_append" ->
+      s"""WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e),
+          wml AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0),
+          wm AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e, b
+                 WHERE t >= b.t1 AND t < b.t2),
+          ref AS (SELECT event_type, COUNT(*) AS n1 FROM e, b
+                  WHERE t < b.t1 AND event_id % 10 <> 0 GROUP BY 1),
+          rt AS (SELECT SUM(n1) AS t1tot FROM ref),
+          cnt AS (SELECT e.* FROM e, b
+                  WHERE (t < b.t1 AND event_id % 10 <> 0) OR (t >= b.t1 AND t < b.t2)
+                  UNION ALL
+                  SELECT e.* FROM e, b, wml
+                  WHERE t < b.t1 AND event_id % 10 = 0
+                    AND date_trunc('day', t) + INTERVAL 1 DAY > wml.w),
+          wc AS (SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS win_start,
+                        event_type, COUNT(*) AS n2
+                 FROM cnt GROUP BY 1, 2),
+          sealed AS (SELECT wc.* FROM wc, wm
+                     WHERE win_start + INTERVAL 1 DAY <= wm.w),
+          types AS (SELECT event_type FROM ref
+                    UNION SELECT event_type FROM sealed),
+          grid AS (SELECT w.win_start, ty.event_type
+                   FROM (SELECT DISTINCT win_start FROM sealed) w CROSS JOIN types ty),
+          cells AS (SELECT g.win_start, g.event_type,
+                      COALESCE(s.n2, 0) AS n2, COALESCE(r.n1, 0) AS n1
+                    FROM grid g
+                    LEFT JOIN sealed s USING (win_start, event_type)
+                    LEFT JOIN ref r USING (event_type)),
+          wt AS (SELECT win_start, SUM(n2) AS t2, COUNT(*) AS k FROM cells GROUP BY 1),
+          terms AS (SELECT c.win_start,
+                      round(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE))
+                             - (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1tot AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+                            * ln(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+                                 / ((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1tot AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))), 6) AS term
+                    FROM cells c JOIN wt USING (win_start) CROSS JOIN rt)
+          SELECT win_start, ${Sql.dsum6("term")} AS psi, COUNT(*) AS n_bins
+          FROM terms GROUP BY win_start""",
 
     // q167: the staged set is exactly ts < t2; reference = the on-time
     // bulk week; inner join on event_type keeps only bins present in the
@@ -414,6 +605,15 @@ object StreamPack extends QueryPack {
       """SELECT user_id, COUNT(*) AS n_seen,
            LEAST(COUNT(*), 20) AS n_admitted
          FROM events GROUP BY user_id""",
+
+    // q171: the re-sharded continuation must land on the counts an
+    // uninterrupted run produces — quota counts are watermark-free, and
+    // the staged three files are exactly the t < t2 universe.
+    "q171_state_reshard" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e)
+          SELECT user_id, COUNT(*) AS n_seen, LEAST(COUNT(*), 20) AS n_admitted
+          FROM e, b WHERE t < b.t2 GROUP BY user_id""",
 
     "q101_transform_with_state" ->
       """WITH t AS (SELECT user_id, event_type, COUNT(*) AS c
@@ -626,9 +826,10 @@ object StreamPack extends QueryPack {
           dd AS (SELECT DISTINCT user_id, event_type, t FROM kept)
           SELECT event_type, COUNT(*) AS n FROM dd GROUP BY event_type"""
     )
-    // q159 replays the identical composition through a crash + restart:
+    // q159/q172 replay identical pipelines through a crash + restart:
     // the recovered result must equal the uninterrupted one, so the
-    // correctness target is q155's oracle verbatim.
-    base + ("q159_crash_recovery" -> base("q155_stream_composed"))
+    // correctness targets are q155's / q162's oracles verbatim.
+    base + ("q159_crash_recovery" -> base("q155_stream_composed")) +
+      ("q172_timer_recovery" -> base("q162_timer_sessions"))
   }
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint state RE-SHARD — turning the "state-partition count is
+  * pinned into the checkpoint from batch 0" caveat (BASELINE.md, round 7)
+  * into a managed operation.
+  *
+  * A stateful streaming query resolves its state-store instance count
+  * when batch 0 plans, and every later restart reuses it; when per-key
+  * state grows past what the original count handles, a long-lived job
+  * needs a path to MORE stores that does not discard state. Spark 4
+  * provides the two halves, and this object glues them:
+  *
+  *   1. OFFLINE READ — the `statestore` data source reads any
+  *      checkpoint's state as a DataFrame ([[readValueState]]), keyed
+  *      exactly as the operator stored it (plus the owning
+  *      `partition_id`).
+  *   2. RE-KEYED RESTART — a `StatefulProcessorWithInitialState` twin of
+  *      the operator ([[Streams.SeededQuotaProcessor]]) starts a FRESH
+  *      query (new checkpoint, new — larger — state-partition count)
+  *      whose per-key state is seeded from that offline read; the
+  *      initial-state relation re-hashes keys across the new store
+  *      count, and the job continues from the unprocessed tail of the
+  *      input.
+  *
+  * The result is bit-identical to an uninterrupted run (StateReshardSpec
+  * proves 8 → 16 against q150's batch-replay semantics; q171 gates it
+  * against the DuckDB oracle every round).
+  *
+  * BOUNDARY (documented, not hidden): seeding is a `transformWithState`
+  * capability. Spark's built-in stateful operators — `dropDuplicates`,
+  * windowed aggregation, stream-stream join — expose no initial-state
+  * hook, so a composed pipeline like q155 can re-shard its
+  * custom-processor stage this way but must drain-and-replay (or accept
+  * the pinned count of) the built-in stages. That is an upstream API
+  * limit, not an engine one; the mechanism here is the shape Spark
+  * documents for warm-starting state (q108) applied to re-sharding.
+  */
+object StateReshard {
+
+  /** Offline read of one state variable of a `transformWithState`
+    * operator from `ckptPath` (the checkpoint root the query ran with).
+    * Returns (partition_id, key columns, value columns) flattened to
+    * `(partition_id, key, value)` for single-field key/value encoders —
+    * the ValueState[Long]-per-Long-key shape the quota processors use. */
+  def readValueState(spark: SparkSession, ckptPath: String,
+                     stateVar: String): DataFrame = {
+    val raw = spark.read.format("statestore")
+      .option("path", ckptPath)
+      .option("stateVarName", stateVar)
+      .load()
+    // key/value arrive as one-field structs for scalar encoders; flatten
+    raw.select(col("partition_id"),
+      col("key").getField(raw.schema("key").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head).as("key"),
+      col("value").getField(raw.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head).as("value"))
+  }
+}

@@ -115,7 +115,7 @@ object Streams {
     val spark = df.sparkSession
     val qname = s"${name}_sink"
     spark.catalog.dropTempView(qname)
-    val ckpt = s"/root/repo/target/scratch/ckpt_$name"
+    val ckpt = checkpointFor(name)
     graft.util.Staging.deleteRecursive(ckpt)
     withStatePartitions(spark) {
       val q = df.writeStream
@@ -152,7 +152,7 @@ object Streams {
     // lazily, so deletion happens at the NEXT invocation — by which time
     // the (sequential) caller has consumed the result.
     val path = s"/root/repo/target/scratch/sink_$name"
-    val ckpt = s"/root/repo/target/scratch/ckpt_$name"
+    val ckpt = checkpointFor(name)
     graft.util.Staging.deleteRecursive(path)
     graft.util.Staging.deleteRecursive(ckpt)
     // Seed the sink with a zero-row file carrying the result schema: a
@@ -260,10 +260,71 @@ object Streams {
         .forEach(p => Files.delete(p))
     }
 
+  /** Checkpoint path for a drain `name` — one place owns the scratch
+    * layout so offline state tooling ([[StateReshard]]) can find the
+    * checkpoint a [[drainToTable]]/[[drainToParquet]] run left behind. */
+  def checkpointFor(name: String): String = s"/root/repo/target/scratch/ckpt_$name"
+
+  /** Split the staged late-arrival replay for the re-shard harness
+    * (q171): `history` = files 1–2 (what the original-store-count job
+    * already processed), `tail` = file 3 (what the re-sharded
+    * continuation processes). Idempotent, mtime-ordered like the source
+    * staging. Returns (historyDir, tailDir). */
+  def prepareReshardSplit(spark: SparkSession, sfDir: String): (String, String) = {
+    val src = prepareLateArrivalFiles(spark, sfDir)
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    def copyTo(tag: String, files: Seq[Int]): String =
+      graft.util.Staging.ensure(graft.util.Staging.dirFor(tag, sfDir), s"$sfDir/events.parquet") { dir =>
+        val base = Files.createDirectories(Paths.get(dir))
+        val mtime0 = System.currentTimeMillis()
+        files.zipWithIndex.foreach { case (i, pos) =>
+          val dst = base.resolve(s"$i.parquet")
+          Files.copy(Paths.get(src, s"$i.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + pos * 2000L))
+        }
+      }
+    (copyTo("late_hist", Seq(1, 2)), copyTo("late_tail", Seq(3)))
+  }
+
   /** Stream the staged late-arrival files one per micro-batch. */
   def lateArrivalStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  /** Epsilon-smoothed full-grid PSI — the deployable drift score (q170):
+    * every window is scored against EVERY category in (reference ∪
+    * windows), with Laplace smoothing `(n + 0.5) / (tot + 0.5·k)` so a
+    * category absent from one side (a NOVEL event type in the feed, or
+    * one that vanished) contributes a real positive term instead of being
+    * silently dropped by an inner join (q167's documented blind spot).
+    * Probabilities are mirrored IEEE ops, ln is rounded at source, and
+    * the total is an exact-decimal sum — the whole score replays in SQL
+    * with no tolerance gate. Both grid sides are tiny (|windows| ×
+    * |types|); the heavy work stays in the windowed count upstream.
+    *
+    * `winCounts`: (win_start, event_type, n2) per sealed window;
+    * `ref`: (event_type, n1) reference distribution; `refTot`: Σ n1. */
+  def smoothedPsi(winCounts: DataFrame, ref: DataFrame, refTot: Long): DataFrame = {
+    import graft.util.Parity
+    val types = ref.select("event_type")
+      .unionByName(winCounts.select("event_type")).distinct()
+    val grid = winCounts.select("win_start").distinct().crossJoin(broadcast(types))
+    val cells = grid
+      .join(winCounts, Seq("win_start", "event_type"), "left")
+      .join(broadcast(ref), Seq("event_type"), "left")
+      .na.fill(0L, Seq("n1", "n2"))
+    val winTot = cells.groupBy("win_start")
+      .agg(sum("n2").as("t2"), count(lit(1)).as("k"))
+    cells.join(winTot, "win_start")
+      .withColumn("p1", (col("n1").cast("double") + lit(0.5))
+        / (lit(refTot).cast("double") + lit(0.5) * col("k").cast("double")))
+      .withColumn("p2", (col("n2").cast("double") + lit(0.5))
+        / (col("t2").cast("double") + lit(0.5) * col("k").cast("double")))
+      .withColumn("term", round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 6))
+      .groupBy("win_start")
+      .agg(Parity.dsum6(col("term")).as("psi"), count(lit(1)).as("n_bins"))
   }
 
   /** Tumbling-window aggregation (`window(ts, size)`). */
@@ -463,6 +524,50 @@ object Streams {
       .toDF("user_id", "n_total")
   }
 
+  /** [[QuotaProcessor]]'s seeded twin — the state-RESHARD vehicle: same
+    * ValueState semantics, but the count is seeded per key from an
+    * initial-state relation before any input row. Used by
+    * [[quotaAdmissionSeeded]] to continue a quota job on a DIFFERENT
+    * state-partition count than the checkpoint it migrates from (see
+    * [[StateReshard]]). */
+  class SeededQuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String), (Long, Long, Long), Long] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: Long,
+                                    tv: TimerValues): Unit = seen.update(initial)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      val n = (if (seen.exists()) seen.get() else 0L) + rows.size
+      seen.update(n)
+      Iterator.single((user, n, math.min(quota, n)))
+    }
+  }
+
+  /** [[SeededQuotaProcessor]] wired up: `initial` is (user_id, n_seen) —
+    * e.g. the offline read of a previous checkpoint's ValueState
+    * ([[StateReshard.readValueState]]). */
+  def quotaAdmissionSeeded(events: DataFrame, quota: Long,
+                           initial: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val init = initial.select(col("user_id").cast("long"), col("n_seen").cast("long"))
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+    events.select(col("user_id").cast("long"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededQuotaProcessor(quota),
+        TimeMode.None(), OutputMode.Update(), init)
+      .toDF("user_id", "n_seen", "n_admitted")
+  }
+
   case class AdmittedEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 
   /** Append-mode quota admission for the COMPOSED pipeline: admit the
@@ -582,7 +687,7 @@ object Streams {
   def drainWithCrashRecovery(mkQuery: () => DataFrame, name: String,
                              outputMode: String, crashAtBatch: Long): DataFrame = {
     val path = s"/root/repo/target/scratch/sink_$name"
-    val ckpt = s"/root/repo/target/scratch/ckpt_$name"
+    val ckpt = checkpointFor(name)
     graft.util.Staging.deleteRecursive(path)
     graft.util.Staging.deleteRecursive(ckpt)
     @volatile var crashed = false // foreachBatch body runs on the driver

@@ -40,6 +40,40 @@ class RecoverySpec extends SparkSpec {
     assert(straight.exceptAll(recovered).count() == 0)
   }
 
+  test("timer processor recovers: pending islands AND timers survive a crash") {
+    // round-8 verdict item: nothing had ever restarted TimerSessionProcessor
+    // from a checkpoint — timer re-registration and pending-island recovery
+    // were untested. Crash after batch 1 (islands buffered, timers armed,
+    // watermark moving): the rebuilt processor must emit exactly the
+    // uninterrupted session set.
+    val dir = Streams.prepareLateArrivalFiles(spark, sf("sf0.001"))
+    val straight = Streams.drainToParquet(
+      Streams.timerSessions(Streams.lateArrivalStream(spark, dir), 1800L),
+      "timer_straight", "append")
+    val recovered = Streams.drainWithCrashRecovery(
+      () => Streams.timerSessions(Streams.lateArrivalStream(spark, dir), 1800L),
+      "timer_crash1", "append", crashAtBatch = 1L)
+    assert(straight.count() > 0, "no sessions closed — the timer path was not exercised")
+    assert(recovered.count() == straight.count())
+    assert(recovered.exceptAll(straight).count() == 0)
+    assert(straight.exceptAll(recovered).count() == 0)
+  }
+
+  test("timer processor recovers from a crash in the FINAL batch too") {
+    // batch 2 is the last data batch: its replay must restore the armed
+    // timers and the WAL'd watermark so the trailing eviction still fires
+    val dir = Streams.prepareLateArrivalFiles(spark, sf("sf0.001"))
+    val straight = Streams.drainToParquet(
+      Streams.timerSessions(Streams.lateArrivalStream(spark, dir), 1800L),
+      "timer_straight2", "append")
+    val recovered = Streams.drainWithCrashRecovery(
+      () => Streams.timerSessions(Streams.lateArrivalStream(spark, dir), 1800L),
+      "timer_crash2", "append", crashAtBatch = 2L)
+    assert(recovered.count() == straight.count())
+    assert(recovered.exceptAll(straight).count() == 0)
+    assert(straight.exceptAll(recovered).count() == 0)
+  }
+
   test("harness fails loudly when the crash batch is never reached") {
     // a silent pass here would mean q159 could 'verify' recovery on a
     // path that never crashed — the self-check must be loud instead
