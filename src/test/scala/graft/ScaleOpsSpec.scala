@@ -200,6 +200,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(none.count() == 0 && none.schema == full.schema)
   }
 
+  test("write-path manifest maintenance equals a full rebuild; pruning stays exact") {
+    import graft.io.FileSkipping
+    val base = "/root/repo/target/scratch/fskip_incr"
+    graft.util.Staging.deleteRecursive(base)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    // o_orderdate is TIMESTAMP_NTZ → keep the split as an opaque literal
+    val split = orders.agg(percentile_approx(col("o_orderdate"), lit(0.8), lit(100)))
+      .head().get(0)
+    // bootstrap: the older 80% as the base table + its manifest
+    orders.filter(col("o_orderdate") < lit(split))
+      .repartitionByRange(4, col("o_orderdate")).sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    // steady state: the newest 20% appended WITH incremental maintenance —
+    // only the delta files are ever scanned for stats
+    FileSkipping.appendWithManifest(
+      orders.filter(col("o_orderdate") >= lit(split)).coalesce(1),
+      s"$base/data", s"$base/manifest", "o_orderdate")
+    // the incrementally maintained manifest IS the full rebuild
+    val maintained = spark.read.parquet(s"$base/manifest")
+    val rebuilt = FileSkipping.buildManifest(spark, s"$base/data", "o_orderdate")
+    assert(maintained.count() == rebuilt.count())
+    assert(maintained.exceptAll(rebuilt).count() == 0)
+    assert(rebuilt.exceptAll(maintained).count() == 0)
+    // and pruning through it stays exact over the full (base ∪ delta) range
+    val lo = lit(split)
+    val hi = lit(split) + expr("INTERVAL 90 DAY")
+    val pruned = FileSkipping.prunedRead(spark, s"$base/data", s"$base/manifest", lo, hi)
+      .filter(col("o_orderdate").between(lo, hi))
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("o_orderdate").between(lo, hi))
+    assert(pruned.count() > 0 && pruned.count() == full.count())
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
