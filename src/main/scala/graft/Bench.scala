@@ -149,6 +149,17 @@ object Bench {
       }
     }
     spark.streams.removeListener(listener)
+    // q147 stage attribution (round-8): one INSTRUMENTED run after the
+    // canonical repeats — per-stage walls so a future q147 mover is
+    // attributed to a stage, not the whole pipeline. Counts force stages
+    // the lazy plan would fuse, so the stage sum ≠ the canonical q147
+    // wall (documented in the artifact protocol).
+    val q147Stages: Seq[(String, Double)] =
+      if (results.exists { case (n, v) => n.startsWith("q147") && v >= 0 }) {
+        spark.catalog.clearCache()
+        try graft.queries.DedupPack.trainprepStageTimings(spark, sfDir)
+        catch { case _: Throwable => Seq("error" -> -1.0) }
+      } else Seq.empty
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -166,9 +177,11 @@ object Bench {
     val srJson = streamRuns.toSeq.sortBy(_._1).map { case (k, ts) =>
       jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val stagesJson = q147Stages.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val memMib = if (memByQuery.isEmpty) 0L else memByQuery.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"sf":"$sfDir","master":"$master","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"q147_stages":$stagesJson,"sf":"$sfDir","master":"$master","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds; q147_stages is one instrumented attribution run (stage counts force work the lazy plan fuses — its sum exceeds the canonical q147 wall)"}"""
     println(json)
     // Persist the COMPLETE artifact too: the driver stores only a ~2k tail
     // of stdout, which truncated round 3's per-query seconds map out of
