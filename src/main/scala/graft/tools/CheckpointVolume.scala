@@ -113,6 +113,48 @@ object CheckpointVolume {
           dirStats(new java.io.File(s"/root/repo/target/scratch/ckpt_$name"))
         println(f"""CKPTVOL: {"scenario":"growing_state_dedup","changelog":$changelog,"rows":$rows,"wall_sec":$wall%.2f,"snapshot_zip_bytes":$zipB,"snapshot_zips":$zipN,"changelog_bytes":$clB,"changelogs":$clN,"meta_bytes":$otherB,"total_state_upload_bytes":${zipB + clB}}""")
       }
+
+      // C (round-8 stretch): scenario B with the CHECKPOINT on a
+      // latency-shimmed FileSystem (graft.util.SlowFs: local FS + N ms
+      // per create/open/rename/list/status — the object-store
+      // round-trips a REMOTE checkpoint pays). This converts the byte
+      // crossover above into seconds: with per-op latency, the
+      // configuration that ships fewer/smaller objects per commit must
+      // win wall-clock, which local dirs could never show (round 6
+      // measured changelog as pure overhead there).
+      locally {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.slowfs.impl", "graft.util.SlowFs")
+        hc.setBoolean("fs.slowfs.impl.disable.cache", true)
+        hc.setLong("graft.slowfs.latency.ms",
+          sys.env.getOrElse("SPARK_GRAFT_SLOWFS_MS", "5").toLong)
+        val name = s"ckptvols_$changelog"
+        val localPath = s"/root/repo/target/scratch/ckpt_$name"
+        graft.util.Staging.deleteRecursive(localPath)
+        val schema = spark.read.parquet(growDir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(growDir)
+          .dropDuplicates(Seq("event_id"))
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        val t0 = System.nanoTime()
+        var commitMs = 0L
+        graft.streaming.Streams.withStatePartitions(spark) {
+          val q = stream.writeStream.outputMode("complete")
+            .option("checkpointLocation", s"slowfs:$localPath")
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              b.count(); ()
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            commitMs = q.recentProgress
+              .flatMap(_.stateOperators.map(_.commitTimeMs)).sum
+          } finally q.stop()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (zipB, clB, otherB, zipN, clN) = dirStats(new java.io.File(localPath))
+        println(f"""CKPTVOL: {"scenario":"growing_state_dedup_slowfs","changelog":$changelog,"wall_sec":$wall%.2f,"state_commit_ms":$commitMs,"snapshot_zip_bytes":$zipB,"snapshot_zips":$zipN,"changelog_bytes":$clB,"changelogs":$clN,"meta_bytes":$otherB,"total_state_upload_bytes":${zipB + clB}}""")
+      }
     }
     spark.stop()
   }
