@@ -18,6 +18,51 @@ class StateReshardSpec extends SparkSpec {
       .agg(max("n_seen").as("n_seen"), max("n_admitted").as("n_admitted"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  test("EVERY state store of the composed pipeline exports offline from its checkpoint") {
+    // the read half of re-shard exists for ALL operators, including the
+    // built-ins that expose no initial-state hook (the documented seeding
+    // boundary): dedup state, the quota processor's ValueState, and the
+    // windowed-agg state all come back as DataFrames from the checkpoint
+    val d = sf("sf0.001")
+    val dir = Streams.prepareLateArrivalFiles(spark, d)
+    Streams.drainToParquet(
+      Streams.composedAdmissionPipeline(spark, dir, 20L), "reshard_export", "append")
+      .count()
+    val ckpt = Streams.checkpointFor("reshard_export")
+    val opIds = new java.io.File(s"$ckpt/state").listFiles()
+      .filter(_.isDirectory).map(_.getName.toInt).sorted
+    assert(opIds.length == 3,
+      s"expected 3 stateful operators (dedup, quota, window agg), found ${opIds.mkString(",")}")
+    // the transformWithState store identifies itself: a plain load()
+    // fails there (state is per-variable) and succeeds on the built-ins
+    var quotaOp = -1
+    val stores = opIds.map { op =>
+      val base = spark.read.format("statestore")
+        .option("path", ckpt).option("operatorId", op)
+      val df = try base.load()
+      catch { case _: Throwable =>
+        quotaOp = op
+        base.option("stateVarName", "admitted").load()
+      }
+      op -> df
+    }.toMap
+    // every store READS successfully; emptiness is allowed for the
+    // watermark-evicting built-ins (an empty post-seal dedup/agg store is
+    // the bounded-state property working, not an export failure) but the
+    // checkpoint as a whole must hold state
+    val counts = stores.map { case (op, df) => op -> df.count() }
+    assert(counts.values.sum > 0, s"no operator exported any state rows: $counts")
+    assert(quotaOp >= 0, "no transformWithState store found among the operators")
+    assert(counts(quotaOp) > 0, "quota store exported no rows")
+    // strong invariant on the quota store: one ValueState[Long] per user,
+    // every admitted count within the quota
+    val quotaCounts = stores(quotaOp)
+      .select(col("value").getField("value").cast("long").as("admitted"))
+      .collect().map(_.getLong(0))
+    assert(quotaCounts.nonEmpty && quotaCounts.forall(c => c >= 0 && c <= 20),
+      s"quota ValueState out of bounds: ${quotaCounts.take(5).mkString(",")}")
+  }
+
   test("8-store quota state migrates to 16 stores with bit-identical results") {
     val d = sf("sf0.001")
     val (histDir, tailDir) = Streams.prepareReshardSplit(spark, d)
