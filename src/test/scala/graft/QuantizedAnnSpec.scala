@@ -69,6 +69,28 @@ class QuantizedAnnSpec extends SparkSpec {
     assert(recall >= 0.9, f"cell routing + quantization lost too much recall: $recall%.3f")
   }
 
+  test("composed FAST path (fused Int8Dot scan) returns the decimal path's results") {
+    // the production configuration (exact=false: IEEE dots + the SQ8 scan
+    // identity) must surface the same neighbors as the oracle-gated
+    // decimal path — FP reassociation may only flip genuine rounding ties
+    val d = sf("sf0.01")
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = base.filter(pmod(col("vec_id"), lit(500)) === 0)
+      .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+    val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cb = Similarity.affineCodebook(base, "v", 64)
+    def run(exact: Boolean) = Similarity.ivfQuantizedTopK(base, queries, cents, cb,
+        "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2, rerank = 20, exact = exact)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dec = run(exact = true)
+    val fast = run(exact = false)
+    val overlap = dec.intersect(fast).size.toDouble / dec.size
+    info(f"fast/decimal top-5 agreement: $overlap%.3f (${dec.intersect(fast).size}/${dec.size})")
+    assert(overlap >= 0.98, f"fused fast path diverged from the decimal path: $overlap%.3f")
+  }
+
   test("int8 codes dequantize within half a quantization step") {
     val base = Tables.embeddings(spark, sf("sf0.001"))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
