@@ -22,6 +22,30 @@ import org.apache.spark.sql.SparkSession
   * iteration aid, unset for driver runs).
   */
 object Bench {
+
+  /** One tiny end-to-end decode through every media codec the multimodal
+    * queries use (PNG encode/decode, Java2D resample, WAV write/read) —
+    * loads the ImageIO plugin registry and the sampled-audio SPI once so
+    * the timed loop never pays first-touch classloading. */
+  def warmMediaCodecs(): Unit = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val scaled = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.drawImage(decoded, 0, 0, 4, 4, null)
+    g.dispose()
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 32)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav.toByteArray))
+    require(decoded.getWidth == 8 && back.getFormat.getSampleSizeInBits == 16)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +80,18 @@ object Bench {
     // Derived test inputs (TSV/JSON/small-files/late-arrival staging) are
     // materialized BEFORE the clock starts — queries measure reads.
     SparkEntry.stage(spark, sfDir)
+
+    // Media-codec warm-up (round-8 protocol fix): the FIRST ImageIO /
+    // AudioSystem touch in a JVM pays the plugin-registry scan + codec
+    // classloading (~1-3 s), which for three rounds surfaced as spurious
+    // >1.5× round-over-round movers on whichever media query ran first
+    // (q44/q68/q102/q132 — the "first-touch JIT" class, attributed by
+    // isolated re-runs each time). One untimed decode of a tiny synthetic
+    // PNG + WAV moves that cost out of the timed loop — on the driver AND
+    // on every executor core (local-cluster masters run tasks in separate
+    // JVMs with their own classloaders).
+    warmMediaCodecs()
+    spark.range(0, 64, 1, 64).rdd.foreachPartition(_ => Bench.warmMediaCodecs())
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -32,20 +32,36 @@ object FileSkipping {
     * promised it, now it exists): append `df` to `dataDir` and fold ONLY
     * the newly written files' min/max into the manifest — the base data
     * is never rescanned, so maintaining the manifest costs one pass over
-    * the delta regardless of table size. The file set is diffed around
-    * the write (safe under the single-writer model a manifest without a
-    * transaction log implies — concurrent writers need the real log). */
+    * the delta regardless of table size.
+    *
+    * Listing goes through the Hadoop `FileSystem` API, RECURSIVELY
+    * (round-8 review: the `java.io.File` top-level listing was local-FS
+    * only and missed partitioned subdirectory layouts) — `dataDir` may be
+    * any Hadoop-resolvable path (`file:`, `hdfs:`, `s3a:`, …), which is
+    * where a 100 TB table actually lives. The file set is diffed around
+    * the write: safe ONLY under the single-writer model a manifest
+    * without a transaction log implies — a concurrent writer's files
+    * would be mis-attributed to this append (the real fix at that point
+    * is a transaction log, i.e. a table format). */
   def appendWithManifest(df: DataFrame, dataDir: String, manifestDir: String,
                          keyCol: String): Unit = {
     val spark = df.sparkSession
-    def files(): Set[String] = {
-      val d = new java.io.File(dataDir)
-      if (!d.isDirectory) Set.empty
-      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
-    }
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Set[String] =
+      if (!fs.exists(path)) Set.empty
+      else {
+        val out = Set.newBuilder[String]
+        val it = fs.listFiles(path, /* recursive = */ true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.toString
+        }
+        out.result()
+      }
     val before = files()
     df.write.mode("append").parquet(dataDir)
-    val fresh = (files() -- before).toSeq.sorted.map(n => s"$dataDir/$n")
+    val fresh = (files() -- before).toSeq.sorted
     if (fresh.nonEmpty)
       spark.read.parquet(fresh: _*)
         .groupBy(input_file_name().as("file"))

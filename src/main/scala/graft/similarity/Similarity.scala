@@ -201,10 +201,25 @@ object Similarity {
   def quantizedSegment(indexed: DataFrame, cb: AffineCodebook, cId: String,
                        cVec: String, exact: Boolean = true): DataFrame = {
     val dot = dotOf(exact)
+    // like indexCells' __cn: the dot path is stamped into __nv's metadata
+    // so a probe with the OTHER flag over a persisted segment fails loudly
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.exact", exact).build()
     indexed.select(col(cId), col("__cell"), int8Codes(col(cVec), cb).as("__codes"))
       .withColumn("__vh", dequantize(col("__codes"), cb))
-      .withColumn("__nv", sqrt(dot(col("__vh"), col("__vh"))))
+      .withColumn("__nv", sqrt(dot(col("__vh"), col("__vh"))).as("__nv", md))
       .drop("__vh")
+  }
+
+  /** Fail loudly when `df` carries a `graft.exact` stamp on `normCol` that
+    * disagrees with the probe's flag — mixing decimal and IEEE norms would
+    * produce silently-wrong cosines on persisted/reused indexes. */
+  private def requireDotFlag(df: DataFrame, normCol: String, what: String,
+                             exact: Boolean): Unit = {
+    val m = df.schema(normCol).metadata
+    require(!m.contains("graft.exact") || m.getBoolean("graft.exact") == exact,
+      s"probe(exact=$exact) over a $what built with exact=${m.getBoolean("graft.exact")}: " +
+        "stored norms and query scores would mix dot paths — rebuild or match the flag")
   }
 
   /** Quantized-IVF probe — the COMPOSITION of q67's cell routing and
@@ -231,6 +246,8 @@ object Similarity {
                         k: Int, nprobe: Int, rerank: Int,
                         exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireDotFlag(segment, "__nv", "quantized segment", exact)
+    requireDotFlag(fullIndexed, "__cn", "full-precision index", exact)
     val dot = dotOf(exact)
     val cc = collectCents(cents, "__cell", "__cv", exact)
     val probed0 = queries
@@ -272,16 +289,18 @@ object Similarity {
       .select(col(qId), col(cId))
     // exact re-rank against the stored full-precision norms (__cn from
     // indexCells) — only shortlist rows are ever scored. The full-index
-    // scan is pre-filtered to the PROBED CELLS (a tiny driver-side list,
-    // |Q|·nprobe values): every shortlisted vector lives in one of them,
-    // and with the index laid out by __cell (its natural production
-    // layout — parquet partitioned / cache clustered by cell) the filter
-    // prunes the scan to n/cells·nprobe rows, the Spark analog of the
-    // keyed point-fetch a serving re-rank does at 100 TB.
-    val probedCells = probed.select("__cell").distinct().collect().map(_.getLong(0))
+    // scan is pre-filtered to the PROBED CELLS via a broadcast semi-join
+    // (round-8 review: a driver-collected isin() grows one In-literal per
+    // cell — thousands at n/500 cells — risking plan/codegen blowup; the
+    // semi-join broadcasts the same tiny set and, over a cell-partitioned
+    // persisted index, triggers dynamic partition pruning — q175's
+    // plan-asserted contract): every shortlisted vector lives in a probed
+    // cell, so the scan reads n/cells·nprobe rows, the Spark analog of
+    // the keyed point-fetch a serving re-rank does at 100 TB.
     val qn = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
     val wr = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
-    fullIndexed.filter(col("__cell").isin(probedCells.toIndexedSeq: _*))
+    fullIndexed
+      .join(broadcast(probed.select("__cell").distinct()), Seq("__cell"), "left_semi")
       .join(broadcast(short), Seq(cId))
       .join(broadcast(qn), Seq(qId))
       .withColumn("cos", round(dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))

@@ -31,6 +31,12 @@ object CheckpointVolume {
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
       else f.getName match {
+        // .crc checksum sidecars are a ChecksumFileSystem (file://)
+        // artifact that scenarios A/B write but SlowFs (RawLocal, no
+        // checksums) does not — they'd never ship to an object store, and
+        // counting them made the byte columns non-comparable across
+        // scenarios (round-8 review). Excluded everywhere.
+        case n if n.endsWith(".crc") => ()
         case n if n.endsWith(".zip") => zipB += f.length(); zipN += 1
         case n if n.endsWith(".changelog") => clB += f.length(); clN += 1
         case _ => otherB += f.length()

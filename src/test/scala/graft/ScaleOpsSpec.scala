@@ -236,6 +236,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.count() > 0 && pruned.count() == full.count())
   }
 
+  test("appendWithManifest lists through the Hadoop FileSystem: file: scheme + nested base files") {
+    // round-8 review: the java.io.File listing was local-FS-only and
+    // top-level-only. This drives the append through a non-java.io path
+    // string (file: URI — same code path any Hadoop scheme takes) with a
+    // pre-existing NESTED data file that a top-level diff would have
+    // mis-attributed to the append.
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_hadoop"
+    graft.util.Staging.deleteRecursive(localBase)
+    val base = s"file:$localBase"
+    val orders = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val split = orders.agg(percentile_approx(col("o_orderdate"), lit(0.8), lit(100)))
+      .head().get(0)
+    orders.filter(col("o_orderdate") < lit(split))
+      .coalesce(2).write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    val manifestBefore = spark.read.parquet(s"$base/manifest")
+      .select("file").collect().map(_.getString(0)).toSet
+    // plant a nested pre-existing file (a partitioned-layout shape): the
+    // recursive before-listing must see it so the diff can't claim it
+    orders.filter(col("o_orderdate") < lit(split)).limit(10)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/data/nested")
+    FileSkipping.appendWithManifest(
+      orders.filter(col("o_orderdate") >= lit(split)).coalesce(1),
+      s"$base/data", s"$base/manifest", "o_orderdate")
+    val manifestAfter = spark.read.parquet(s"$base/manifest")
+      .select("file").collect().map(_.getString(0)).toSet
+    val gained = manifestAfter -- manifestBefore
+    assert(gained.size == 1, s"expected exactly the 1 appended file, got $gained")
+    assert(!gained.exists(_.contains("/nested/")),
+      s"nested pre-existing file mis-attributed to the append: $gained")
+    // and the new manifest row's stats admit the delta range
+    val hi = spark.read.parquet(s"$base/manifest")
+      .filter(col("file").isin(gained.toSeq: _*))
+      .agg(max("max_key")).head().get(0)
+    assert(hi != null)
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)

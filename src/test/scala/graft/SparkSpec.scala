@@ -21,12 +21,19 @@ trait SparkSpec extends AnyFunSuite {
   def sf(name: String) = s"/root/testdata/$name"
 
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    // snapshot → delta (round-8 review): the audit counter is cumulative
+    // across the shared JVM, so failing on the absolute value made every
+    // test AFTER one undeclared failure fail with the same message,
+    // burying the trigger. The delta pins the failure to the test whose
+    // window observed it (listener delivery is async, so attribution is
+    // to-the-nearest-test — but it never cascades).
+    val before = graft.util.TaskFailureAudit.unexpected()
     val out = super.withFixture(test)
-    val extra = graft.util.TaskFailureAudit.unexpected()
+    val extra = graft.util.TaskFailureAudit.unexpected() - before
     if (out.isSucceeded && extra > 0)
       org.scalatest.Failed(new AssertionError(
         s"$extra non-injected task failure(s) were retried silently by local[n,2] " +
-          "during or before this test — investigate the nondeterminism instead of relying on the retry"))
+          "during this test's window — investigate the nondeterminism instead of relying on the retry"))
     else out
   }
 
