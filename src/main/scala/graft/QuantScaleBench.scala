@@ -174,7 +174,6 @@ object QuantScaleBench {
 
       val (rpC, rpI, rpF) = (plantedRecall(composed), plantedRecall(ivf), plantedRecall(fullScan))
       val (r10C, r10I, r10F) = (recallAt10(composed), recallAt10(ivf), recallAt10(fullScan))
-
       // capacity-bound regime — the one quantization EXISTS for: at 100 TB
       // the index does not sit deserialized in executor memory. Both
       // indexes re-persist SERIALIZED on disk and the two cell-routed
@@ -197,7 +196,49 @@ object QuantScaleBench {
           "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, exact = false))
       cd.unpersist(); ivfd.unpersist()
 
-      println(f"""QUANTSCALE: {"n":$n,"dim":$Dim,"queries":$nQ,"full_bytes":$fullBytes,"quant_bytes":$quantBytes,"ratio":${fullBytes.toDouble / quantBytes}%.2f,"probe_composed_sec":$tComposed%.2f,"probe_ivf_full_sec":$tIvf%.2f,"probe_fullscan_quant_sec":$tFullScan%.2f,"probe_composed_disk_sec":$tComposedDisk%.2f,"probe_ivf_full_disk_sec":$tIvfDisk%.2f,"recall_planted_composed":$rpC%.4f,"recall_planted_ivf":$rpI%.4f,"recall_planted_fullscan":$rpF%.4f,"brute_mode":"$bruteMode","brute_queries":$bqN,"brute_sec":$tBrute%.2f,"recall_at10_composed":$r10C%.4f,"recall_at10_ivf":$r10I%.4f,"recall_at10_fullscan":$r10F%.4f}""")
+      // (d) TRAINED centroids (round-8 verdict ask #1): the dim-256
+      // sampled-centroid rows measured cell-routed recall@10 of 0.65–0.69
+      // — a centroid-QUALITY gap, not a plan gap, and the one number a
+      // production vector store rejects. Production IVF (FAISS, Milvus,
+      // Vespa) always trains its centroids; FAISS's guidance is that a
+      // deterministic sample of a few hundred points per centroid is
+      // sufficient training data. So: seeded k-means (the engine's q80
+      // estimator) with k = NCells on such a sample, the same index +
+      // segment rebuilt on the trained set, both cell-routed probes
+      // re-run at EQUAL nprobe — recall deltas land beside the
+      // sampled-centroid rows in the same JSON line. Runs LAST, with the
+      // sampled-centroid indexes dropped first: holding two full dim-256
+      // indexes concurrently blew the 8g default heap at 1.6M.
+      indexed.unpersist(true); segment.unpersist(true)
+      val trainTarget = math.min(n.toLong,
+        sys.env.getOrElse("SPARK_GRAFT_QANN_TRAIN_PER_CELL", "512").toLong * NCells)
+      val tStride = math.max(1L, n.toLong / trainTarget)
+      val tTrain0 = System.nanoTime()
+      val sample = corpus.filter(pmod(col("vec_id"), lit(tStride)) === 0)
+        .select(org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
+      val km = graft.ml.Models.kmeans("features", k = NCells, maxIter = 20).fit(sample)
+      val centsTrained = spark.createDataFrame(
+          km.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toArray.toSeq) })
+        .toDF("__cell", "__cv")
+      val trainSec = (System.nanoTime() - tTrain0) / 1e9
+      val (indexedT, _) = cache(
+        Similarity.indexCells(corpus, centsTrained, "v", exact = false)
+          .repartitionByRange(cpus.toInt, col("__cell")))
+      val (segmentT, _) =
+        cache(Similarity.quantizedSegment(indexedT, cb, "vec_id", "v", exact = false)
+          .repartitionByRange(cpus.toInt, col("__cell")))
+      val (composedT, tComposedT) = timed(
+        Similarity.probeQuantizedIvf(segmentT, indexedT, queries, centsTrained, cb,
+          "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, rerank = 4 * K,
+          exact = false))
+      val (ivfT, tIvfT) = timed(
+        Similarity.ivfTopKIndexed(indexedT, queries, centsTrained,
+          "q_id", "vec_id", "qv", "v", k = K, nprobe = NProbe, exact = false))
+      val (rpCT, rpIT) = (plantedRecall(composedT), plantedRecall(ivfT))
+      val (r10CT, r10IT) = (recallAt10(composedT), recallAt10(ivfT))
+      Seq(composedT, ivfT, indexedT, segmentT).foreach(_.unpersist(true))
+
+      println(f"""QUANTSCALE: {"n":$n,"dim":$Dim,"queries":$nQ,"full_bytes":$fullBytes,"quant_bytes":$quantBytes,"ratio":${fullBytes.toDouble / quantBytes}%.2f,"probe_composed_sec":$tComposed%.2f,"probe_ivf_full_sec":$tIvf%.2f,"probe_fullscan_quant_sec":$tFullScan%.2f,"probe_composed_disk_sec":$tComposedDisk%.2f,"probe_ivf_full_disk_sec":$tIvfDisk%.2f,"recall_planted_composed":$rpC%.4f,"recall_planted_ivf":$rpI%.4f,"recall_planted_fullscan":$rpF%.4f,"brute_mode":"$bruteMode","brute_queries":$bqN,"brute_sec":$tBrute%.2f,"recall_at10_composed":$r10C%.4f,"recall_at10_ivf":$r10I%.4f,"recall_at10_fullscan":$r10F%.4f,"train_sec":$trainSec%.2f,"train_sample":${(n.toLong + tStride - 1) / tStride},"probe_composed_trained_sec":$tComposedT%.2f,"probe_ivf_trained_sec":$tIvfT%.2f,"recall_planted_composed_trained":$rpCT%.4f,"recall_planted_ivf_trained":$rpIT%.4f,"recall_at10_composed_trained":$r10CT%.4f,"recall_at10_ivf_trained":$r10IT%.4f}""")
       Seq(brute, queries, indexed, segment).foreach(_.unpersist())
     }
     spark.stop()

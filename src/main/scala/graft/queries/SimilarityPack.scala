@@ -195,6 +195,109 @@ object SimilarityPack extends QueryPack {
         "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2, rerank = 20)
     },
 
+    // ── q174: DELETE from the quantized-IVF index (tombstones) ────────
+    // Round-8 verdict ask #2: q165 proved ADD; nothing removed a vector.
+    // The logical-delete path: a tombstone id-set is anti-joined out of
+    // BOTH probe inputs (the int8 segment and the full-precision re-rank
+    // side) at probe time — the GDPR-delete / dedup-supersede shape where
+    // a rebuild of a 100 TB index is not an option. Because cell
+    // assignment is per-row (removing a vector cannot move any survivor's
+    // cell) and centroids/codebook are build-time parameters, the
+    // filtered probe is BIT-IDENTICAL to a full rebuild without the
+    // deleted vectors — which is exactly what the oracle replays. The
+    // physical path (compaction: only tombstoned CELL PARTITIONS
+    // rewritten, neighbours byte-identical) is spec-gated in
+    // AnnMaintenanceSpec against this same query's output. A 5-cell index
+    // (every 100th vector) so deletes span multiple cells.
+    "q174_ann_delete" -> { (s, d) =>
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cb = Similarity.affineCodebook(base, "v", width)
+      val indexed = Similarity.indexCells(base, cents, "v")
+      val segment = Similarity.quantizedSegment(indexed, cb, "vec_id", "v")
+      val tombs = base.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+      Similarity.probeQuantizedIvf(
+        Similarity.applyTombstones(segment, tombs, "vec_id"),
+        Similarity.applyTombstones(indexed, tombs, "vec_id"),
+        queries, cents, cb, "q_id", "vec_id", "qv", "v",
+        k = 5, nprobe = 2, rerank = 20)
+    },
+
+    // ── q175: the PERSISTED cell-partitioned index ────────────────────
+    // Round-8 verdict ask #3: the scaladocs described "parquet
+    // partitioned by __cell" as the production layout, but every
+    // registered query built its index in-session. Here both the int8
+    // segment and the full-precision re-rank index are WRITTEN
+    // partitioned by cell, read back (explicit schema: __cell keeps its
+    // build type and the graft.exact stamp survives the round trip —
+    // AnnMaintenanceSpec asserts the guard still fires), and the probe
+    // runs entirely FROM DISK. Results must be bit-identical to the
+    // in-memory composition (the oracle is the same replay), and
+    // AnnMaintenanceSpec pins the plan contract: both scans prune to the
+    // probed cell partitions (dynamic partition pruning through the
+    // probe's broadcast joins), never a full-directory read.
+    "q175_persisted_ivf" -> { (s, d) =>
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cb = Similarity.affineCodebook(base, "v", width)
+      val indexed = Similarity.indexCells(base, cents, "v")
+      val segment = Similarity.quantizedSegment(indexed, cb, "vec_id", "v")
+      val segPath = "/root/repo/target/scratch/q175_segment"
+      val idxPath = "/root/repo/target/scratch/q175_fullindex"
+      Similarity.writeCellPartitioned(segment, segPath)
+      Similarity.writeCellPartitioned(indexed, idxPath)
+      Similarity.probeQuantizedIvf(
+        Similarity.readCellPartitioned(s, segPath, segment.schema),
+        Similarity.readCellPartitioned(s, idxPath, indexed.schema),
+        queries, cents, cb, "q_id", "vec_id", "qv", "v",
+        k = 5, nprobe = 2, rerank = 20)
+    },
+
+    // ── q173: quantized-IVF over TRAINED centroids (q80 × q168) ───────
+    // The round-8 verdict's top ask: every ANN centroid set so far was a
+    // deterministic corpus sample (pmod(vec_id, 500) — which at dim 256
+    // measured cell-routed recall@10 of 0.65–0.69, the one number a
+    // production vector store would reject; BASELINE.md round-8). This
+    // composes the engine's existing seeded k-means (q80's estimator)
+    // with indexCells: centroids are TRAINED on the corpus (the
+    // FAISS/Milvus/Vespa shape — IVF centroids always come from k-means),
+    // dumped for the oracle, and the full quantized-IVF composition
+    // (cell argmax → int8 cell scan → exact re-rank) runs against them.
+    // The oracle replays the ENTIRE probe from the dumped centroids —
+    // assignment argmax, probe routing, code rounding, dequantized
+    // decimal scoring, exact re-rank — bit-for-bit, no tolerance gate
+    // (training quality itself is measured in QuantScaleBench's trained
+    // rows; training correctness is q80's argmin-replay contract).
+    "q173_trained_ivf" -> { (s, d) =>
+      import graft.ml.{Models, PipelineStages}
+      val fitDf = Tables.embeddings(s, d).select(col("vec_id"),
+          PipelineStages.arrayToVector(transform(col("embedding"), _.cast("double"))).as("features"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fitDf.count()
+      try {
+        val fitted = Models.kmeans("features", k = 8).fit(fitDf)
+        val cents = graft.util.OracleDump.dump(
+          s.createDataFrame(fitted.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+            (i.toLong, c.toArray.toSeq) }).toDF("__cell", "__cv"),
+          "q173_centroids")
+        val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+        val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val cb = Similarity.affineCodebook(base, "v", width)
+        Similarity.ivfQuantizedTopK(base, queries, cents, cb,
+          "q_id", "vec_id", "qv", "v", k = 5, nprobe = 2, rerank = 20)
+      } finally fitDf.unpersist()
+    },
+
     // seeded k-means clustering over the embeddings — corpus-curation
     // shape (topic balancing / cluster-level pruning). Fitted centroids
     // are dumped; the oracle re-derives every vector's argmin centroid in
@@ -372,7 +475,80 @@ object SimilarityPack extends QueryPack {
     // cells) composed with the q166 quantization CTEs (per-dim lo/hi,
     // dequantized elements/norms); the asymmetric scoring runs ONLY over
     // cell-routed candidates, then the exact re-rank reproduces q166's.
-    "q168_quantized_ivf" ->
+    "q168_quantized_ivf" -> quantReplaySql(500),
+    // q174 replay: q168's composition at a 5-cell index (every 100th
+    // vector as centroid), with the TOMBSTONED ids (vec_id % 7 = 3)
+    // excluded from the CANDIDATE population only — the probe over the
+    // tombstone-filtered index must be bit-identical to this rebuild
+    // without the deleted vectors. Centroid parameters and the codebook
+    // are build-time artifacts and deliberately unchanged by a delete.
+    "q174_ann_delete" -> quantReplaySql(100, "AND a.vec_id % 7 <> 3"),
+    // q175 replay: identical arithmetic to the in-memory composition at
+    // the same 5-cell index — persistence (cell-partitioned parquet
+    // round-trip) must not change a single emitted bit.
+    "q175_persisted_ivf" -> quantReplaySql(100)
+  ) ++ restOracles
+
+  /** The q168 quantized-IVF replay, parameterized: `centMod` picks the
+    * deterministic centroid set (`vec_id % centMod = 0`); `candFilter` is
+    * an extra SQL predicate on the candidate population (`a` = the
+    * assignment row), used by q174 to exclude tombstoned ids. */
+  private def quantReplaySql(centMod: Int, candFilter: String = ""): String =
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ${elemCtes("base")},
+          ce AS (SELECT vec_id AS cell FROM base WHERE vec_id % $centMod = 0),
+          cd AS (SELECT ea.vec_id, c.cell, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM el ea CROSS JOIN ce c
+                 JOIN el eb ON eb.vec_id = c.cell AND eb.i = ea.i
+                 GROUP BY ea.vec_id, c.cell),
+          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / sqrt(nb.nrm) AS cos
+                 FROM cd JOIN norms nb ON nb.vec_id = cd.cell),
+          assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc) WHERE pr = 1),
+          probes AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc WHERE vec_id % 50 = 0) WHERE pr <= 2),
+          st AS (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM el GROUP BY i),
+          vh AS (SELECT el.vec_id, el.i,
+                   st.lo + (CASE WHEN st.hi = st.lo THEN 0
+                                 ELSE round((el.e - st.lo) / (st.hi - st.lo) * 255) END)
+                          / 255.0 * (st.hi - st.lo) AS e
+                 FROM el JOIN st USING (i)),
+          vn AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                 FROM vh GROUP BY vec_id),
+          cand0 AS (SELECT p.q_id, a.vec_id FROM probes p
+                    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id $candFilter),
+          ad AS (SELECT c.q_id, c.vec_id,
+                   CAST(SUM(CAST(ea.e * vh.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand0 c JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN vh ON vh.vec_id = c.vec_id AND vh.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
+          ac AS (SELECT ad.q_id, ad.vec_id,
+                   round(ad.dt / (sqrt(nq.nrm) * sqrt(vn.nrm)), 6) AS acos
+                 FROM ad JOIN norms nq ON nq.vec_id = ad.q_id
+                         JOIN vn ON vn.vec_id = ad.vec_id),
+          cand AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY acos DESC, vec_id) AS ar
+                     FROM ac) WHERE ar <= 20),
+          pd AS (SELECT c.q_id, c.vec_id,
+                   CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN el eb ON eb.vec_id = c.vec_id AND eb.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
+          scored AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
+                             JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+
+  private def ivfReplaySql: String =
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           ${elemCtes("base")},
           ce AS (SELECT vec_id AS cell FROM base WHERE vec_id % 500 = 0),
@@ -380,8 +556,54 @@ object SimilarityPack extends QueryPack {
                  FROM el ea CROSS JOIN ce c
                  JOIN el eb ON eb.vec_id = c.cell AND eb.i = ea.i
                  GROUP BY ea.vec_id, c.cell),
+          -- assignment ranks by dot/||centroid|| (the query-side norm is
+          -- constant within the argmax), matching the engine's per-row score
           cc AS (SELECT cd.vec_id, cd.cell, cd.dt / sqrt(nb.nrm) AS cos
                  FROM cd JOIN norms nb ON nb.vec_id = cd.cell),
+          assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc) WHERE pr = 1),
+          probes AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM cc WHERE vec_id % 50 = 0) WHERE pr <= 2),
+          cand AS (SELECT p.q_id, a.vec_id FROM probes p
+                   JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+          pd AS (SELECT c.q_id, c.vec_id, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c
+                 JOIN el ea ON ea.vec_id = c.q_id
+                 JOIN el eb ON eb.vec_id = c.vec_id AND eb.i = ea.i
+                 GROUP BY c.q_id, c.vec_id),
+          scored AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
+                             JOIN norms nb ON nb.vec_id = pd.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+
+  private def restOracles: Map[String, String] = Map(
+    // q173 replay: q168's CTE chain with the centroid table read from the
+    // engine's dump instead of derived by modulus — assignment argmax over
+    // decimal cosines vs the TRAINED centroids, top-2 probe cells, int8
+    // quantization, dequantized decimal scoring within routed cells, and
+    // the full-precision re-rank, all bit-for-bit.
+    "q173_trained_ivf" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ${elemCtes("base")},
+          ce AS (SELECT __cell AS cell, CAST(__cv AS DOUBLE[]) AS c
+                 FROM ${graft.util.OracleDump.sqlGlob("q173_centroids")}),
+          cel AS (SELECT cell, i, c[i] AS e FROM ce, range(1, ${width + 1}) t(i)),
+          cnm AS (SELECT cell, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                  FROM cel GROUP BY cell),
+          cd AS (SELECT ea.vec_id, cel.cell,
+                   CAST(SUM(CAST(ea.e * cel.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM el ea JOIN cel ON cel.i = ea.i
+                 GROUP BY ea.vec_id, cel.cell),
+          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / sqrt(cnm.nrm) AS cos
+                 FROM cd JOIN cnm USING (cell)),
           assign AS (SELECT vec_id, cell FROM (
                        SELECT vec_id, cell,
                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
@@ -425,46 +647,8 @@ object SimilarityPack extends QueryPack {
           ranked AS (SELECT q_id, vec_id, cos,
                        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
                      FROM scored)
-          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
-  ) ++ restOracles
+          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5""",
 
-  private def ivfReplaySql: String =
-      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          ${elemCtes("base")},
-          ce AS (SELECT vec_id AS cell FROM base WHERE vec_id % 500 = 0),
-          cd AS (SELECT ea.vec_id, c.cell, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
-                 FROM el ea CROSS JOIN ce c
-                 JOIN el eb ON eb.vec_id = c.cell AND eb.i = ea.i
-                 GROUP BY ea.vec_id, c.cell),
-          -- assignment ranks by dot/||centroid|| (the query-side norm is
-          -- constant within the argmax), matching the engine's per-row score
-          cc AS (SELECT cd.vec_id, cd.cell, cd.dt / sqrt(nb.nrm) AS cos
-                 FROM cd JOIN norms nb ON nb.vec_id = cd.cell),
-          assign AS (SELECT vec_id, cell FROM (
-                       SELECT vec_id, cell,
-                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
-                       FROM cc) WHERE pr = 1),
-          probes AS (SELECT vec_id AS q_id, cell FROM (
-                       SELECT vec_id, cell,
-                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
-                       FROM cc WHERE vec_id % 50 = 0) WHERE pr <= 2),
-          cand AS (SELECT p.q_id, a.vec_id FROM probes p
-                   JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
-          pd AS (SELECT c.q_id, c.vec_id, CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
-                 FROM cand c
-                 JOIN el ea ON ea.vec_id = c.q_id
-                 JOIN el eb ON eb.vec_id = c.vec_id AND eb.i = ea.i
-                 GROUP BY c.q_id, c.vec_id),
-          scored AS (SELECT pd.q_id, pd.vec_id,
-                       round(pd.dt / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
-                     FROM pd JOIN norms na ON na.vec_id = pd.q_id
-                             JOIN norms nb ON nb.vec_id = pd.vec_id),
-          ranked AS (SELECT q_id, vec_id, cos,
-                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-                     FROM scored)
-          SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
-
-  private def restOracles: Map[String, String] = Map(
     // k-means replay from the dumped centroids: every vector's nearest
     // centroid (euclidean; ties to lowest cluster id) must reproduce the
     // engine's cluster sizes exactly.

@@ -321,6 +321,87 @@ object Similarity {
       queries, cents, cb, qId, cId, qVec, cVec, k, nprobe, rerank, exact)
   }
 
+  /** Persist an index/segment (the output of [[indexCells]] or
+    * [[quantizedSegment]]) as parquet PARTITIONED BY `__cell` — the
+    * production layout both scaladocs promise: each IVF cell is its own
+    * partition directory, so a probe routed to nprobe cells opens only
+    * those directories (partition pruning — q175's plan-asserted
+    * contract) and compaction ([[compactTombstones]]) can rewrite one
+    * cell without touching its neighbours. */
+  def writeCellPartitioned(df: DataFrame, path: String): Unit =
+    df.write.partitionBy("__cell").mode("overwrite").parquet(path)
+
+  /** Read a cell-partitioned index/segment back. `schema` is the schema
+    * the index was BUILT with (e.g. `segment.schema`): passing it keeps
+    * `__cell` at its build type (partition-value inference would narrow
+    * it to int) and preserves the `graft.exact` metadata stamp the probe
+    * guards on. */
+  def readCellPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** LOGICAL delete — the probe-time tombstone filter: drop every row of
+    * `indexOrSegment` whose `cId` appears in `tombstones`. A broadcast
+    * anti-join (the tombstone set is small relative to the corpus by
+    * assumption — GDPR deletes, dedup supersedes), applied to BOTH the
+    * code segment and the full-precision re-rank side, so a deleted
+    * vector can neither shortlist nor re-rank. Probing a tombstone-
+    * filtered index is bit-identical to probing a rebuild without the
+    * deleted vectors (cell assignment is per-row — removing a vector
+    * cannot move any other vector's cell), which is exactly what q174's
+    * oracle replays. */
+  def applyTombstones(indexOrSegment: DataFrame, tombstones: DataFrame,
+                      cId: String): DataFrame =
+    indexOrSegment.join(broadcast(tombstones.select(cId).distinct()), Seq(cId), "left_anti")
+
+  /** PHYSICAL delete — compaction of a persisted cell-partitioned index:
+    * rewrite ONLY the cell partitions that contain tombstoned ids, via a
+    * staging write + per-cell directory swap (the no-transaction-log
+    * compaction shape; a table format would commit a file-list swap
+    * instead). Steps:
+    *
+    *   1. locate affected cells with a TWO-COLUMN scan (`cId`, `__cell`)
+    *      joined against the broadcast tombstones — parquet column
+    *      pruning keeps the codes/vectors unread, so discovery costs a
+    *      thin-column pass, not an index read;
+    *   2. re-read ONLY those cells (partition-pruned scan), anti-join the
+    *      tombstones, write survivors to a staging dir partitioned by
+    *      cell;
+    *   3. swap each affected cell directory into place (delete + rename —
+    *      per-cell atomic on a real FS), leaving every other cell's files
+    *      untouched (byte-for-byte — the spec asserts it).
+    *
+    * Single-writer, like the manifest append: concurrent probes between
+    * step-3 renames may see a cell mid-swap. Returns the affected cells.
+    */
+  def compactTombstones(spark: org.apache.spark.sql.SparkSession, path: String,
+                        tombstones: DataFrame, cId: String,
+                        schema: org.apache.spark.sql.types.StructType): Seq[Long] = {
+    val seg = readCellPartitioned(spark, path, schema)
+    val tombs = broadcast(tombstones.select(cId).distinct())
+    val cells = seg.select(col(cId), col("__cell")).join(tombs, Seq(cId))
+      .select("__cell").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    if (cells.nonEmpty) {
+      val staging = s"${path}__compact"
+      readCellPartitioned(spark, path, schema)
+        .filter(col("__cell").isin(cells: _*))
+        .join(tombs, Seq(cId), "left_anti")
+        .write.partitionBy("__cell").mode("overwrite").parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      cells.foreach { c =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/__cell=$c")
+        val fresh = new org.apache.hadoop.fs.Path(s"$staging/__cell=$c")
+        fs.delete(live, true)
+        // a cell whose rows were ALL tombstoned has no staging dir — the
+        // delete above already retired it
+        if (fs.exists(fresh)) fs.rename(fresh, live)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    cells
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The corpus side never shuffles; ranking is a
     * per-query-partition top-k. This is the exact baseline ANN variants are
