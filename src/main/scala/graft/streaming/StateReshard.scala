@@ -46,16 +46,35 @@ object StateReshard {
     * `(partition_id, key, value)` for single-field key/value encoders —
     * the ValueState[Long]-per-Long-key shape the quota processors use. */
   def readValueState(spark: SparkSession, ckptPath: String,
-                     stateVar: String): DataFrame = {
-    val raw = spark.read.format("statestore")
+                     stateVar: String, operatorId: Option[Int] = None): DataFrame = {
+    val reader = spark.read.format("statestore")
       .option("path", ckptPath)
       .option("stateVarName", stateVar)
-      .load()
+    val raw = operatorId.fold(reader)(id => reader.option("operatorId", id)).load()
     // key/value arrive as one-field structs for scalar encoders; flatten
     raw.select(col("partition_id"),
       col("key").getField(raw.schema("key").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head).as("key"),
       col("value").getField(raw.schema("value").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head).as("value"))
+  }
+
+  /** Locate the `transformWithState` operator inside a MULTI-operator
+    * checkpoint (the composed-pipeline case, q176): built-in stateful
+    * operators (dedup, windowed agg, joins) reject `stateVarName`, so the
+    * one operator that accepts it for `stateVar` IS the custom stage.
+    * Probing is analysis-only — no state is read. */
+  def twsOperatorId(spark: SparkSession, ckptPath: String, stateVar: String): Int = {
+    val ops = Option(new java.io.File(s"$ckptPath/state").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName.toInt).sorted
+    ops.find { op =>
+      try {
+        spark.read.format("statestore").option("path", ckptPath)
+          .option("operatorId", op).option("stateVarName", stateVar).load()
+        true
+      } catch { case _: Throwable => false }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no transformWithState operator with state variable '$stateVar' under $ckptPath/state " +
+        s"(operators found: ${ops.mkString(",")})"))
   }
 }

@@ -613,6 +613,44 @@ object Streams {
     }
   }
 
+  /** [[QuotaAdmitProcessor]]'s seeded twin — the composed-pipeline
+    * MIGRATION vehicle (q176): identical admission semantics, but the
+    * per-user admitted count is seeded from an initial-state relation
+    * (the offline read of the pre-migration checkpoint's "admitted"
+    * ValueState) before any input row, so a re-sharded continuation
+    * never re-admits what the original job already granted. */
+  class SeededQuotaAdmitProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String, java.sql.Timestamp), AdmittedEvent, Long] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var admitted: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: Long,
+                                    tv: TimerValues): Unit = admitted.update(initial)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+                                 tv: TimerValues): Iterator[AdmittedEvent] = {
+      val have = if (admitted.exists()) admitted.get() else 0L
+      val remaining = math.min(math.max(0L, quota - have), Int.MaxValue.toLong).toInt
+      if (remaining == 0) { rows.foreach(_ => ()); Iterator.empty }
+      else {
+        val ord = Ordering.by[(Long, String, java.sql.Timestamp), (Long, String)](
+          r => (r._3.getTime, r._2))
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, java.sql.Timestamp)](ord)
+        rows.foreach { r =>
+          heap.enqueue(r)
+          if (heap.size > remaining) heap.dequeue()
+        }
+        admitted.update(have + heap.size)
+        heap.toIndexedSeq.iterator.map(r => AdmittedEvent(r._1, r._2, r._3))
+      }
+    }
+  }
+
   /** The composed streaming capstone (q147's streaming cousin): ONE query
     * chaining three stateful operators plus a stateless enrich —
     *
@@ -649,6 +687,102 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("category"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("category"), col("n"))
+  }
+
+  /** [[composedAdmissionPipeline]]'s MIGRATED CONTINUATION (q176): the
+    * same four-operator composition, with the quota stage seeded from a
+    * previous checkpoint's offline-read state
+    * ([[SeededQuotaAdmitProcessor]]) so it can restart on a different
+    * state-store count. The built-in stages (dedup, windowed agg) start
+    * EMPTY — legitimate only because the migration protocol drains the
+    * original job first and re-establishes the watermark with primer
+    * batches ([[prepareMigrationTail]]); see q176's scaladoc for why
+    * each built-in stage's state is either drained or reconstructed. */
+  def composedAdmissionPipelineSeeded(spark: SparkSession, dir: String, quota: Long,
+                                      initial: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dim = spark.createDataFrame(Seq(
+      ("click", "interaction"), ("view", "interaction"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "fault"))).toDF("event_type", "category")
+    val init = initial.select(col("user_id").cast("long"), col("admitted").cast("long"))
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+    val dd = lateArrivalStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type", "ts"))
+    val admittedRows = dd.as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededQuotaAdmitProcessor(quota), "ts",
+        OutputMode.Append(), init)
+    admittedRows.toDF()
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("category"), col("n"))
+  }
+
+  /** Phase-2 input staging for the composed-pipeline migration (q176):
+    * two PRIMER files followed by the late tail file, mtime-ordered so
+    * `maxFilesPerTrigger=1` replays them as three micro-batches.
+    *
+    * The primers re-establish the WATERMARK the fresh checkpoint lost —
+    * the one piece of built-in-operator state a drained pipeline still
+    * carries. Each is a single sentinel row (`user_id = -1`, event type
+    * `__primer`) that is inert through every stage: it passes dedup
+    * (unique key), consumes quota only for the sentinel user, and is
+    * DROPPED by the category enrich (inner join on the 5-type dim), so
+    * no aggregate window ever sees it. Their timestamps are chosen so
+    * the engine's lagged watermark model (q61: batch N's late filter
+    * uses the watermark derived from batches ≤ N−2) gives the tail
+    * batch EXACTLY the watermark it had in the uninterrupted run:
+    *
+    *   primer 1: ts = max on-time batch-1 ts  → the tail's late filter
+    *             runs at wml = that − 1h, the uninterrupted value;
+    *   primer 2: ts = max batch-2 ts          → the final seal watermark
+    *             is wm = that − 1h, the uninterrupted value.
+    */
+  def prepareMigrationTail(spark: SparkSession, sfDir: String): String = {
+    val src = prepareLateArrivalFiles(spark, sfDir)
+    graft.util.Staging.ensure(graft.util.Staging.dirFor("mig_tail", sfDir), s"$sfDir/events.parquet") { dir =>
+      import java.nio.file._
+      import java.nio.file.attribute.FileTime
+      val ev = graft.io.Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val t0 = ev.agg(date_trunc("DAY", min(col("ts"))).as("t0")).head().getTimestamp(0)
+      val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+      val t2 = new java.sql.Timestamp(t0.getTime + 14L * 86400 * 1000)
+      val wmT1 = ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) =!= 0)
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val wmT2 = ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2))
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      // sentinel rows carry the REAL schema (types cloned per field) so the
+      // mixed-file stream reads them with the staged files' footer schema
+      def primer(id: Long, ts: java.sql.Timestamp) =
+        ev.limit(1).select(
+          lit(id).cast(ev.schema("event_id").dataType).as("event_id"),
+          lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+          lit("__primer").as("event_type"),
+          lit(0.0).cast(ev.schema("value").dataType).as("value"),
+          lit(ts).as("ts"))
+      val base = Files.createDirectories(Paths.get(dir))
+      val mtime0 = System.currentTimeMillis()
+      Seq(primer(-1L, wmT1), primer(-2L, wmT2)).zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$dir/_tmp$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = base.resolve(s"${i + 1}.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + i * 2000L))
+        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+      }
+      val dst = base.resolve("3.parquet")
+      Files.copy(Paths.get(src, "3.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + 4000L))
+    }
   }
 
   /** Deterministic failure injected by [[drainWithCrashRecovery]]. */
