@@ -298,6 +298,59 @@ object SimilarityPack extends QueryPack {
       } finally fitDf.unpersist()
     },
 
+    // ── q177: STREAMING vector admission on the quantized index ───────
+    // Round-8 stretch ask: q160's ingest-dedup shape composed with the
+    // q168 segment. A bounded ARRIVAL stream of vectors (the held-out
+    // fifth of the corpus, plus perturbed near-copies of every 10th
+    // history vector — the near-dups admission must catch) probes the
+    // STATIC int8 segment map-side per micro-batch: cell routing is a
+    // pure projection against broadcast centroid literals
+    // (Similarity.routeToCells — no state, no shuffle), the probed
+    // cells' codes join in via a broadcast stream-static join, and each
+    // arrival's max dequantized-decimal cosine decides admission
+    // (max < 0.99 → novel → admit; the perturbed copies score ≈ 0.9992
+    // and are rejected). At 100 TB the broadcast side is the persisted
+    // cell-partitioned segment of q175 with the probe pruned to routed
+    // cells; the arithmetic is unchanged. The oracle replays the whole
+    // probe — history/arrival split, codebook over HISTORY only, cell
+    // argmax, code rounding, dequantized decimal scoring, max, threshold
+    // — bit-for-bit over the arrival set.
+    "q177_stream_vector_admission" -> { (s, d) =>
+      import graft.streaming.Streams
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val hist = graft.relational.Scale.fanOut(base.filter(pmod(col("vec_id"), lit(5)) =!= 2))
+      val cents = hist.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val cb = Similarity.affineCodebook(hist, "v", width)
+      val segment = Similarity.quantizedSegment(
+        Similarity.indexCells(hist, cents, "v"), cb, "vec_id", "v")
+      val dir = graft.util.Staging.ensure(
+        graft.util.Staging.dirFor("vecadm_in", d), s"$d/embeddings.parquet") { out =>
+        base.filter(pmod(col("vec_id"), lit(5)) === 2)
+          .unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              transform(col("v"), (x, i) =>
+                x + lit(0.005) * (pmod(i, lit(2)) * 2 - 1).cast("double")).as("v")))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      }
+      val schema = s.read.parquet(dir).schema
+      val arrivals = s.readStream.schema(schema).parquet(dir)
+        .select(col("vec_id").as("a_id"), col("v").as("av"))
+      val scored = Similarity.routeToCells(arrivals, cents, "av", nprobe = 2)
+        .join(broadcast(segment), Seq("__cell"))
+        .withColumn("__vh", Similarity.dequantize(col("__codes"), cb))
+        .withColumn("acos",
+          round(Similarity.dotDec(col("av"), col("__vh")) / (col("__qn") * col("__nv")), 6))
+        .select(col("a_id"), col("acos"))
+      // stateless per-candidate stream → append sink; the tiny per-vector
+      // verdict rollup is a batch read of the sink
+      Streams.drainToParquet(scored, "vecadm", "append")
+        .groupBy("a_id").agg(max("acos").as("max_cos"))
+        .withColumn("admitted", col("max_cos") < 0.99)
+        .select(col("a_id").as("vec_id"), col("max_cos"), col("admitted"))
+    },
+
     // seeded k-means clustering over the embeddings — corpus-curation
     // shape (topic balancing / cluster-level pruning). Fitted centroids
     // are dumped; the oracle re-derives every vector's argmin centroid in
@@ -585,6 +638,68 @@ object SimilarityPack extends QueryPack {
           SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
 
   private def restOracles: Map[String, String] = Map(
+    // q177 replay: history/arrival split, centroids + codebook from
+    // HISTORY only, per-arrival top-2 cell routing (decimal cosine vs
+    // centroids), dequantized decimal scoring against the routed cells'
+    // codes, max per arrival, 0.99 admission threshold.
+    "q177_stream_vector_admission" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          hist AS (SELECT vec_id, v FROM base WHERE vec_id % 5 <> 2),
+          hel AS (SELECT vec_id, i, v[i] AS e FROM hist, range(1, ${width + 1}) t(i)),
+          hnorm AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                    FROM hel GROUP BY vec_id),
+          arr AS (SELECT vec_id, v FROM base WHERE vec_id % 5 = 2
+                  UNION ALL
+                  SELECT vec_id + 1000000, list_transform(range(1, ${width + 1}),
+                    i -> v[i] + 0.005 * CAST(((i - 1) % 2) * 2 - 1 AS DOUBLE))
+                  FROM base WHERE vec_id % 10 = 0),
+          ael AS (SELECT vec_id, i, v[i] AS e FROM arr, range(1, ${width + 1}) t(i)),
+          anorm AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                    FROM ael GROUP BY vec_id),
+          ce AS (SELECT vec_id AS cell FROM hist WHERE vec_id % 100 = 0),
+          hcd AS (SELECT ea.vec_id, c.cell,
+                    CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                  FROM hel ea CROSS JOIN ce c
+                  JOIN hel eb ON eb.vec_id = c.cell AND eb.i = ea.i
+                  GROUP BY ea.vec_id, c.cell),
+          hcc AS (SELECT h.vec_id, h.cell, h.dt / sqrt(nb.nrm) AS cos
+                  FROM hcd h JOIN hnorm nb ON nb.vec_id = h.cell),
+          assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS pr
+                       FROM hcc) WHERE pr = 1),
+          acd AS (SELECT ea.vec_id, c.cell,
+                    CAST(SUM(CAST(ea.e * eb.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                  FROM ael ea CROSS JOIN ce c
+                  JOIN hel eb ON eb.vec_id = c.cell AND eb.i = ea.i
+                  GROUP BY ea.vec_id, c.cell),
+          probes AS (SELECT vec_id AS a_id, cell FROM (
+                       SELECT a.vec_id, a.cell,
+                         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.dt / sqrt(nb.nrm) DESC, a.cell) AS pr
+                       FROM acd a JOIN hnorm nb ON nb.vec_id = a.cell) WHERE pr <= 2),
+          st AS (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM hel GROUP BY i),
+          vh AS (SELECT hel.vec_id, hel.i,
+                   st.lo + (CASE WHEN st.hi = st.lo THEN 0
+                                 ELSE round((hel.e - st.lo) / (st.hi - st.lo) * 255) END)
+                          / 255.0 * (st.hi - st.lo) AS e
+                 FROM hel JOIN st USING (i)),
+          vn AS (SELECT vec_id, CAST(SUM(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS nrm
+                 FROM vh GROUP BY vec_id),
+          cand AS (SELECT p.a_id, a.vec_id FROM probes p
+                   JOIN assign a ON a.cell = p.cell),
+          ad AS (SELECT c.a_id, c.vec_id,
+                   CAST(SUM(CAST(ea.e * vh.e AS DECIMAL(38,10))) AS DOUBLE) AS dt
+                 FROM cand c JOIN ael ea ON ea.vec_id = c.a_id
+                 JOIN vh ON vh.vec_id = c.vec_id AND vh.i = ea.i
+                 GROUP BY c.a_id, c.vec_id),
+          ac AS (SELECT ad.a_id, ad.vec_id,
+                   round(ad.dt / (sqrt(an.nrm) * sqrt(vn.nrm)), 6) AS acos
+                 FROM ad JOIN anorm an ON an.vec_id = ad.a_id
+                         JOIN vn ON vn.vec_id = ad.vec_id)
+          SELECT a_id AS vec_id, MAX(acos) AS max_cos,
+                 MAX(acos) < 0.99 AS admitted
+          FROM ac GROUP BY a_id""",
+
     // q173 replay: q168's CTE chain with the centroid table read from the
     // engine's dump instead of derived by modulus — assignment argmax over
     // decimal cosines vs the TRAINED centroids, top-2 probe cells, int8

@@ -112,6 +112,21 @@ object Similarity {
       .withColumn("__cn", sqrt(dot(col(cVec), col(cVec))).as("__cn", md))
   }
 
+  /** Query-side cell ROUTING as a pure projection — the shared front half
+    * of every probe (batch top-k and the STREAMING admission probe,
+    * q177): one row per (vector, probed cell), with the probed `__cell`
+    * and the vector's norm `__qn` added. No shuffle, no state — on a
+    * stream this runs map-side per micro-batch. */
+  def routeToCells(queries: DataFrame, cents: DataFrame, qVec: String,
+                   nprobe: Int, exact: Boolean = true): DataFrame = {
+    val cc = collectCents(cents, "__cell", "__cv", exact)
+    val dot = dotOf(exact)
+    queries
+      .withColumn("__cell",
+        explode(transform(slice(cellScores(qVec, cc, dot), 1, nprobe), s => -s.getField("c"))))
+      .withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+  }
+
   /** Probe phase over a pre-indexed corpus (the output of [[indexCells]],
     * possibly persisted): probe only the `nprobe` nearest cells per query,
     * score exactly within the candidate union. The probed query set
@@ -126,12 +141,8 @@ object Similarity {
     require(!idxMeta.contains("graft.exact") || idxMeta.getBoolean("graft.exact") == exact,
       s"ivfTopKIndexed(exact=$exact) over an index built with exact=${idxMeta.getBoolean("graft.exact")}: " +
         "corpus norms and query scores would mix dot paths — rebuild the index or match the flag")
-    val cc = collectCents(cents, "__cell", "__cv", exact)
     val dot = dotOf(exact)
-    val probed = queries
-      .withColumn("__cell",
-        explode(transform(slice(cellScores(qVec, cc, dot), 1, nprobe), s => -s.getField("c"))))
-      .withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    val probed = routeToCells(queries, cents, qVec, nprobe, exact)
     // thin-row top-k: score at the scan, then shuffle ONLY (q, id, cos)
     // into the per-query window — carrying the vector arrays through the
     // rank exchange measured ~2× the whole probe at 1.6M (round 8)
@@ -249,11 +260,7 @@ object Similarity {
     requireDotFlag(segment, "__nv", "quantized segment", exact)
     requireDotFlag(fullIndexed, "__cn", "full-precision index", exact)
     val dot = dotOf(exact)
-    val cc = collectCents(cents, "__cell", "__cv", exact)
-    val probed0 = queries
-      .withColumn("__cell",
-        explode(transform(slice(cellScores(qVec, cc, dot), 1, nprobe), s => -s.getField("c"))))
-      .withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    val probed0 = routeToCells(queries, cents, qVec, nprobe, exact)
     // production path — FAISS's SQ8 scan identity: dot(q, dequant(c)) =
     // qconst + Σ t[i]·c[i] with t = q·sc/255 and qconst = dot(q, lo) +
     // 128·Σt, both computed ONCE per (query, cell) row BEFORE the join.

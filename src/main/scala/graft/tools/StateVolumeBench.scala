@@ -140,7 +140,7 @@ object StateVolumeBench {
           val so = p.stateOperators.head
           val cm = so.customMetrics
           def g(k: String): Long = Option(cm.get(k)).map(_.longValue).getOrElse(-1L)
-          println(s"""STATEVOL: {"batch":${p.batchId},"raw_state_mb_after":${(p.batchId + 1) * perBatchMb},"budget_mb":$memMb,"stores":${graft.streaming.Streams.statePartitions(spark)},"batch_ms":${p.batchDuration},"commit_ms":${so.commitTimeMs},"rows_updated":${so.numRowsUpdated},"state_rows":${so.numRowsTotal},"rocksdb_mem_bytes":${g("rocksdbTotalMemoryUsageBytes")},"sst_bytes":${g("rocksdbSstFileSize")},"pinned_bytes":${g("rocksdbPinnedBlocksMemoryUsage")},"compaction_ms":${g("rocksdbTotalCompactionLatencyMs")},"commit_compact_ms":${g("rocksdbCommitCompactLatency")},"flush_ms":${g("rocksdbCommitFlushLatency")}}""")
+          println(s"""STATEVOL: {"batch":${p.batchId},"raw_state_mb_after":${(p.batchId + 1) * perBatchMb},"budget_mb":$memMb,"stores":${graft.streaming.Streams.statePartitions(spark)},"batch_ms":${p.batchDuration},"commit_ms":${so.commitTimeMs},"state_rows":${so.numRowsTotal},"state_mem_bytes":${so.memoryUsedBytes},"sst_bytes":${g("rocksdbSstFileSize")},"pinned_bytes":${g("rocksdbPinnedBlocksMemoryUsage")},"cache_hits":${g("rocksdbReadBlockCacheHitCount")},"cache_misses":${g("rocksdbReadBlockCacheMissCount")},"writer_stall_ms":${g("rocksdbWriterStallLatencyMs")},"compaction_ms":${g("rocksdbTotalCompactionLatencyMs")},"compaction_write_bytes":${g("rocksdbTotalBytesWrittenByCompaction")},"flush_ms":${g("rocksdbCommitFlushLatency")},"file_sync_ms":${g("rocksdbCommitFileSyncLatencyMs")}}""")
         }
         println(f"""STATEVOL_TOTAL: {"wall_sec":$wall%.2f,"batches":$batches,"keys":$keys,"rows_per_key":$rowsPerKey,"payload_kb":$payloadKb,"final_raw_state_mb":${batches * perBatchMb},"budget_mb":$memMb}""")
       } finally q.stop()
