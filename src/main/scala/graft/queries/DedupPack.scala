@@ -94,6 +94,30 @@ object DedupPack extends QueryPack {
       Streams.drainToParquet(hits, "lshstream", "append")
     },
 
+    // ── q178: DELETE from the LSH band index (tombstones) ─────────────
+    // The dedup-index corner of the round-8 delete ask (q174 covered the
+    // ANN segment): a doc retired from the historical corpus — GDPR
+    // delete, or a canonical doc superseded by a better copy — must stop
+    // matching as `dup_of` in the admission probe. Same mechanism as the
+    // ANN path: the tombstone id-set anti-joins out of the band index at
+    // probe time (band rows are keyed by doc_id, so the filter is exact),
+    // and because band signatures are per-doc, removing one doc cannot
+    // change any other doc's rows — the filtered index IS the rebuild
+    // without the deleted docs, which is what the oracle replays.
+    "q178_lsh_index_delete" -> { (s, d) =>
+      val hist = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val index = Dedup.bandTable(hist, "doc_id", "text")
+        .withColumnRenamed("doc_id", "dup_of")
+      val tombs = hist.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select(col("doc_id").as("dup_of"))
+      val live = index.join(broadcast(tombs), Seq("dup_of"), "left_anti")
+      val probes = Dedup.bandTable(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text")
+      probes.join(broadcast(live), Seq("band", "sig"))
+        .select(col("doc_id").as("new_id"), col("dup_of")).distinct()
+    },
+
     // exact dedup: hash-groupBy, canonical = min id.
     "q29_exact_dedup" -> { (s, d) =>
       Dedup.exactGroups(dupCorpus(s, d), "doc_id", "text")
@@ -309,6 +333,14 @@ object DedupPack extends QueryPack {
           SELECT DISTINCT p.doc_id AS new_id, ix.doc_id AS dup_of
           FROM bandtab p JOIN bandtab ix ON p.band = ix.band AND p.sig = ix.sig
           WHERE p.doc_id % 3 = 0 AND ix.doc_id % 3 <> 0""",
+
+    // q178: q160's replay minus the tombstoned history docs — the
+    // filtered index must equal a rebuild without them
+    "q178_lsh_index_delete" ->
+      s"""WITH ${bandSqlCtes("documents")}
+          SELECT DISTINCT p.doc_id AS new_id, ix.doc_id AS dup_of
+          FROM bandtab p JOIN bandtab ix ON p.band = ix.band AND p.sig = ix.sig
+          WHERE p.doc_id % 3 = 0 AND ix.doc_id % 3 <> 0 AND ix.doc_id % 5 <> 1""",
 
     "q31_minhash_pairs" ->
       s"""WITH $augCorpusSql,

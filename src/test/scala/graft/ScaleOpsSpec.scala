@@ -276,6 +276,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hi != null)
   }
 
+  test("deleteRange retires covered files unread, rewrites only boundary files, keeps the rest byte-identical") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_delete"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.01"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    orders.repartitionByRange(16, col("o_orderdate")).sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    def snapshot(): Map[String, (Long, Long)] =
+      new java.io.File(s"$localBase/data").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = snapshot()
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-12-31").cast("timestamp")
+    val expected = orders.filter(!(col("o_orderdate") >= lo && col("o_orderdate") <= hi))
+    val expectedCount = expected.count()
+    val (retired, rewritten) = FileSkipping.deleteRange(
+      spark, s"$localBase/data", s"$localBase/manifest", "o_orderdate", lo, hi)
+    // a ~mid-table year over 16 range-sorted files: some files fully
+    // covered (retired unread), at most the two boundary files rewritten
+    assert(retired >= 1, s"no file was fully covered (retired=$retired)")
+    assert(rewritten <= 2, s"more than boundary files rewritten: $rewritten")
+    val after = snapshot()
+    // survivors byte-identical (same name, size, mtime); retired gone
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.forall(k => before(k) == after(k)),
+      "a file outside the delete range was modified")
+    assert(before.size - survivors.size == retired + rewritten)
+    // table content == orders minus the range, and the manifest agrees
+    // with a full rebuild over the surviving files
+    val remaining = spark.read.parquet(s"$localBase/data")
+    assert(remaining.count() == expectedCount)
+    assert(remaining.exceptAll(expected).count() == 0)
+    val maintained = spark.read.parquet(s"$localBase/manifest")
+      .filter(col("n_rows") > 0)
+    val rebuilt = FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderdate")
+      .filter(col("n_rows") > 0)
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0,
+      "rewritten manifest diverges from a full rebuild")
+    // and pruned reads through the rewritten manifest stay exact
+    val lo2 = lit("1996-01-01").cast("timestamp")
+    val hi2 = lit("1996-06-30").cast("timestamp")
+    val pruned = FileSkipping.prunedRead(spark, s"$localBase/data", s"$localBase/manifest", lo2, hi2)
+      .filter(col("o_orderdate").between(lo2, hi2))
+    val full = remaining.filter(col("o_orderdate").between(lo2, hi2))
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
