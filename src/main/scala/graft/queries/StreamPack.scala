@@ -457,6 +457,45 @@ object StreamPack extends QueryPack {
         "timercrash", "append", crashAtBatch = 1L)
     },
 
+    // ── q180: LISTSTATE + TIMER re-shard, 8 → 16 stores ───────────────
+    // q171/q176 migrated ValueState counters; this migrates the HARD
+    // state class — TimerSessionProcessor's per-key ListState of pending
+    // gap-islands plus its event-time timers. The split is after FILE 1
+    // (so live last-hour islands actually cross the boundary — a later
+    // split would migrate nothing): the 8-store job drains file 1, its
+    // "pending" islands are read offline (one row per island via the
+    // statestore source's collection flattening), and a seeded twin on
+    // 16 stores restores the islands AND RE-ARMS the timers in
+    // handleInitialState (timers are derivable state — expiry =
+    // min(last+gap) — so they are re-derived, not exported). An inert
+    // primer batch re-establishes the watermark (wml) before files 2–3
+    // replay, so the late batch drops exactly as uninterrupted; the
+    // primer user's own session row is filtered (user −1, documented
+    // harness artifact). The migrated islands must CLOSE on the new
+    // store count as the watermark advances — the oracle is q162's
+    // VERBATIM: a lost island, a dead timer (sessions never close), or
+    // a double-fire all hash-mismatch.
+    "q180_timer_reshard" -> { (s, d) =>
+      val (histDir, tailDir) = Streams.prepareTimerReshardSplit(s, d)
+      val phase1 = Streams.drainToParquet(
+        Streams.timerSessions(Streams.lateArrivalStream(s, histDir), 1800L),
+        "timrsh8", "append")
+      val state = graft.streaming.StateReshard.readListState(
+          s, Streams.checkpointFor("timrsh8"), "pending")
+        .withColumnRenamed("key", "user_id")
+      val prev = s.conf.getOption("graft.streaming.statePartitions")
+      s.conf.set("graft.streaming.statePartitions", "16")
+      val phase2 =
+        try Streams.drainToParquet(
+          Streams.timerSessionsSeeded(Streams.lateArrivalStream(s, tailDir), 1800L, state),
+          "timrsh16", "append")
+        finally prev match {
+          case Some(v) => s.conf.set("graft.streaming.statePartitions", v)
+          case None => s.conf.unset("graft.streaming.statePartitions")
+        }
+      phase1.unionByName(phase2).filter(col("user_id") =!= -1L)
+    },
+
     // dedup-within-watermark: event-time among the dedup keys, so state is
     // evicted as the watermark passes and the all-late batch 3 is dropped
     // rather than re-emitted.
@@ -897,6 +936,7 @@ object StreamPack extends QueryPack {
     // oracle verbatim (q172 likewise recovers q162's pipeline).
     base + ("q159_crash_recovery" -> base("q155_stream_composed")) +
       ("q172_timer_recovery" -> base("q162_timer_sessions")) +
-      ("q176_composed_migration" -> base("q155_stream_composed"))
+      ("q176_composed_migration" -> base("q155_stream_composed")) +
+      ("q180_timer_reshard" -> base("q162_timer_sessions"))
   }
 }

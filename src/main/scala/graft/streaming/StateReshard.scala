@@ -59,6 +59,30 @@ object StateReshard {
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head).as("value"))
   }
 
+  /** Offline read of a LIST state variable (q180's timer re-shard): the
+    * `statestore` source flattens collection types to one row per
+    * (key, element), so this returns `(key, <element struct fields>)` —
+    * for [[Streams.TimerSessionProcessor]]'s "pending" variable that is
+    * `(key, start_us, last_us, n)`, one row per live gap-island. Timers
+    * are NOT read: they are derivable state (expiry = min(last + gap)
+    * per key) and the seeded processor re-arms them, exactly as it does
+    * after every batch. */
+  def readListState(spark: SparkSession, ckptPath: String,
+                    stateVar: String, operatorId: Option[Int] = None): DataFrame = {
+    val reader = spark.read.format("statestore")
+      .option("path", ckptPath)
+      .option("stateVarName", stateVar)
+    val raw = operatorId.fold(reader)(id => reader.option("operatorId", id)).load()
+    val valueCol = Seq("list_element", "list_value", "value")
+      .find(raw.schema.fieldNames.contains)
+      .getOrElse(throw new IllegalStateException(
+        s"unrecognized statestore list schema: ${raw.schema.simpleString}"))
+    raw.select(
+      col("key").getField(raw.schema("key").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head).as("key"),
+      col(s"$valueCol.*"))
+  }
+
   /** Locate the `transformWithState` operator inside a MULTI-operator
     * checkpoint (the composed-pipeline case, q176): built-in stateful
     * operators (dedup, windowed agg, joins) reject `stateVarName`, so the

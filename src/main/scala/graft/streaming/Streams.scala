@@ -973,6 +973,153 @@ object Streams {
       .toDF("user_id", "session_start_us", "session_end_us", "n")
   }
 
+  /** One user's full pending-island set — the initial-state value type
+    * for the timer re-shard ([[SeededTimerSessionProcessor]]): the
+    * initial-state relation carries ONE row per key, so the islands read
+    * offline from the old checkpoint are grouped into this wrapper. */
+  case class PendingSet(islands: Seq[PendingSession])
+
+  /** [[TimerSessionProcessor]]'s seeded twin — the LISTSTATE + TIMER
+    * re-shard vehicle (q180): q171/q176 migrated ValueState counters;
+    * this migrates the session processor's pending gap-islands AND
+    * re-arms the event-time timers from the seeded state, so a
+    * continuation on a different store count closes exactly the sessions
+    * the uninterrupted run would. `handleInitialState` restores the
+    * islands and registers the earliest-expiry timer per key — timers
+    * are NOT exported by the offline read (they are derivable state:
+    * expiry = min(last + gap)), which is why the processor re-derives
+    * them, the same way it does after every batch. */
+  class SeededTimerSessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long, Long, Long), PendingSet] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ExpiredTimerInfo}
+    import org.apache.spark.sql.Encoders
+    private val gapUs = gapSec * 1000000L
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[PendingSession]("pending",
+        Encoders.product[PendingSession], TTLConfig.NONE)
+
+    private def merged(islands: Seq[PendingSession]): Seq[PendingSession] =
+      islands.sortBy(s => (s.start_us, s.last_us))
+        .foldLeft(Vector.empty[PendingSession]) { (acc, s) =>
+          acc.lastOption match {
+            case Some(p) if s.start_us < p.last_us + gapUs =>
+              acc.init :+ PendingSession(p.start_us, math.max(p.last_us, s.last_us), p.n + s.n)
+            case _ => acc :+ s
+          }
+        }
+
+    private def rearm(live: Seq[PendingSession]): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      if (live.nonEmpty)
+        getHandle.registerTimer(live.map(s => s.last_us + gapUs).min / 1000L)
+    }
+
+    override def handleInitialState(user: Long, initial: PendingSet,
+                                    tv: TimerValues): Unit = {
+      val all = merged(initial.islands)
+      if (all.nonEmpty) { pending.put(all.toArray); rearm(all) }
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = tv.getCurrentWatermarkInMs * 1000L
+      val fresh = rows.map(_._2).filter(_ >= wmUs).map(e => PendingSession(e, e, 1L)).toSeq
+      if (fresh.nonEmpty) {
+        val all = merged((if (pending.exists()) pending.get().toSeq else Nil) ++ fresh)
+        pending.put(all.toArray)
+        rearm(all)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = tv.getCurrentWatermarkInMs * 1000L
+      val all = if (pending.exists()) pending.get().toSeq else Nil
+      val (closed, live) = all.partition(s => s.last_us + gapUs <= wmUs)
+      if (live.isEmpty) pending.clear() else pending.put(live.toArray)
+      rearm(live)
+      closed.iterator.map(s => (user, s.start_us, s.last_us, s.n))
+    }
+  }
+
+  /** [[SeededTimerSessionProcessor]] wired up: `initial` is
+    * (user_id, start_us, last_us, n) — the offline read of a previous
+    * checkpoint's "pending" ListState, one row per island. */
+  def timerSessionsSeeded(events: DataFrame, gapSec: Long,
+                          initial: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val init = initial.select(col("user_id").cast("long"),
+        col("start_us").cast("long"), col("last_us").cast("long"), col("n").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups((u, it) => (u, PendingSet(
+        it.map(r => PendingSession(r._2, r._3, r._4)).toSeq.sortBy(s => (s.start_us, s.last_us)))))
+      .groupByKey(_._1).mapValues(_._2)
+    events.withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), unix_micros(col("ts"))).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededTimerSessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append(), init)
+      .toDF("user_id", "session_start_us", "session_end_us", "n")
+  }
+
+  /** Input staging for the timer re-shard (q180): history = file 1 only
+    * (so live gap-islands REMAIN in state at the boundary — a split
+    * after file 2 would leave only never-closing tail islands and prove
+    * nothing); tail = one inert watermark primer (user −1, ts = max
+    * on-time batch-1 ts, re-establishing wml for the fresh checkpoint —
+    * see [[prepareMigrationTail]]) followed by files 2 and 3. The primer
+    * user's own 1-row session is filtered by the caller. */
+  def prepareTimerReshardSplit(spark: SparkSession, sfDir: String): (String, String) = {
+    val src = prepareLateArrivalFiles(spark, sfDir)
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    val hist = graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("timer_hist", sfDir), s"$sfDir/events.parquet") { dir =>
+      val base = Files.createDirectories(Paths.get(dir))
+      Files.copy(Paths.get(src, "1.parquet"), base.resolve("1.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tail = graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("timer_tail", sfDir), s"$sfDir/events.parquet") { dir =>
+      val ev = graft.io.Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val t0 = ev.agg(date_trunc("DAY", min(col("ts"))).as("t0")).head().getTimestamp(0)
+      val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+      val wmT1 = ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) =!= 0)
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val primer = ev.limit(1).select(
+        lit(-1L).cast(ev.schema("event_id").dataType).as("event_id"),
+        lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+        lit("__primer").as("event_type"),
+        lit(0.0).cast(ev.schema("value").dataType).as("value"),
+        lit(wmT1).as("ts"))
+      val base = Files.createDirectories(Paths.get(dir))
+      val mtime0 = System.currentTimeMillis()
+      val tmp = s"$dir/_tmpp"
+      primer.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, base.resolve("1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(base.resolve("1.parquet"), FileTime.fromMillis(mtime0))
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+      Seq(2, 3).zipWithIndex.foreach { case (i, pos) =>
+        val dst = base.resolve(s"$i.parquet")
+        Files.copy(Paths.get(src, s"$i.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + (pos + 1) * 2000L))
+      }
+    }
+    (hist, tail)
+  }
+
   case class UserState(n: Long, types: Seq[String])
 
   /** Custom keyed state via `mapGroupsWithState` (the brief's

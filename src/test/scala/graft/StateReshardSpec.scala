@@ -118,4 +118,39 @@ class StateReshardSpec extends SparkSpec {
     assert(migrated == control,
       s"re-sharded run diverged: ${(migrated diff control).take(5)} vs ${(control diff migrated).take(5)}")
   }
+
+  test("timer re-shard migrates LIVE islands: offline read non-empty, seeded phase closes them on 16 stores") {
+    // guards q180 against silently becoming a no-op migration: islands
+    // must actually cross the boundary, and the SEEDED phase must close
+    // them — proving the restored ListState and the re-armed timers both
+    // work on the new store count
+    val d = sf("sf0.001")
+    val (histDir, tailDir) = Streams.prepareTimerReshardSplit(spark, d)
+    Streams.drainToParquet(
+      Streams.timerSessions(Streams.lateArrivalStream(spark, histDir), 1800L),
+      "timrsh_spec8", "append").count()
+    val islands = StateReshard.readListState(
+        spark, Streams.checkpointFor("timrsh_spec8"), "pending")
+      .withColumnRenamed("key", "user_id")
+    val crossed = islands.collect().map(r =>
+      (r.getLong(0), r.getLong(r.fieldIndex("start_us")))).toSet
+    assert(crossed.nonEmpty,
+      "no live islands crossed the boundary — the migration exercises nothing")
+    spark.conf.set("graft.streaming.statePartitions", "16")
+    val phase2 =
+      try Streams.drainToParquet(
+        Streams.timerSessionsSeeded(Streams.lateArrivalStream(spark, tailDir), 1800L, islands),
+        "timrsh_spec16", "append")
+      finally spark.conf.unset("graft.streaming.statePartitions")
+    val stateDirs = new java.io.File(s"${Streams.checkpointFor("timrsh_spec16")}/state/0")
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit))
+    assert(stateDirs.map(_.toInt).sorted.toSeq == (0 until 16),
+      s"expected 16 state partitions, found: ${stateDirs.sorted.mkString(",")}")
+    // at least one MIGRATED island closed in phase 2 (same user + start —
+    // batch-2 rows are 7 days away, so a migrated island closes as-is)
+    val closed = phase2.select("user_id", "session_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(closed.intersect(crossed).nonEmpty,
+      "no migrated island was closed by the seeded phase — timers not re-armed?")
+  }
 }
