@@ -48,26 +48,11 @@ object FileSkipping {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    def files(): Set[String] =
-      if (!fs.exists(path)) Set.empty
-      else {
-        val out = Set.newBuilder[String]
-        val it = fs.listFiles(path, /* recursive = */ true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.toString
-        }
-        out.result()
-      }
-    val before = files()
+    val before = listParquet(fs, path)
     df.write.mode("append").parquet(dataDir)
-    val fresh = (files() -- before).toSeq.sorted
+    val fresh = (listParquet(fs, path) -- before).toSeq.sorted
     if (fresh.nonEmpty)
-      spark.read.parquet(fresh: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-          count(lit(1)).as("n_rows"))
-        .write.mode("append").parquet(manifestDir)
+      statsFor(spark, fresh, keyCol).write.mode("append").parquet(manifestDir)
   }
 
   /** FILE-LEVEL range delete (round-8 verdict: "nothing removes … the
@@ -108,23 +93,14 @@ object FileSkipping {
       .map(_.getString(0))
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    def listFiles(): Set[String] = {
-      val out = Set.newBuilder[String]
-      val it = fs.listFiles(path, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.toString
-      }
-      out.result()
-    }
     val fresh =
       if (partial.isEmpty) Seq.empty[String]
       else {
-        val before = listFiles()
+        val before = listParquet(fs, path)
         spark.read.parquet(partial.toIndexedSeq: _*)
           .filter(!(col(keyCol) >= lo && col(keyCol) <= hi))
           .write.mode("append").parquet(dataDir)
-        (listFiles() -- before).toSeq.sorted
+        (listParquet(fs, path) -- before).toSeq.sorted
       }
     (full ++ partial).foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     // manifest rewrite: surviving rows ∪ replacement stats — staged to a
@@ -135,18 +111,183 @@ object FileSkipping {
       broadcast(spark.createDataset(dropped.toSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
-    val next =
-      if (fresh.isEmpty) kept
-      else kept.unionByName(
-        spark.read.parquet(fresh: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-            count(lit(1)).as("n_rows")))
+    swapManifest(fs, manifestDir,
+      if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+    (full.length, partial.length)
+  }
+
+  /** Recursive parquet-file listing through the Hadoop FileSystem —
+    * shared by every mutation's before/after diff. */
+  private def listParquet(fs: org.apache.hadoop.fs.FileSystem,
+                          path: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(path)) Set.empty
+    else {
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(path, /* recursive = */ true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.toString
+      }
+      out.result()
+    }
+
+  /** Stage `next` beside the live manifest and swap it in — the lazy
+    * manifest read never races its own overwrite. */
+  private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           manifestDir: String, next: DataFrame): Unit = {
     val tmp = s"${manifestDir}__rewrite"
     next.write.mode("overwrite").parquet(tmp)
     fs.delete(new org.apache.hadoop.fs.Path(manifestDir), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(manifestDir))
-    (full.length, partial.length)
+    ()
+  }
+
+  /** Fresh per-file stats for `files` — one pass over the replacements. */
+  private def statsFor(spark: SparkSession, files: Seq[String], keyCol: String): DataFrame =
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** Keyed MERGE (upsert) costed by the manifest, not the table — the
+    * Delta-`MERGE INTO` shape without the table format. Given a small
+    * keyed `delta` (base's exact columns, one row per key):
+    *
+    *   - the manifest's range math finds the files whose [min_key,
+    *     max_key] can contain a delta key — ONLY those are ever read. A
+    *     key present in the table is by construction inside some file's
+    *     range, so untouched files provably hold no matched row;
+    *   - matched keys REPLACE their row; delta keys matched by no actual
+    *     row INSERT. Touched-file survivors + replacements + inserts are
+    *     re-written range-sorted on the key (clustering preserved), the
+    *     touched files retired, the manifest folded — cost
+    *     O(touched files + |delta|), never O(table).
+    *
+    * All joins broadcast `delta` (a MERGE delta is small by nature — the
+    * caller should cache it, it is used several times); the hit-file
+    * probe is a broadcast range semi-join against the |files|-row
+    * manifest. For deltas too big to broadcast, the upgrade path is a
+    * sorted-manifest interval join feeding a shuffle merge — at that
+    * point the operation is a bulk rewrite, not a MERGE. Same
+    * single-writer model as the rest of this object. Returns
+    * (files rewritten, files appended). */
+  def mergeKeyed(spark: SparkSession, dataDir: String, manifestDir: String,
+                 keyCol: String, delta: DataFrame): (Int, Int) = {
+    val man = spark.read.parquet(manifestDir)
+    val hit = man.join(
+        broadcast(delta.select(col(keyCol).as("__k")).distinct()),
+        coalesce(col("__k") >= col("min_key") && col("__k") <= col("max_key"), lit(false)),
+        "left_semi")
+      .select("file").collect().map(_.getString(0)).sorted
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val touched =
+      if (hit.isEmpty) spark.read.parquet(dataDir).limit(0)
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    val deltaKeys = delta.select(keyCol)
+    // keys matched by an ACTUAL row (not just a range) replace; the rest insert
+    val matchedKeys = touched.select(keyCol)
+      .join(broadcast(deltaKeys), Seq(keyCol), "left_semi").distinct()
+    val out = touched.join(broadcast(deltaKeys), Seq(keyCol), "left_anti")
+      .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi"))
+      .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti"))
+    val before = listParquet(fs, path)
+    out.repartitionByRange(math.max(1, hit.length), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("append").parquet(dataDir)
+    val fresh = (listParquet(fs, path) -- before).toSeq.sorted
+    hit.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val kept = man.join(
+      broadcast(spark.createDataset(hit.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")),
+      Seq("file"), "left_anti")
+    swapManifest(fs, manifestDir,
+      if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+    (hit.length, fresh.length)
+  }
+
+  /** Small-file compaction with manifest fold — the daily maintenance job
+    * of any streaming-ingested table (each micro-batch appends a file;
+    * after a week the listing, footer reads, and task scheduling are
+    * dominated by file COUNT, not bytes). Files under `smallBytes` are
+    * bin-planned from the manifest + listing (driver-bounded: |files|
+    * rows), re-clustered through ONE range exchange on the key — so the
+    * replacement files are keyspace-disjoint and range-sorted, i.e.
+    * compaction IMPROVES pruning rather than degrading it — and written
+    * as ~`ceil(small bytes / targetBytes)` files. Files at or above the
+    * threshold are never read or moved. Same single-writer model.
+    * Returns (files compacted, files written). */
+  def compactSmall(spark: SparkSession, dataDir: String, manifestDir: String,
+                   keyCol: String, smallBytes: Long, targetBytes: Long): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val lens: Map[String, Long] = listParquet(fs, path).map { f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+    }.toMap
+    val small = spark.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0))
+      .filter(f => lens.getOrElse(f, Long.MaxValue) < smallBytes).sorted
+    if (small.length < 2) return (0, 0)
+    val totalBytes = small.map(lens).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val before = listParquet(fs, path)
+    spark.read.parquet(small.toIndexedSeq: _*)
+      .repartitionByRange(nOut, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("append").parquet(dataDir)
+    val fresh = (listParquet(fs, path) -- before).toSeq.sorted
+    small.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val man = spark.read.parquet(manifestDir)
+    val kept = man.join(
+      broadcast(spark.createDataset(small.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")),
+      Seq("file"), "left_anti")
+    swapManifest(fs, manifestDir,
+      if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+    (small.length, fresh.length)
+  }
+
+  /** Per-file BLOOM manifest — point-lookup skipping on a column the
+    * layout is NOT sorted by. Range stats prune nothing there (every
+    * file's [min,max] spans the domain); a per-file bloom answers "could
+    * this file contain key k" in O(1) with no false negatives, which is
+    * how table formats serve needle-in-haystack lookups without a
+    * secondary index. One pass builds every file's bloom via a per-file
+    * aggregate (`aggregateByKey`, OR-merge — driver never sees keys).
+    * `nWords` fixes each bloom at `nWords·64` bits; size for the MAX
+    * expected distinct keys per file (8192 words = 64 KiB ≈ negligible
+    * FPR to ~50k keys/file; at 10⁵ files that is a ~6 GB manifest, which
+    * is why [[bloomPointRead]] probes it DISTRIBUTED, not collected). */
+  def buildBloomManifest(spark: SparkSession, dataDir: String, keyCol: String,
+                         nWords: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bloom
+    spark.read.parquet(dataDir)
+      .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+      .as[(String, Long)].rdd
+      .aggregateByKey(new Array[Long](nWords))(
+        (w, k) => { Bloom.add(w, k); w },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+      .toDF("file", "bloom")
+  }
+
+  /** Open only the files whose bloom admits at least one probe key. The
+    * bloom probe runs EXECUTOR-SIDE over the |files|-row manifest (a
+    * typed filter on manifest rows, not data rows — the hot path stays
+    * whole-stage codegen); only the admitted file NAMES come back to the
+    * driver. No false negatives by construction, so with the caller's
+    * residual `isin` filter the result is exact — false positives only
+    * cost an extra file open. */
+  def bloomPointRead(spark: SparkSession, dataDir: String, bloomManifestDir: String,
+                     keys: Array[Long]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bloom
+    val admitted = spark.read.parquet(bloomManifestDir)
+      .as[(String, Array[Long])]
+      .filter(fb => keys.exists(k => Bloom.mightContain(fb._2, k)))
+      .map(_._1).collect().sorted
+    if (admitted.isEmpty) spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(admitted.toIndexedSeq: _*)
   }
 
   /** Read only the files whose [min_key, max_key] intersects [lo, hi].

@@ -15,9 +15,12 @@ import graft.util.{Parity, Staging}
   * the 100 TB regime — incremental view maintenance (don't rescan the
   * base), two-pass heavy hitters (don't shuffle the long tail), corpus
   * LM quality scoring, z-order layout (prune on BOTH filter columns),
-  * deterministic negative sampling (map-only generation), and a
+  * deterministic negative sampling (map-only generation), a
   * bloom-prefiltered decontamination twin of q95 (membership pruning when
-  * the benchmark set outgrows a broadcast hash relation).
+  * the benchmark set outgrows a broadcast hash relation), and the
+  * manifest table's full write lifecycle — pruned read (q164), keyed
+  * MERGE (q181), compaction (q182), bloom point-skip (q183), range
+  * delete (q179).
   *
   * Every query stays oracle-exact: approximate structures (sample
   * candidates, bloom bits) only decide WHERE work happens; an exact
@@ -54,8 +57,23 @@ object ScaleOpsPack extends QueryPack {
         .write.mode("overwrite").parquet(s"$dir/manifest")
     }
 
+  /** q183: lineitem laid out as 32 part-sorted files plus a per-file
+    * BLOOM manifest on `l_orderkey` — the column the layout is NOT
+    * sorted by, so range stats prune nothing and only the bloom can
+    * skip files on a point lookup. Staged together (read-only probe). */
+  private def stagedPartLayout(s: SparkSession, d: String): String =
+    Staging.ensure(Staging.dirFor("lineitem_bypart", d), s"$d/lineitem.parquet") { dir =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      graft.io.FileSkipping.buildBloomManifest(s, s"$dir/data", "l_orderkey", 8192)
+        .write.mode("overwrite").parquet(s"$dir/bloom")
+    }
+
   override def stage(s: SparkSession, d: String): Unit = {
-    stagedView(s, d); stagedDateLayout(s, d); ()
+    stagedView(s, d); stagedDateLayout(s, d); stagedPartLayout(s, d); ()
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,6 +334,87 @@ object ScaleOpsPack extends QueryPack {
       s.read.parquet(s"$base/data")
         .groupBy(year(col("o_orderdate")).cast("long").as("y"))
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q181: keyed MERGE (upsert) costed by the manifest ─────────────
+    // The Delta-`MERGE INTO` shape without the table format, completing
+    // the manifest table's write lifecycle (q164 append, q179 delete,
+    // q182 compact): a small keyed delta of updates + brand-new keys is
+    // merged into a 16-file key-sorted table — the manifest's range math
+    // picks the files that can contain a delta key, ONLY those are read
+    // and rewritten (survivor rows + replacements, re-range-sorted), the
+    // inserts land beyond every file's range, the manifest folds. The
+    // query mutates its OWN fresh copy each run (a merge must be
+    // exercised, not replayed) and reads the merged table back; the
+    // oracle recomputes the merge set-theoretically over the source.
+    "q181_manifest_merge" -> { (s, d) =>
+      import graft.io.FileSkipping
+      val base = "/root/repo/target/scratch/q181_merge"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      // ~1% of keys update (×2 price — exact in double — re-prioritized);
+      // ~0.17% insert at key+10⁸, provably outside every file's range
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = orders.filter(col("o_orderkey") % 601 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("9-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
+        updates.unionByName(inserts))
+      s.read.parquet(s"$base/data")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q182: small-file compaction with manifest fold ────────────────
+    // The daily maintenance job of a streaming-ingested table: 48
+    // micro-batch-sized files re-clustered through one range exchange
+    // into a handful of keyspace-disjoint, range-sorted files; files at
+    // or above the size threshold are never read or moved. The oracle is
+    // the plain source aggregate — compaction must be a pure layout
+    // change, every row preserved exactly once to the penny; the file
+    // COUNT drop and untouched-big-file bytes are ScaleOpsSpec's side.
+    "q182_manifest_compaction" -> { (s, d) =>
+      import graft.io.FileSkipping
+      val base = "/root/repo/target/scratch/q182_compact"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      orders.repartitionByRange(48, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      FileSkipping.compactSmall(s, s"$base/data", s"$base/manifest", "o_orderdate",
+        smallBytes = 512 * 1024, targetBytes = 1024 * 1024)
+      s.read.parquet(s"$base/data")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q183: bloom-manifest POINT-lookup file skipping ───────────────
+    // The needle-in-haystack read range stats cannot serve: the layout
+    // is part-sorted, so every file's l_orderkey [min,max] spans the
+    // whole domain — yet an order's ~4 line items live in only a few
+    // files. The per-file bloom (no false negatives) admits just those;
+    // the residual isin keeps the answer exact, so false positives only
+    // cost a file open. The bloom probe itself runs executor-side over
+    // the manifest. ScaleOpsSpec measures the file-open reduction.
+    "q183_bloom_point_read" -> { (s, d) =>
+      val base = stagedPartLayout(s, d)
+      val probe = Array(11L, 4177L, 9973L)
+      graft.io.FileSkipping.bloomPointRead(s, s"$base/data", s"$base/bloom", probe)
+        .filter(col("l_orderkey").isin(probe.map(Long.box).toIndexedSeq: _*))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("l_extendedprice")).as("sum_price"))
     }
   )
 
@@ -336,6 +435,39 @@ object ScaleOpsPack extends QueryPack {
           FROM orders
           WHERE NOT (o_orderdate >= TIMESTAMP '1995-01-01'
                      AND o_orderdate <= TIMESTAMP '1995-12-31')
+          GROUP BY 1""",
+
+    // q181: the merged table recomputed set-theoretically — unmatched
+    // base rows ∪ updated rows ∪ inserted rows, same key arithmetic
+    "q181_manifest_merge" ->
+      s"""WITH up AS (SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+                        o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 97 = 0),
+          ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                    '9-MERGED' AS o_orderpriority,
+                    o_totalprice + 5 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 601 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up
+                     UNION ALL SELECT * FROM ins)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM merged GROUP BY 1""",
+
+    // q182: compaction is a pure layout change — the table must equal
+    // the source exactly, every row preserved once
+    "q182_manifest_compaction" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1""",
+
+    // q183: bloom skipping must be invisible to the answer — the plain
+    // point-lookup aggregate over the source table
+    "q183_bloom_point_read" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n,
+                 ${Sql.dsum("l_extendedprice")} AS sum_price
+          FROM lineitem WHERE l_orderkey IN (11, 4177, 9973)
           GROUP BY 1""",
 
     "q121_incremental_view" ->

@@ -97,6 +97,13 @@ object Bloom {
     }
   }
 
+  /** Public single-key insert — the per-group seqOp for keyed builds that
+    * need MANY independent blooms in one pass (per-file bloom manifests,
+    * [[graft.io.FileSkipping.buildBloomManifest]]), where the one-set
+    * [[build]]/[[buildDistributed]] entry points don't fit. Same bit
+    * positions as both, so parity properties carry over unchanged. */
+  def add(words: Array[Long], key: Long): Unit = set(words, key)
+
   def mightContain(words: Array[Long], key: Long): Boolean = {
     val mask = (words.length.toLong << 6) - 1
     val h1 = mix(key)

@@ -328,6 +328,187 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.count() == full.count() && pruned.count() > 0)
   }
 
+  test("mergeKeyed rewrites only range-hit files, inserts beyond-range keys, keeps the rest byte-identical") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_merge"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.01"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    def snapshot(): Map[String, (Long, Long)] =
+      new java.io.File(s"$localBase/data").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = snapshot()
+    // updates clustered in a narrow key band (hits 1–2 of 16 range-sorted
+    // files) + one insert beyond every file's range
+    val updates = orders.filter(col("o_orderkey").between(1000, 1030))
+      .withColumn("o_orderpriority", lit("X-UPD"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = spark.range(1).select(
+      lit(100000000L).as("o_orderkey"), lit("X-INS").as("o_orderpriority"),
+      lit(1.25).as("o_totalprice"))
+    val delta = updates.unionByName(inserts)
+    val (rewritten, appended) = FileSkipping.mergeKeyed(
+      spark, s"$localBase/data", s"$localBase/manifest", "o_orderkey", delta)
+    assert(rewritten >= 1 && rewritten <= 2,
+      s"a 31-key band over 16 range-sorted files should hit 1-2 files, hit $rewritten")
+    assert(appended >= 1)
+    val after = snapshot()
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.size == before.size - rewritten,
+      s"expected ${before.size - rewritten} untouched files, got ${survivors.size}")
+    assert(survivors.forall(k => before(k) == after(k)),
+      "a file outside the merge's key range was modified")
+    // content == the set-theoretic merge
+    val expected = orders.filter(!col("o_orderkey").between(1000, 1030))
+      .unionByName(updates).unionByName(inserts)
+    val merged = spark.read.parquet(s"$localBase/data")
+    assert(merged.count() == expected.count())
+    assert(merged.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(merged).count() == 0)
+    // manifest == full rebuild; pruned reads stay exact (incl. the insert)
+    val maintained = spark.read.parquet(s"$localBase/manifest")
+    val rebuilt = FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+    val pruned = FileSkipping.prunedRead(spark, s"$localBase/data", s"$localBase/manifest",
+        lit(99999999L), lit(100000001L))
+      .filter(col("o_orderkey").between(99999999L, 100000001L))
+    assert(pruned.count() == 1 && pruned.head.getString(1) == "X-INS")
+  }
+
+  test("mergeKeyed with no range hits takes the pure-insert path") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_merge_ins"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.coalesce(2).write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val inserts = spark.range(3).select(
+      (col("id") + 200000000L).as("o_orderkey"), lit("X-INS").as("o_orderpriority"),
+      lit(2.5).as("o_totalprice"))
+    val (rewritten, appended) = FileSkipping.mergeKeyed(
+      spark, s"$localBase/data", s"$localBase/manifest", "o_orderkey", inserts)
+    assert(rewritten == 0 && appended >= 1)
+    val merged = spark.read.parquet(s"$localBase/data")
+    assert(merged.count() == orders.count() + 3)
+    val maintained = spark.read.parquet(s"$localBase/manifest")
+    val rebuilt = FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+  }
+
+  test("compactSmall folds only sub-threshold files, leaves big files byte-identical, output is range-clustered") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_compact"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.01"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val split = orders.agg(percentile_approx(col("o_orderdate"), lit(0.5), lit(100)))
+      .head().get(0)
+    // one BIG file (the older half, ~7500 rows) + 12 small micro-batch files
+    orders.filter(col("o_orderdate") < lit(split))
+      .coalesce(1).write.mode("overwrite").parquet(s"$localBase/data")
+    orders.filter(col("o_orderdate") >= lit(split))
+      .repartitionByRange(12, col("o_orderdate")).sortWithinPartitions("o_orderdate")
+      .write.mode("append").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    def snapshot(): Map[String, (Long, Long)] =
+      new java.io.File(s"$localBase/data").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = snapshot()
+    val bigName = before.maxBy(_._2._1)._1
+    val smallTotal = before.filterNot(_._1 == bigName).values.map(_._1).sum
+    // threshold sits between the big file and every micro-batch file;
+    // target forces MULTIPLE output bins so disjointness is non-trivial
+    val (compacted, written) = FileSkipping.compactSmall(
+      spark, s"$localBase/data", s"$localBase/manifest", "o_orderdate",
+      smallBytes = before(bigName)._1, targetBytes = math.max(1, smallTotal / 3))
+    assert(compacted == 12, s"expected the 12 micro-batch files compacted, got $compacted")
+    assert(written >= 2 && written < 12, s"expected a handful of bins, got $written")
+    val after = snapshot()
+    assert(after(bigName) == before(bigName), "the big file was touched")
+    assert(after.size == before.size - compacted + written)
+    // pure layout change: content identical
+    val now = spark.read.parquet(s"$localBase/data")
+    assert(now.count() == orders.count())
+    assert(now.exceptAll(orders).count() == 0 && orders.exceptAll(now).count() == 0)
+    // manifest == rebuild
+    val maintained = spark.read.parquet(s"$localBase/manifest")
+    val rebuilt = FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderdate")
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+    // replacement files are keyspace-disjoint (range exchange): sorted by
+    // min_key, each file's max <= the next file's min (equal keys may
+    // share a boundary)
+    val freshNames = after.keySet -- before.keySet
+    val spans = maintained
+      .filter(col("file").isin(freshNames.map(n => s"file://$localBase/data/$n").toSeq: _*))
+      .orderBy("min_key")
+      .select(col("min_key").cast("string"), col("max_key").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))  // ISO text orders like the timestamp
+    assert(spans.length == written, s"fresh manifest rows ${spans.length} != written $written")
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"compacted files overlap: $hi > $lo2")
+      case _ =>
+    }
+    // pruning through the folded manifest stays exact
+    val lo = lit(split)
+    val hi = lit(split) + expr("INTERVAL 60 DAY")
+    val pruned = FileSkipping.prunedRead(spark, s"$localBase/data", s"$localBase/manifest", lo, hi)
+      .filter(col("o_orderdate").between(lo, hi))
+    val full = now.filter(col("o_orderdate").between(lo, hi))
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+  }
+
+  test("bloom manifest admits few files on a point lookup yet misses no row") {
+    val d = sf("sf0.01")
+    SparkEntry.stage(spark, d)
+    val base = util.Staging.dirFor("lineitem_bypart", d)
+    val total = spark.read.parquet(s"$base/data").inputFiles.length
+    val probe = Array(11L, 4177L, 9973L)
+    val admitted = graft.io.FileSkipping.bloomPointRead(
+      spark, s"$base/data", s"$base/bloom", probe)
+    val opened = admitted.inputFiles.length
+    // 3 orders × ~4 line items scattered over 32 part-sorted files: a
+    // range manifest on l_orderkey admits ALL files (every span covers
+    // the domain); the bloom must admit well under half
+    assert(total >= 16 && opened * 2 < total,
+      s"bloom barely pruned: opened $opened of $total files")
+    // no false negatives: the pruned read + residual equals the full scan
+    val viaBloom = admitted.filter(col("l_orderkey").isin(probe.map(Long.box).toIndexedSeq: _*))
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("l_orderkey").isin(probe.map(Long.box).toIndexedSeq: _*))
+    assert(viaBloom.count() == full.count() && viaBloom.count() > 0)
+    assert(viaBloom.exceptAll(full).count() == 0)
+    // range stats genuinely cannot serve this lookup: a min/max manifest
+    // on l_orderkey admits the bulk of the part-sorted layout (each file's
+    // span covers most of the key domain), and the bloom must beat it by
+    // a wide margin — otherwise its win is conflated with range pruning
+    val rangeAdmitted = graft.io.FileSkipping.buildManifest(spark, s"$base/data", "l_orderkey")
+      .filter(probe.map(k => col("min_key") <= lit(k) && col("max_key") >= lit(k))
+        .reduce(_ || _)).count()
+    assert(rangeAdmitted * 3 >= total * 2,
+      s"layout drifted: range stats admit only $rangeAdmitted of $total files — " +
+        "the bloom's win would be conflated with range pruning")
+    assert(opened * 2 < rangeAdmitted,
+      s"bloom ($opened files) did not materially beat range stats ($rangeAdmitted files)")
+    // absent key: admits (almost) nothing, returns zero rows after residual
+    val absent = graft.io.FileSkipping.bloomPointRead(
+      spark, s"$base/data", s"$base/bloom", Array(77777777L))
+    assert(absent.inputFiles.length <= 2, "absent-key FPR blew past sizing")
+    assert(absent.filter(col("l_orderkey") === 77777777L).count() == 0)
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
