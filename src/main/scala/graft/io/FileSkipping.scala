@@ -44,7 +44,7 @@ object FileSkipping {
     * would be mis-attributed to this append (the real fix at that point
     * is a transaction log, i.e. a table format). */
   def appendWithManifest(df: DataFrame, dataDir: String, manifestDir: String,
-                         keyCol: String): Unit = {
+                         keyCol: String, versionLog: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -53,6 +53,7 @@ object FileSkipping {
     val fresh = (listParquet(fs, path) -- before).toSeq.sorted
     if (fresh.nonEmpty)
       statsFor(spark, fresh, keyCol).write.mode("append").parquet(manifestDir)
+    versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
   }
 
   /** FILE-LEVEL range delete (round-8 verdict: "nothing removes … the
@@ -76,7 +77,8 @@ object FileSkipping {
     * see a retired file vanish (a table format's atomic commit is the
     * real fix at that point). Returns (retired-unread, rewritten). */
   def deleteRange(spark: SparkSession, dataDir: String, manifestDir: String,
-                  keyCol: String, lo: Column, hi: Column): (Int, Int) = {
+                  keyCol: String, lo: Column, hi: Column,
+                  versionLog: Option[String] = None): (Int, Int) = {
     val man = spark.read.parquet(manifestDir)
     // coalesce(false): an all-null stats row (0-row file from a previous
     // rewrite) is neither covered nor overlapping
@@ -102,7 +104,10 @@ object FileSkipping {
           .write.mode("append").parquet(dataDir)
         (listParquet(fs, path) -- before).toSeq.sorted
       }
-    (full ++ partial).foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // versioned mode: retired files stay on disk for older snapshots —
+    // VersionLog.vacuum is the physical delete
+    if (versionLog.isEmpty)
+      (full ++ partial).foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     // manifest rewrite: surviving rows ∪ replacement stats — staged to a
     // sibling dir and swapped in, so the lazy `man` read never races its
     // own overwrite
@@ -113,6 +118,7 @@ object FileSkipping {
       Seq("file"), "left_anti")
     swapManifest(fs, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+    versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (full.length, partial.length)
   }
 
@@ -170,9 +176,19 @@ object FileSkipping {
     * sorted-manifest interval join feeding a shuffle merge — at that
     * point the operation is a bulk rewrite, not a MERGE. Same
     * single-writer model as the rest of this object. Returns
-    * (files rewritten, files appended). */
+    * (files rewritten, files appended).
+    *
+    * `versionLog`: commit the post-merge manifest as a new snapshot and
+    * leave retired files for [[VersionLog.vacuum]]. `cdcDir`: append a
+    * CHANGE-DATA feed of this merge — `op` ∈ update_preimage /
+    * update_postimage / insert plus the table's columns, the Delta CDF
+    * row shape — costing one extra pass over (touched ∪ delta), never
+    * the table; downstream incremental consumers (a view maintainer,
+    * a replica) read the feed instead of diffing snapshots. */
   def mergeKeyed(spark: SparkSession, dataDir: String, manifestDir: String,
-                 keyCol: String, delta: DataFrame): (Int, Int) = {
+                 keyCol: String, delta: DataFrame,
+                 versionLog: Option[String] = None,
+                 cdcDir: Option[String] = None): (Int, Int) = {
     val man = spark.read.parquet(manifestDir)
     val hit = man.join(
         broadcast(delta.select(col(keyCol).as("__k")).distinct()),
@@ -191,18 +207,31 @@ object FileSkipping {
     val out = touched.join(broadcast(deltaKeys), Seq(keyCol), "left_anti")
       .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi"))
       .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti"))
+    // change feed BEFORE any file is retired: pre-images come from the
+    // touched files, which the in-place mode deletes below
+    cdcDir.foreach { dir =>
+      touched.join(broadcast(deltaKeys), Seq(keyCol), "left_semi")
+        .select(lit("update_preimage").as("op") +: touched.columns.map(col): _*)
+        .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi")
+          .select(lit("update_postimage").as("op") +: delta.columns.map(col): _*))
+        .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
+          .select(lit("insert").as("op") +: delta.columns.map(col): _*))
+        .write.mode("append").parquet(dir)
+    }
     val before = listParquet(fs, path)
     out.repartitionByRange(math.max(1, hit.length), col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("append").parquet(dataDir)
     val fresh = (listParquet(fs, path) -- before).toSeq.sorted
-    hit.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    if (versionLog.isEmpty)
+      hit.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     val kept = man.join(
       broadcast(spark.createDataset(hit.toIndexedSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
     swapManifest(fs, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+    versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (hit.length, fresh.length)
   }
 
@@ -218,7 +247,8 @@ object FileSkipping {
     * threshold are never read or moved. Same single-writer model.
     * Returns (files compacted, files written). */
   def compactSmall(spark: SparkSession, dataDir: String, manifestDir: String,
-                   keyCol: String, smallBytes: Long, targetBytes: Long): (Int, Int) = {
+                   keyCol: String, smallBytes: Long, targetBytes: Long,
+                   versionLog: Option[String] = None): (Int, Int) = {
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val lens: Map[String, Long] = listParquet(fs, path).map { f =>
@@ -236,7 +266,8 @@ object FileSkipping {
       .sortWithinPartitions(keyCol)
       .write.mode("append").parquet(dataDir)
     val fresh = (listParquet(fs, path) -- before).toSeq.sorted
-    small.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    if (versionLog.isEmpty)
+      small.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     val man = spark.read.parquet(manifestDir)
     val kept = man.join(
       broadcast(spark.createDataset(small.toIndexedSeq)(
@@ -244,6 +275,7 @@ object FileSkipping {
       Seq("file"), "left_anti")
     swapManifest(fs, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+    versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (small.length, fresh.length)
   }
 
@@ -288,6 +320,45 @@ object FileSkipping {
       .map(_._1).collect().sorted
     if (admitted.isEmpty) spark.read.parquet(dataDir).limit(0)
     else spark.read.parquet(admitted.toIndexedSeq: _*)
+  }
+
+  /** EXACTLY-ONCE streaming ingest slot — the write path that feeds the
+    * manifest table from a stream (q184). `foreachBatch` delivers
+    * at-least-once, so both the DATA and the MANIFEST land in per-batch
+    * slots written with overwrite: a crash-replayed batch REPLACES its
+    * own partial output (data files AND stats rows) instead of
+    * duplicating it — the whole exactly-once contract, with no
+    * transaction log needed while each batch owns its slot. Stats are
+    * one pass over the slot's committed files (the [[appendWithManifest]]
+    * economics), and the flat layout's before/after-listing race
+    * disappears: the slot is private to its batch id, so a concurrent
+    * writer can never be mis-attributed. Hand the table to batch
+    * maintenance with [[finalizeIngest]]. */
+  def ingestBatch(batch: DataFrame, batchId: Long, dataDir: String,
+                  manifestDir: String, keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val slot = s"$dataDir/b$batchId"
+    batch.write.mode("overwrite").parquet(slot)
+    val p = new org.apache.hadoop.fs.Path(slot)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    statsFor(spark, listParquet(fs, p).toSeq.sorted, keyCol)
+      .write.mode("overwrite").parquet(s"$manifestDir/b$batchId")
+  }
+
+  /** Hand a stream-ingested table over to the batch-maintenance world:
+    * fold the per-batch manifest slots into the flat single-writer
+    * layout every other operation here reads (|files| rows — trivial).
+    * After this, compaction / MERGE / delete / pruned reads treat the
+    * ingested slot files like any other files (their manifest rows carry
+    * absolute paths, so the data may stay in its `b<id>` directories —
+    * typically until [[compactSmall]] folds the micro-batch files
+    * anyway). Run only once the stream is stopped or quiesced: this is
+    * the streaming→batch ownership handoff, not a concurrent operation. */
+  def finalizeIngest(spark: SparkSession, manifestDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val flat = spark.read.option("recursiveFileLookup", "true").parquet(manifestDir)
+    swapManifest(fs, manifestDir, flat)
   }
 
   /** Read only the files whose [min_key, max_key] intersects [lo, hi].

@@ -20,7 +20,8 @@ import graft.util.{Parity, Staging}
   * the benchmark set outgrows a broadcast hash relation), and the
   * manifest table's full write lifecycle — pruned read (q164), keyed
   * MERGE (q181), compaction (q182), bloom point-skip (q183), range
-  * delete (q179).
+  * delete (q179), streaming ingest through a crash (q184), version-log
+  * time travel (q185), and the merge's CDC feed (q186).
   *
   * Every query stays oracle-exact: approximate structures (sample
   * candidates, bloom bits) only decide WHERE work happens; an exact
@@ -415,6 +416,107 @@ object ScaleOpsPack extends QueryPack {
         .filter(col("l_orderkey").isin(probe.map(Long.box).toIndexedSeq: _*))
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ── q184: streaming ingest INTO the manifest table, through a crash ─
+    // The 100 TB ingestion path end-to-end: the staged 3-file event
+    // replay drains through foreachBatch into per-batch data+manifest
+    // slots (FileSkipping.ingestBatch) with a simulated crash mid-batch-1
+    // — the at-least-once replay must land exactly-once because each
+    // batch owns its slots — then the manifest folds flat
+    // (finalizeIngest), the micro-batch files compact through one range
+    // exchange, and the result is a PRUNED read of the first week.
+    // The oracle is the plain source aggregate over the same window: any
+    // duplicated or lost row from the crash, the manifest handoff, or
+    // compaction shows up to the penny.
+    "q184_stream_ingest_table" -> { (s, d) =>
+      import graft.io.FileSkipping
+      import graft.streaming.Streams
+      val base = "/root/repo/target/scratch/q184_ingest"
+      graft.util.Staging.deleteRecursive(base)
+      val src = Streams.prepareLateArrivalFiles(s, d)
+      Streams.drainWithCrashRecoveryInto(
+        () => Streams.lateArrivalStream(s, src), "q184_ingest", "append", 1) {
+        (b, id) => FileSkipping.ingestBatch(b, id, s"$base/data", s"$base/manifest", "ts")
+      }
+      FileSkipping.finalizeIngest(s, s"$base/manifest")
+      FileSkipping.compactSmall(s, s"$base/data", s"$base/manifest", "ts",
+        smallBytes = 64L * 1024 * 1024, targetBytes = 8L * 1024 * 1024)
+      val ev = Tables.events(s, d)
+      val t0 = ev.agg(date_trunc("DAY", min(col("ts")))).head().getTimestamp(0)
+      val t1 = new java.sql.Timestamp(t0.getTime + 7L * 86400 * 1000)
+      FileSkipping.prunedRead(s, s"$base/data", s"$base/manifest", lit(t0), lit(t1))
+        .filter(col("ts") >= lit(t0) && col("ts") < lit(t1))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+    },
+
+    // ── q185: version log — snapshot isolation / time travel ──────────
+    // The reader guarantee every mutation's scaladoc deferred to "a real
+    // table format": mutations in versioned mode snapshot the manifest
+    // (|files| rows) and stop deleting retired files, so a reader pinned
+    // to v0 replays the ORIGINAL table bit-for-bit after a MERGE and a
+    // range delete have both retired its files from the head. The query
+    // returns v0 and head aggregates side by side; the oracle recomputes
+    // both set-theoretically — time travel must be exact, not best-effort.
+    "q185_version_travel" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      val base = "/root/repo/target/scratch/q185_versions"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val vlog = Some(s"$base/versions")
+      VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
+        updates, versionLog = vlog) // v1
+      FileSkipping.deleteRange(s, s"$base/data", s"$base/manifest", "o_orderkey",
+        lit(1L), lit(3000L), versionLog = vlog) // v2
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.groupBy(lit(snap).as("snap"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+      agg(VersionLog.readVersion(s, s"$base/versions", 0), "v0")
+        .unionByName(agg(VersionLog.readVersion(s, s"$base/versions",
+          VersionLog.head(s, s"$base/versions")), "head"))
+    },
+
+    // ── q186: MERGE change-data feed (CDC) ────────────────────────────
+    // The Delta-CDF shape: the merge emits its own change rows
+    // (update_preimage / update_postimage / insert) in one extra pass
+    // over (touched ∪ delta) — the feed an incremental view maintainer
+    // or replica consumes instead of diffing table snapshots at
+    // O(table). The oracle recomputes all three row classes from the
+    // source with the same key arithmetic.
+    "q186_merge_cdc_feed" -> { (s, d) =>
+      import graft.io.FileSkipping
+      val base = "/root/repo/target/scratch/q186_cdc"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = orders.filter(col("o_orderkey") % 601 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("9-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
+        updates.unionByName(inserts), cdcDir = Some(s"$base/cdc"))
+      s.read.parquet(s"$base/cdc")
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -469,6 +571,50 @@ object ScaleOpsPack extends QueryPack {
                  ${Sql.dsum("l_extendedprice")} AS sum_price
           FROM lineitem WHERE l_orderkey IN (11, 4177, 9973)
           GROUP BY 1""",
+
+    // q184: crash + replay + manifest handoff + compaction must be
+    // invisible — the plain first-week aggregate over the source
+    "q184_stream_ingest_table" ->
+      s"""WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) AS t0,
+                       date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1 FROM e)
+          SELECT event_type, COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
+          FROM e, b WHERE t >= b.t0 AND t < b.t1
+          GROUP BY 1""",
+
+    // q185: v0 = the untouched source; head = merge then range delete,
+    // recomputed set-theoretically
+    "q185_version_travel" ->
+      s"""WITH up AS (SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+                        o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 97 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up),
+          headt AS (SELECT * FROM merged
+                    WHERE o_orderkey NOT BETWEEN 1 AND 3000)
+          SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1, 2
+          UNION ALL
+          SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM headt GROUP BY 1, 2""",
+
+    // q186: the three change classes recomputed from the source — pre
+    // images at original values, post images doubled, inserts shifted
+    "q186_merge_cdc_feed" ->
+      s"""WITH cdc AS (
+            SELECT 'update_preimage' AS op, o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT 'update_postimage' AS op, o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT 'insert' AS op, o_totalprice + 5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 601 = 0)
+          SELECT op, COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM cdc GROUP BY 1""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

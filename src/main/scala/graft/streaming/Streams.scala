@@ -821,14 +821,42 @@ object Streams {
   def drainWithCrashRecovery(mkQuery: () => DataFrame, name: String,
                              outputMode: String, crashAtBatch: Long): DataFrame = {
     val path = s"/root/repo/target/scratch/sink_$name"
-    val ckpt = checkpointFor(name)
     graft.util.Staging.deleteRecursive(path)
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+    val spark = drainWithCrashRecoveryInto(mkQuery, name, outputMode, crashAtBatch) {
+      (batch, batchId) =>
+        outSchema = batch.schema
+        batch.write.mode("overwrite").parquet(s"$path/b$batchId")
+    }
+    // union of the per-batch sink dirs; recursive lookup so `b0/`, `b1/`
+    // read as plain nested dirs, not inferred partition columns; pinned
+    // schema so an all-empty sink still reads back typed
+    spark.read.schema(outSchema)
+      .option("recursiveFileLookup", "true").parquet(path)
+  }
+
+  /** The crash/replay harness of [[drainWithCrashRecovery]] with a
+    * CALLER-SUPPLIED sink body — for sinks that are more than a parquet
+    * slot write, e.g. the manifest-maintaining table ingest of
+    * [[graft.io.FileSkipping.ingestBatch]] (q184), where each batch
+    * must land data AND stats. The contract transfers unchanged: the
+    * body MUST be idempotent by batch id, because attempt 1 crashes
+    * AFTER the body ran for `crashAtBatch` but BEFORE that batch
+    * commits, so the restarted query feeds the same batch through the
+    * body a second time. All of [[drainWithCrashRecovery]]'s
+    * self-checks (crash really fired, commit log gained the crashed
+    * batch only after recovery) apply. Returns the session, for
+    * callers to read their sink back. */
+  def drainWithCrashRecoveryInto(mkQuery: () => DataFrame, name: String,
+      outputMode: String, crashAtBatch: Long)(
+      body: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): SparkSession = {
+    val ckpt = checkpointFor(name)
     graft.util.Staging.deleteRecursive(ckpt)
     @volatile var crashed = false // foreachBatch body runs on the driver
     def start(df: DataFrame) = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/b$batchId")
+        body(batch, batchId)
         if (batchId == crashAtBatch && !crashed) {
           crashed = true
           throw new SimulatedCrash(batchId)
@@ -841,7 +869,6 @@ object Streams {
       else d.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).toSet
     }
     val first = mkQuery()
-    val outSchema = first.schema
     withStatePartitions(first.sparkSession) {
       val q1 = start(first)
       try {
@@ -863,10 +890,7 @@ object Streams {
       require(committedBatches().contains(crashAtBatch),
         s"recovered run never replayed batch $crashAtBatch")
     }
-    // union of the per-batch sink dirs; recursive lookup so `b0/`, `b1/`
-    // read as plain nested dirs, not inferred partition columns
-    first.sparkSession.read.schema(outSchema)
-      .option("recursiveFileLookup", "true").parquet(path)
+    first.sparkSession
   }
 
   /** A pending (not yet watermark-closed) gap-island of one user's

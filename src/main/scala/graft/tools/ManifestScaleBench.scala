@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-maintenance asymptotics sweep (round 9).
+  *
+  * The write-lifecycle claims (q179/q181/q182/q183) are all of the form
+  * "costed by the manifest, not the table" — O(touched files + |delta|)
+  * MERGE, O(boundary files) delete, point reads that open a handful of
+  * files. A claim about asymptotics needs a measured curve: this probe
+  * holds the DELTA fixed and grows the TABLE, so the flat per-op wall
+  * IS the evidence (and the one arm that must grow linearly — the
+  * formatless full-rewrite a table without a manifest performs — is
+  * measured beside it as the contrast).
+  *
+  * Per table size n (files × rowsPerFile rows, key-range-sorted so the
+  * manifest's range math has real pruning power):
+  *
+  *   - merge:   256 updates confined to ONE file's key band + 32
+  *              inserts beyond every range → expect wall ~constant in n
+  *   - delete:  a key range covering ~2 interior files + 2 boundary
+  *              slivers → expect wall ~constant in n
+  *   - bloom:   3-key point read via the per-file bloom manifest on an
+  *              UNSORTED column → report files opened vs total
+  *   - rewrite: the formatless contrast — full table ∪ delta rewritten
+  *              → expect wall ~linear in n
+  *
+  * One `MANIFEST_SCALE:` JSON line per (n, op). Not part of the
+  * per-round driver protocol; numbers → BASELINE.md.
+  *
+  * Env: SPARK_GRAFT_MSB_FILES (default "8,32,128"),
+  * SPARK_GRAFT_MSB_ROWS_PER_FILE (default 250000), SPARK_GRAFT_CPUS.
+  */
+object ManifestScaleBench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val fileCounts = sys.env.getOrElse("SPARK_GRAFT_MSB_FILES", "8,32,128")
+      .split(",").map(_.trim.toInt).toSeq
+    val rowsPerFile = sys.env.getOrElse("SPARK_GRAFT_MSB_ROWS_PER_FILE", "250000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder().appName("graft-manifest-scale")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")),
+      shufflePartitions = cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.io.FileSkipping
+
+    val scratch = "/root/repo/target/scratch/manifest_scale"
+    fileCounts.foreach { nFiles =>
+      val rows = nFiles * rowsPerFile
+      val base = s"$scratch/n$nFiles"
+      graft.util.Staging.deleteRecursive(base)
+      // key-sorted table: key = row id; an unsorted probe column for the
+      // bloom arm; two payload cols so files have realistic width
+      // needle-shaped probe column: ~4 rows per probe value, scattered
+      // uniformly — the "one order's line items" lookup shape, so the
+      // true-positive file set stays ~constant while the table grows
+      val probeDomain = math.max(1L, rows / 4)
+      val (_, stageSec) = time {
+        spark.range(rows).select(
+            col("id").as("key"),
+            pmod(hash(col("id")), lit(probeDomain)).cast("long").as("probe"),
+            (col("id") % 997 / 7.0).as("v"),
+            md5(col("id").cast("string")).as("payload"))
+          .repartitionByRange(nFiles, col("key"))
+          .sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$base/data")
+        FileSkipping.buildManifest(spark, s"$base/data", "key")
+          .write.mode("overwrite").parquet(s"$base/manifest")
+      }
+      println(s"""MANIFEST_SCALE: {"op":"stage","files":$nFiles,"rows":$rows,"wall_sec":$stageSec}""")
+
+      // ── merge: fixed delta, one-file band + beyond-range inserts ──
+      val bandLo = rowsPerFile / 2
+      val delta = spark.range(bandLo, bandLo + 256).select(
+          col("id").as("key"), lit(-1L).as("probe"), lit(9.9).as("v"),
+          lit("MERGED").as("payload"))
+        .unionByName(spark.range(32).select((col("id") + rows + 1000000L).as("key"),
+          lit(-2L).as("probe"), lit(8.8).as("v"), lit("INSERTED").as("payload")))
+        .cache()
+      delta.count()
+      val ((hit, appended), mergeSec) = time {
+        FileSkipping.mergeKeyed(spark, s"$base/data", s"$base/manifest", "key", delta)
+      }
+      println(s"""MANIFEST_SCALE: {"op":"merge","files":$nFiles,"rows":$rows,"wall_sec":$mergeSec,"files_rewritten":$hit,"files_appended":$appended}""")
+      delta.unpersist()
+
+      // ── delete: ~2 interior files + 2 boundary slivers ────────────
+      val lo = 2 * rowsPerFile - rowsPerFile / 4
+      val hi = 4 * rowsPerFile + rowsPerFile / 4
+      val ((retired, rewritten), delSec) = time {
+        FileSkipping.deleteRange(spark, s"$base/data", s"$base/manifest", "key",
+          lit(lo), lit(hi))
+      }
+      println(s"""MANIFEST_SCALE: {"op":"delete","files":$nFiles,"rows":$rows,"wall_sec":$delSec,"files_retired_unread":$retired,"files_rewritten":$rewritten}""")
+
+      // ── bloom point read on the UNSORTED probe column ─────────────
+      // sized at the engine's own rule (~16 bits per expected distinct
+      // key per file, pow-2 words): an undersized bloom saturates and
+      // admits everything — the first run of this bench proved it at
+      // 8192 words vs ~220k distinct probes/file
+      val nWords = Integer.highestOneBit(math.max(64, rowsPerFile * 16 / 64).toInt * 2 - 1)
+      val (_, bloomBuildSec) = time {
+        FileSkipping.buildBloomManifest(spark, s"$base/data", "probe", nWords)
+          .write.mode("overwrite").parquet(s"$base/bloom")
+      }
+      val probeKeys = Array(17L, probeDomain / 2, probeDomain - 1)
+      val ((opened, total, found), bloomSec) = time {
+        val admitted = FileSkipping.bloomPointRead(spark, s"$base/data", s"$base/bloom", probeKeys)
+        val n = admitted.filter(col("probe").isin(probeKeys.map(Long.box).toIndexedSeq: _*)).count()
+        (admitted.inputFiles.length, spark.read.parquet(s"$base/manifest").count(), n)
+      }
+      println(s"""MANIFEST_SCALE: {"op":"bloom_point","files":$nFiles,"rows":$rows,"wall_sec":$bloomSec,"bloom_build_sec":$bloomBuildSec,"files_opened":$opened,"files_total":$total,"rows_found":$found}""")
+
+      // ── the formatless contrast: full-table rewrite for the same merge ─
+      val delta2 = spark.range(128).select((col("id") + rows + 5000000L).as("key"),
+        lit(-3L).as("probe"), lit(7.7).as("v"), lit("MERGED2").as("payload"))
+      val (_, rewriteSec) = time {
+        spark.read.parquet(s"$base/data")
+          .join(broadcast(delta2.select("key")), Seq("key"), "left_anti")
+          .unionByName(delta2)
+          .repartitionByRange(nFiles, col("key"))
+          .sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$base/rewrite")
+      }
+      println(s"""MANIFEST_SCALE: {"op":"full_rewrite","files":$nFiles,"rows":$rows,"wall_sec":$rewriteSec}""")
+      graft.util.Staging.deleteRecursive(s"$base/rewrite")
+    }
+    spark.stop()
+  }
+}

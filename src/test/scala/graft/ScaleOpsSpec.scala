@@ -470,6 +470,136 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.count() == full.count() && pruned.count() > 0)
   }
 
+  test("version log: pinned snapshots replay exactly; vacuum deletes only dead files") {
+    import graft.io.{FileSkipping, VersionLog}
+    val localBase = "/root/repo/target/scratch/fskip_versions"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val vdir = s"$localBase/versions"
+    assert(VersionLog.commit(spark, vdir, s"$localBase/manifest") == 0)
+    val updates = orders.filter(col("o_orderkey") % 53 === 0)
+      .withColumn("o_orderpriority", lit("X-UPD"))
+    FileSkipping.mergeKeyed(spark, s"$localBase/data", s"$localBase/manifest",
+      "o_orderkey", updates, versionLog = Some(vdir))
+    FileSkipping.deleteRange(spark, s"$localBase/data", s"$localBase/manifest",
+      "o_orderkey", lit(1L), lit(300L), versionLog = Some(vdir))
+    assert(VersionLog.head(spark, vdir) == 2)
+    // snapshot isolation: v0 replays the ORIGINAL table although the head
+    // has retired its files twice since
+    val v0 = VersionLog.readVersion(spark, vdir, 0)
+    assert(v0.count() == orders.count())
+    assert(v0.exceptAll(orders).count() == 0 && orders.exceptAll(v0).count() == 0)
+    // head == the set-theoretic expectation, and == the live manifest's view
+    val expected = orders.filter(col("o_orderkey") % 53 =!= 0).unionByName(updates)
+      .filter(!col("o_orderkey").between(1L, 300L))
+    val headV = VersionLog.readVersion(spark, vdir, 2)
+    assert(headV.exceptAll(expected).count() == 0 && expected.exceptAll(headV).count() == 0)
+    val live = spark.read.parquet(s"$localBase/manifest")
+    val snap = VersionLog.manifestAt(spark, vdir, 2)
+    assert(live.exceptAll(snap).count() == 0 && snap.exceptAll(live).count() == 0)
+    // vacuum to head only: both old versions dropped, dead files really
+    // deleted, every head-referenced file survives, head still replays
+    def onDisk(): Set[String] =
+      new java.io.File(s"$localBase/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val beforeVacuum = onDisk()
+    val headFiles = snap.select("file").collect()
+      .map(f => new java.io.File(f.getString(0).stripPrefix("file:")).getName).toSet
+    val (deadCount, droppedVersions) = VersionLog.vacuum(spark, s"$localBase/data", vdir, 1)
+    assert(droppedVersions == 2 && deadCount > 0)
+    assert(!new java.io.File(s"$vdir/v0").exists() && !new java.io.File(s"$vdir/v1").exists())
+    val afterVacuum = onDisk()
+    assert(afterVacuum == headFiles, "vacuum left orphans or deleted a live file")
+    assert((beforeVacuum -- afterVacuum).size == deadCount)
+    val replay = VersionLog.readVersion(spark, vdir, 2)
+    assert(replay.exceptAll(expected).count() == 0 && expected.exceptAll(replay).count() == 0)
+  }
+
+  test("merge CDC feed pairs pre/post images and isolates inserts") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_cdc"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.coalesce(4).write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val updates = orders.filter(col("o_orderkey") % 53 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = spark.range(2).select((col("id") + 300000000L).as("o_orderkey"),
+      lit("X-INS").as("o_orderpriority"), lit(1.5).as("o_totalprice"))
+    FileSkipping.mergeKeyed(spark, s"$localBase/data", s"$localBase/manifest",
+      "o_orderkey", updates.unionByName(inserts), cdcDir = Some(s"$localBase/cdc"))
+    val cdc = spark.read.parquet(s"$localBase/cdc").cache()
+    try {
+      val pre = cdc.filter(col("op") === "update_preimage")
+      val post = cdc.filter(col("op") === "update_postimage")
+      val ins = cdc.filter(col("op") === "insert")
+      // every pre has exactly one post at the doubled price, same key set
+      assert(pre.count() == updates.count() && post.count() == updates.count())
+      assert(pre.select("o_orderkey").exceptAll(post.select("o_orderkey")).count() == 0)
+      val priced = pre.select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"))
+        .join(post.select(col("o_orderkey"), col("o_totalprice").as("p")), Seq("o_orderkey", "p"))
+      assert(priced.count() == updates.count(), "postimage price is not the doubled preimage")
+      assert(ins.count() == 2 &&
+        ins.filter(col("o_orderkey") >= 300000000L).count() == 2)
+      // the feed replays the table delta: base + post + ins - pre == merged table
+      val merged = spark.read.parquet(s"$localBase/data")
+      val replayed = orders.unionByName(post.drop("op")).unionByName(ins.drop("op"))
+        .exceptAll(pre.drop("op"))
+      assert(merged.exceptAll(replayed).count() == 0 && replayed.exceptAll(merged).count() == 0)
+    } finally cdc.unpersist()
+  }
+
+  test("streaming ingest slots land exactly-once through a mid-batch crash; manifest == rebuild") {
+    import graft.io.FileSkipping
+    import graft.streaming.Streams
+    val d = sf("sf0.001")
+    val localBase = "/root/repo/target/scratch/fskip_ingest"
+    graft.util.Staging.deleteRecursive(localBase)
+    val src = Streams.prepareLateArrivalFiles(spark, d)
+    // crash mid-batch-1: slot b1 holds partial-then-replaced output, and
+    // the harness itself asserts the commit log gained batch 1 only
+    // after the recovered run
+    Streams.drainWithCrashRecoveryInto(
+      () => Streams.lateArrivalStream(spark, src), "fskip_ingest", "append", 1) {
+      (b, id) => FileSkipping.ingestBatch(b, id, s"$localBase/data", s"$localBase/manifest", "ts")
+    }
+    // one slot pair per micro-batch
+    (0 to 2).foreach { i =>
+      assert(new java.io.File(s"$localBase/data/b$i").isDirectory, s"missing data slot b$i")
+      assert(new java.io.File(s"$localBase/manifest/b$i").isDirectory, s"missing manifest slot b$i")
+    }
+    // exactly-once: the table equals the staged source, no dup, no loss
+    val staged = spark.read.parquet(src)
+    val table = spark.read.option("recursiveFileLookup", "true").parquet(s"$localBase/data")
+    assert(table.count() == staged.count())
+    assert(table.exceptAll(staged).count() == 0 && staged.exceptAll(table).count() == 0)
+    // handoff: flattened manifest == full rebuild over the slot files
+    FileSkipping.finalizeIngest(spark, s"$localBase/manifest")
+    val maintained = spark.read.parquet(s"$localBase/manifest")
+    val files = maintained.select("file").collect().map(_.getString(0)).sorted
+    val rebuilt = spark.read.parquet(files.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("min_key"), max(col("ts")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+    // batch maintenance now owns the table: compaction folds the
+    // micro-batch slot files and content survives exactly
+    val (compacted, written) = FileSkipping.compactSmall(
+      spark, s"$localBase/data", s"$localBase/manifest", "ts",
+      smallBytes = 64L * 1024 * 1024, targetBytes = 256L * 1024 * 1024)
+    assert(compacted == 3 && written == 1, s"expected 3 slots -> 1 file, got $compacted -> $written")
+    val after = spark.read.option("recursiveFileLookup", "true").parquet(s"$localBase/data")
+    assert(after.exceptAll(staged).count() == 0 && staged.exceptAll(after).count() == 0)
+  }
+
   test("bloom manifest admits few files on a point lookup yet misses no row") {
     val d = sf("sf0.01")
     SparkEntry.stage(spark, d)
