@@ -322,6 +322,40 @@ object FileSkipping {
     else spark.read.parquet(admitted.toIndexedSeq: _*)
   }
 
+  /** MULTI-COLUMN manifest — the Iceberg per-file column-metrics shape:
+    * one row per file with `min_<c>`/`max_<c>` for EVERY listed column
+    * (plus `n_rows`). A single-key manifest prunes only its sort key; a
+    * z-ordered layout bounds every interleaved column's per-file extent
+    * at once, so this manifest turns ONE layout into file-level pruning
+    * on EACH filter column — the `OPTIMIZE ZORDER BY` + column-stats
+    * combination, one level above the row-group stats the z-order
+    * queries (q124/q134) already measure. */
+  def buildManifestMulti(spark: SparkSession, dataDir: String,
+                         keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val stats = keyCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(stats.head, stats.tail :+ count(lit(1)).as("n_rows"): _*)
+  }
+
+  /** Open only the files whose per-column extents intersect EVERY
+    * requested range — conjunctive multi-dimensional file skipping over
+    * [[buildManifestMulti]]'s stats. Superset semantics as always: the
+    * caller's residual predicate makes the answer exact. */
+  def prunedReadMulti(spark: SparkSession, dataDir: String, manifestDir: String,
+                      ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one range")
+    val admit = ranges.map { case (c, lo, hi) =>
+      coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi, lit(false))
+    }.reduce(_ && _)
+    val files = spark.read.parquet(manifestDir)
+      .filter(admit).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** EXACTLY-ONCE streaming ingest slot — the write path that feeds the
     * manifest table from a stream (q184). `foreachBatch` delivers
     * at-least-once, so both the DATA and the MANIFEST land in per-batch

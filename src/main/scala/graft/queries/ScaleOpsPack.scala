@@ -73,8 +73,30 @@ object ScaleOpsPack extends QueryPack {
         .write.mode("overwrite").parquet(s"$dir/bloom")
     }
 
+  /** q187: lineitem z-ordered on an (x, y) plane derived by the
+    * replayable keyHash from two DIFFERENT source columns (so both
+    * coordinates cover the full 0..255 range at every scale factor —
+    * raw l_suppkey tops out at 100 at sf0.01), as 32 z-sorted files
+    * plus a MULTI-column manifest carrying each file's extents in BOTH
+    * dims — the layout that lets one table serve file-pruned reads on
+    * either filter column (read-only probe, staged once per sfDir). */
+  private def stagedZLayout(s: SparkSession, d: String): String =
+    Staging.ensure(Staging.dirFor("lineitem_zorder", d), s"$d/lineitem.parquet") { dir =>
+      Tables.lineitem(s, d)
+        .select(pmod(Parity.keyHash(col("l_orderkey")), lit(256L)).as("x"),
+          pmod(Parity.keyHash(col("l_partkey") * 131), lit(256L)).as("y"),
+          col("l_extendedprice"))
+        .withColumn("z", ZOrder.zValue(col("x"), col("y"), 8))
+        .repartitionByRange(32, col("z")).sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      graft.io.FileSkipping.buildManifestMulti(s, s"$dir/data", Seq("x", "y"))
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
   override def stage(s: SparkSession, d: String): Unit = {
-    stagedView(s, d); stagedDateLayout(s, d); stagedPartLayout(s, d); ()
+    stagedView(s, d); stagedDateLayout(s, d); stagedPartLayout(s, d)
+    stagedZLayout(s, d); ()
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -517,6 +539,23 @@ object ScaleOpsPack extends QueryPack {
       s.read.parquet(s"$base/cdc")
         .groupBy("op")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q187: multi-column manifest × z-order — 2D FILE skipping ──────
+    // q124/q134 proved z-order's row-group pruning; this is the same
+    // property one level up, where 100 TB actually hurts: the manifest
+    // carries every file's extents in BOTH interleaved dims, so a 2D box
+    // (1/64 of the plane) opens a handful of the 32 files, and a probe
+    // on EITHER single column still prunes — one layout, two pruned
+    // access paths (ScaleOpsSpec measures both, plus the x-sorted
+    // contrast layout that cannot prune y). The residual filter keeps
+    // the answer oracle-exact.
+    "q187_zorder_multidim_skip" -> { (s, d) =>
+      val base = stagedZLayout(s, d)
+      graft.io.FileSkipping.prunedReadMulti(s, s"$base/data", s"$base/manifest",
+          Seq(("x", lit(64L), lit(95L)), ("y", lit(160L), lit(191L))))
+        .filter(col("x").between(64L, 95L) && col("y").between(160L, 191L))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("l_extendedprice")).as("sum_price"))
     }
   )
 
@@ -615,6 +654,14 @@ object ScaleOpsPack extends QueryPack {
             FROM orders WHERE o_orderkey % 601 = 0)
           SELECT op, COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
           FROM cdc GROUP BY 1""",
+
+    // q187: 2D file skipping must be invisible — the plain box aggregate
+    // over the same keyHash-derived coordinates
+    "q187_zorder_multidim_skip" ->
+      s"""SELECT COUNT(*) AS n, ${Sql.dsum("l_extendedprice")} AS sum_price
+          FROM lineitem
+          WHERE (${Sql.keyHash("l_orderkey")} % 256) BETWEEN 64 AND 95
+            AND (${Sql.keyHash("(l_partkey * 131)")} % 256) BETWEEN 160 AND 191""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

@@ -639,6 +639,50 @@ class ScaleOpsSpec extends SparkSpec {
     assert(absent.filter(col("l_orderkey") === 77777777L).count() == 0)
   }
 
+  test("multi-column manifest on the z-layout file-prunes each dimension; a 1D-sorted layout cannot") {
+    import graft.io.FileSkipping
+    val d = sf("sf0.01")
+    SparkEntry.stage(spark, d)
+    val base = util.Staging.dirFor("lineitem_zorder", d)
+    val total = spark.read.parquet(s"$base/manifest").count()
+    assert(total >= 16)
+    // 2D box (1/64 of the plane): opens a small fraction of the files
+    val box = FileSkipping.prunedReadMulti(spark, s"$base/data", s"$base/manifest",
+      Seq(("x", lit(64L), lit(95L)), ("y", lit(160L), lit(191L))))
+    assert(box.inputFiles.length * 4 <= total,
+      s"2D box opened ${box.inputFiles.length} of $total files")
+    // exact after residual
+    val resid = box.filter(col("x").between(64L, 95L) && col("y").between(160L, 191L))
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("x").between(64L, 95L) && col("y").between(160L, 191L))
+    assert(resid.count() == full.count() && resid.count() > 0)
+    // EITHER single dimension prunes from the one z-layout — the
+    // property a 1D sort cannot give
+    val xOnly = FileSkipping.prunedReadMulti(spark, s"$base/data", s"$base/manifest",
+      Seq(("x", lit(64L), lit(95L))))
+    val yOnly = FileSkipping.prunedReadMulti(spark, s"$base/data", s"$base/manifest",
+      Seq(("y", lit(160L), lit(191L))))
+    assert(xOnly.inputFiles.length * 2 <= total,
+      s"x-only probe opened ${xOnly.inputFiles.length} of $total")
+    assert(yOnly.inputFiles.length * 2 <= total,
+      s"y-only probe opened ${yOnly.inputFiles.length} of $total")
+    // contrast: the same table sorted by x ALONE — y extents span the
+    // domain in every file, the y probe admits (almost) everything
+    val localBase = "/root/repo/target/scratch/fskip_xsorted"
+    graft.util.Staging.deleteRecursive(localBase)
+    spark.read.parquet(s"$base/data")
+      .repartitionByRange(32, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifestMulti(spark, s"$localBase/data", Seq("x", "y"))
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val totalX = spark.read.parquet(s"$localBase/manifest").count()
+    val yOnSorted = FileSkipping.prunedReadMulti(spark, s"$localBase/data", s"$localBase/manifest",
+      Seq(("y", lit(160L), lit(191L))))
+    assert(yOnSorted.inputFiles.length * 4 >= totalX * 3,
+      s"x-sorted layout unexpectedly pruned the y probe: " +
+        s"${yOnSorted.inputFiles.length} of $totalX — the z-layout's win would be conflated")
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
