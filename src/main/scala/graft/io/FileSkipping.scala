@@ -122,6 +122,35 @@ object FileSkipping {
     (full.length, partial.length)
   }
 
+  /** Files whose [min_key, max_key] can contain at least one key of the
+    * single-column `keys` frame — a broadcast range semi-join against
+    * the \|files\|-row manifest, shared by the MERGE's hit probe and
+    * [[semiJoinRead]]. */
+  private def rangeHitFiles(manifest: DataFrame, keys: DataFrame): Array[String] =
+    manifest.join(
+        broadcast(keys.toDF("__k").distinct()),
+        coalesce(col("__k") >= col("min_key") && col("__k") <= col("max_key"), lit(false)),
+        "left_semi")
+      .select("file").collect().map(_.getString(0)).sorted
+
+  /** DYNAMIC FILE PRUNING — the read side of the MERGE's range probe:
+    * open only the files whose key range can contain a key of the
+    * (small) driving set, the manifest-level analog of Spark's dynamic
+    * partition pruning for tables that are range-CLUSTERED rather than
+    * partitioned-by-value. The classic shape: a selective dimension
+    * filter drives which fact files are read at all — at 100 TB the
+    * difference between scanning the week's files and scanning the
+    * table. Superset semantics as always (a range can admit keys that
+    * don't exist); the caller's join/filter stays exact. `keys` must be
+    * broadcast-small — it is collected into the probe twice removed
+    * (distinct + semi-join), same economics as the MERGE delta. */
+  def semiJoinRead(spark: SparkSession, dataDir: String, manifestDir: String,
+                   keys: DataFrame): DataFrame = {
+    val hit = rangeHitFiles(spark.read.parquet(manifestDir), keys)
+    if (hit.isEmpty) spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(hit.toIndexedSeq: _*)
+  }
+
   /** Recursive parquet-file listing through the Hadoop FileSystem —
     * shared by every mutation's before/after diff. */
   private def listParquet(fs: org.apache.hadoop.fs.FileSystem,
@@ -190,11 +219,7 @@ object FileSkipping {
                  versionLog: Option[String] = None,
                  cdcDir: Option[String] = None): (Int, Int) = {
     val man = spark.read.parquet(manifestDir)
-    val hit = man.join(
-        broadcast(delta.select(col(keyCol).as("__k")).distinct()),
-        coalesce(col("__k") >= col("min_key") && col("__k") <= col("max_key"), lit(false)),
-        "left_semi")
-      .select("file").collect().map(_.getString(0)).sorted
+    val hit = rangeHitFiles(man, delta.select(col(keyCol)))
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val touched =

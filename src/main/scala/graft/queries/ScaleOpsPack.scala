@@ -556,6 +556,29 @@ object ScaleOpsPack extends QueryPack {
           Seq(("x", lit(64L), lit(95L)), ("y", lit(160L), lit(191L))))
         .filter(col("x").between(64L, 95L) && col("y").between(160L, 191L))
         .agg(count(lit(1)).as("n"), Parity.dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ── q188: DYNAMIC FILE PRUNING (manifest semi-join read) ──────────
+    // The read side of the MERGE's range probe, and the manifest-level
+    // analog of Spark's dynamic partition pruning for range-CLUSTERED
+    // (not partitioned-by-value) tables: a tiny driving dimension — a
+    // deterministic ~1/601 sample of distinct order dates — decides
+    // which fact files are opened at all via a broadcast range
+    // semi-join against the manifest; the residual broadcast join keeps
+    // the answer exact. At 100 TB this is "scan the week's files, not
+    // the table". ScaleOpsSpec measures the file-open bound (≤ one file
+    // per driving date on the range-sorted layout).
+    "q188_dynamic_file_pruning" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = stagedDateLayout(s, d)
+      val dates = Tables.orders(s, d).select(col("o_orderdate")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("o_orderdate"))))
+        .filter(pmod(col("rn"), lit(601)) === 1)
+        .select(col("o_orderdate"))
+      graft.io.FileSkipping.semiJoinRead(s, s"$base/data", s"$base/manifest", dates)
+        .join(broadcast(dates), Seq("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -662,6 +685,17 @@ object ScaleOpsPack extends QueryPack {
           FROM lineitem
           WHERE (${Sql.keyHash("l_orderkey")} % 256) BETWEEN 64 AND 95
             AND (${Sql.keyHash("(l_partkey * 131)")} % 256) BETWEEN 160 AND 191""",
+
+    // q188: file pruning must be invisible — the plain dimension join
+    // with the same deterministic date sample
+    "q188_dynamic_file_pruning" ->
+      s"""WITH dd AS (SELECT o_orderdate FROM (
+                SELECT o_orderdate, ROW_NUMBER() OVER (ORDER BY o_orderdate) AS rn
+                FROM (SELECT DISTINCT o_orderdate FROM orders))
+              WHERE rn % 601 = 1)
+          SELECT o_orderpriority, COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders JOIN dd USING (o_orderdate)
+          GROUP BY 1""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

@@ -683,6 +683,31 @@ class ScaleOpsSpec extends SparkSpec {
         s"${yOnSorted.inputFiles.length} of $totalX — the z-layout's win would be conflated")
   }
 
+  test("dynamic file pruning opens at most one file per driving date and stays exact") {
+    import graft.io.FileSkipping
+    import org.apache.spark.sql.expressions.Window
+    val d = sf("sf0.01")
+    SparkEntry.stage(spark, d)
+    val base = util.Staging.dirFor("orders_bydate", d)
+    val total = spark.read.parquet(s"$base/manifest").count()
+    val dates = graft.io.Tables.orders(spark, d).select(col("o_orderdate")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderdate"))))
+      .filter(pmod(col("rn"), lit(601)) === 1)
+      .select(col("o_orderdate"))
+    val nDates = dates.count()
+    assert(nDates >= 3, s"driving set too small ($nDates) to exercise pruning")
+    val pruned = FileSkipping.semiJoinRead(spark, s"$base/data", s"$base/manifest", dates)
+    val opened = pruned.inputFiles.length
+    // range-sorted layout: each scattered date lives in exactly one file
+    assert(opened <= nDates, s"opened $opened files for $nDates driving dates")
+    assert(opened * 2 < total, s"barely pruned: $opened of $total files")
+    // exact after the residual join
+    val viaPruned = pruned.join(broadcast(dates), Seq("o_orderdate"))
+    val viaFull = spark.read.parquet(s"$base/data").join(broadcast(dates), Seq("o_orderdate"))
+    assert(viaPruned.count() == viaFull.count() && viaPruned.count() > 0)
+    assert(viaPruned.exceptAll(viaFull).count() == 0)
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
