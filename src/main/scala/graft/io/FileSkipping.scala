@@ -74,11 +74,16 @@ object FileSkipping {
     *
     * Same single-writer model as the rest of this object; a concurrent
     * reader between the data-file deletes and the manifest rewrite can
-    * see a retired file vanish (a table format's atomic commit is the
-    * real fix at that point). Returns (retired-unread, rewritten). */
+    * see a retired file vanish — unless `versionLog` is set, which
+    * defers the physical delete to [[VersionLog.vacuum]] and gives
+    * pinned readers snapshot isolation. `cdcDir` appends the deleted
+    * rows as `delete` pre-images (the Delta-CDF delete half) at the
+    * explicit price of reading the otherwise-unread covered files once.
+    * Returns (retired-unread, rewritten). */
   def deleteRange(spark: SparkSession, dataDir: String, manifestDir: String,
                   keyCol: String, lo: Column, hi: Column,
-                  versionLog: Option[String] = None): (Int, Int) = {
+                  versionLog: Option[String] = None,
+                  cdcDir: Option[String] = None): (Int, Int) = {
     val man = spark.read.parquet(manifestDir)
     // coalesce(false): an all-null stats row (0-row file from a previous
     // rewrite) is neither covered nor overlapping
@@ -95,6 +100,20 @@ object FileSkipping {
       .map(_.getString(0))
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // change feed: the deleted rows as `delete` pre-images — the CDC
+    // trade is explicit: covered files are normally retired UNREAD, but
+    // a delete feed must read them once (O(deleted rows) — the same
+    // price Delta pays to write CDF files on DELETE). Written while
+    // every victim file is still on disk.
+    cdcDir.foreach { dir =>
+      val victims = full ++ partial
+      if (victims.nonEmpty) {
+        val vdf = spark.read.parquet(victims.toIndexedSeq: _*)
+          .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+        vdf.select(lit("delete").as("op") +: vdf.columns.map(col): _*)
+          .write.mode("append").parquet(dir)
+      }
+    }
     val fresh =
       if (partial.isEmpty) Seq.empty[String]
       else {

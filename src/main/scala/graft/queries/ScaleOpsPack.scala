@@ -579,6 +579,32 @@ object ScaleOpsPack extends QueryPack {
         .join(broadcast(dates), Seq("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q189: range-delete CDC feed — the delete half of the CDF ──────
+    // q186 emits the merge's change classes; this completes the feed
+    // with `delete` pre-images from the range delete. The trade is
+    // explicit and paid knowingly: covered files are normally retired
+    // UNREAD (q179's whole point), but a change feed must read the
+    // victims once — O(deleted rows), the price Delta pays to write CDF
+    // files on DELETE. The oracle recomputes the deleted set from the
+    // source; the spec proves survivors ∪ feed == source exactly once.
+    "q189_delete_cdc_feed" -> { (s, d) =>
+      import graft.io.FileSkipping
+      val base = "/root/repo/target/scratch/q189_delcdc"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      FileSkipping.deleteRange(s, s"$base/data", s"$base/manifest", "o_orderkey",
+        lit(1000L), lit(4000L), cdcDir = Some(s"$base/cdc"))
+      s.read.parquet(s"$base/cdc")
+        .groupBy("op", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -696,6 +722,13 @@ object ScaleOpsPack extends QueryPack {
           SELECT o_orderpriority, COUNT(*) AS n, ${Sql.dsum("o_totalprice")} AS sum_price
           FROM orders JOIN dd USING (o_orderdate)
           GROUP BY 1""",
+
+    // q189: the delete feed recomputed from the source range
+    "q189_delete_cdc_feed" ->
+      s"""SELECT 'delete' AS op, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+          GROUP BY 1, 2""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

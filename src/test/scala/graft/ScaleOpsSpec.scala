@@ -556,6 +556,31 @@ class ScaleOpsSpec extends SparkSpec {
     } finally cdc.unpersist()
   }
 
+  test("delete CDC feed reconstitutes the source: survivors ∪ feed == table, exactly once") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_delcdc"
+    graft.util.Staging.deleteRecursive(localBase)
+    val orders = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val (retired, rewritten) = FileSkipping.deleteRange(
+      spark, s"$localBase/data", s"$localBase/manifest", "o_orderkey",
+      lit(200L), lit(900L), cdcDir = Some(s"$localBase/cdc"))
+    assert(retired + rewritten > 0, "delete touched nothing — feed not exercised")
+    val feed = spark.read.parquet(s"$localBase/cdc")
+    assert(feed.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("delete"))
+    val expectedDeleted = orders.filter(col("o_orderkey").between(200L, 900L))
+    assert(feed.count() == expectedDeleted.count() && feed.count() > 0)
+    assert(feed.drop("op").exceptAll(expectedDeleted).count() == 0)
+    // survivors ∪ feed == the original table, row-exact
+    val survivors = spark.read.parquet(s"$localBase/data")
+    val rebuilt = survivors.unionByName(feed.drop("op"))
+    assert(rebuilt.exceptAll(orders).count() == 0 && orders.exceptAll(rebuilt).count() == 0)
+  }
+
   test("streaming ingest slots land exactly-once through a mid-batch crash; manifest == rebuild") {
     import graft.io.FileSkipping
     import graft.streaming.Streams
