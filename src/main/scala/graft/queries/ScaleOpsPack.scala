@@ -21,7 +21,9 @@ import graft.util.{Parity, Staging}
   * manifest table's full write lifecycle — pruned read (q164), keyed
   * MERGE (q181), compaction (q182), bloom point-skip (q183), range
   * delete (q179), streaming ingest through a crash (q184), version-log
-  * time travel (q185), and the merge's CDC feed (q186).
+  * time travel (q185), change feeds from merge and delete (q186, q189),
+  * 2D file skipping over the z-order layout (q187), and dynamic file
+  * pruning through a manifest semi-join (q188).
   *
   * Every query stays oracle-exact: approximate structures (sample
   * candidates, bloom bits) only decide WHERE work happens; an exact
@@ -605,6 +607,59 @@ object ScaleOpsPack extends QueryPack {
       s.read.parquet(s"$base/cdc")
         .groupBy("op", "o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ── q190: incremental view maintenance FROM the change feed ───────
+    // The reason change feeds exist: a downstream aggregate stays
+    // current by consuming the merge's CDC rows with signed weights
+    // (pre-image −1, post-image/insert +1) — the base table is NEVER
+    // rescanned after the view is first built (plan-spec-pinned: the
+    // maintenance reads only view + feed). Decimal sums make the
+    // arithmetic exact, so the maintained view equals a full rebuild of
+    // the merged table bit-for-bit — which is exactly what the oracle
+    // computes. Completes the q121 story: there the delta was re-read
+    // from the base; here it arrives as the mutation's own feed.
+    "q190_cdc_view_maintenance" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      import graft.io.FileSkipping
+      val base = "/root/repo/target/scratch/q190_cdcview"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      // the maintained view, built once BEFORE the merge
+      orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4))).as("sum_dec"))
+        .write.mode("overwrite").parquet(s"$base/view")
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = orders.filter(col("o_orderkey") % 601 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("9-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
+        updates.unionByName(inserts), cdcDir = Some(s"$base/cdc"))
+      // maintenance: ONLY the staged view + the feed
+      val delta = s.read.parquet(s"$base/cdc")
+        .withColumn("w",
+          when(col("op") === "update_preimage", lit(-1L)).otherwise(lit(1L)))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("w")).as("dn"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4)) * col("w")).as("dsum_dec"))
+      s.read.parquet(s"$base/view")
+        .join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("sum_dec").cast(DecimalType(38, 8)), lit(0).cast(DecimalType(38, 8))) +
+            coalesce(col("dsum_dec").cast(DecimalType(38, 8)), lit(0).cast(DecimalType(38, 8))))
+            .cast("double").as("sum_price"))
+        .filter(col("n") > 0)
     }
   )
 
@@ -729,6 +784,24 @@ object ScaleOpsPack extends QueryPack {
                  ${Sql.dsum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
           GROUP BY 1, 2""",
+
+    // q190: the maintained view must equal a FULL REBUILD of the merged
+    // table — recomputed set-theoretically, same arithmetic as q181
+    "q190_cdc_view_maintenance" ->
+      s"""WITH up AS (SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+                        o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 97 = 0),
+          ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                    '9-MERGED' AS o_orderpriority,
+                    o_totalprice + 5 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 601 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up
+                     UNION ALL SELECT * FROM ins)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM merged GROUP BY 1""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

@@ -733,6 +733,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaPruned.exceptAll(viaFull).count() == 0)
   }
 
+  test("q190 CDC maintenance plan reads only the view and the feed, never the base table") {
+    val d = sf("sf0.001")
+    val df = SparkEntry.queries("q190_cdc_view_maintenance")(spark, d)
+    assert(df.count() > 0)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case _ if p.children.isEmpty => Seq(p)
+      case _ => p.children.flatMap(leaves)
+    }
+    val scanned = leaves(df.queryExecution.executedPlan).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(p => p.contains("/view") || p.contains("/cdc")),
+      s"maintenance scanned beyond view+feed: ${scanned.mkString(", ")}")
+  }
+
   test("incremental view merge plan never shuffles the view (broadcast-only joins)") {
     val d = sf("sf0.001")
     val df = SparkEntry.queries("q121_incremental_view")(spark, d)
