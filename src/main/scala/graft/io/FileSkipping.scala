@@ -166,9 +166,16 @@ object FileSkipping {
   def semiJoinRead(spark: SparkSession, dataDir: String, manifestDir: String,
                    keys: DataFrame): DataFrame = {
     val hit = rangeHitFiles(spark.read.parquet(manifestDir), keys)
-    if (hit.isEmpty) spark.read.parquet(dataDir).limit(0)
+    if (hit.isEmpty) emptyLike(spark, dataDir)
     else spark.read.parquet(hit.toIndexedSeq: _*)
   }
+
+  /** Zero-row frame carrying the table's schema — the empty-admit branch
+    * of every pruned read. Footer-only, and RECURSIVE so it also works on
+    * slot-resident layouts (post-[[ingestBatch]], pre-[[compactSmall]])
+    * where no parquet file sits at the top level of `dataDir`. */
+  private def emptyLike(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dataDir).limit(0)
 
   /** Recursive parquet-file listing through the Hadoop FileSystem —
     * shared by every mutation's before/after diff. */
@@ -242,7 +249,7 @@ object FileSkipping {
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val touched =
-      if (hit.isEmpty) spark.read.parquet(dataDir).limit(0)
+      if (hit.isEmpty) emptyLike(spark, dataDir)
       else spark.read.parquet(hit.toIndexedSeq: _*)
     val deltaKeys = delta.select(keyCol)
     // keys matched by an ACTUAL row (not just a range) replace; the rest insert
@@ -362,7 +369,7 @@ object FileSkipping {
       .as[(String, Array[Long])]
       .filter(fb => keys.exists(k => Bloom.mightContain(fb._2, k)))
       .map(_._1).collect().sorted
-    if (admitted.isEmpty) spark.read.parquet(dataDir).limit(0)
+    if (admitted.isEmpty) emptyLike(spark, dataDir)
     else spark.read.parquet(admitted.toIndexedSeq: _*)
   }
 
@@ -396,7 +403,7 @@ object FileSkipping {
     }.reduce(_ && _)
     val files = spark.read.parquet(manifestDir)
       .filter(admit).select("file").collect().map(_.getString(0))
-    if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+    if (files.isEmpty) emptyLike(spark, dataDir)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
@@ -451,7 +458,7 @@ object FileSkipping {
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       // preserve the data schema on an empty admit (footer-only read)
-      spark.read.parquet(dataDir).limit(0)
+      emptyLike(spark, dataDir)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 }

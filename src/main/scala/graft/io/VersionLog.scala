@@ -21,11 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     cost of time travel = retired-but-retained bytes, the same trade
   *     Delta/Iceberg `VACUUM`/`expire_snapshots` make.
   *
-  * Still single-writer (versions are claimed by directory name, not a
-  * CAS); what this buys over the in-place layout is WRITER/READER
-  * isolation, which is the concurrency a 100 TB analytics table actually
-  * needs day-to-day. Multi-WRITER commits need an atomic log append
-  * (DynamoDB lock / Iceberg catalog swap) — out of scope, documented. */
+  * The operating model stays single-writer, but the commit slot is
+  * claimed with an atomic exclusive create ([[commit]]): a racing
+  * second writer fails LOUDLY instead of silently clobbering a version.
+  * What the log buys over the in-place layout is WRITER/READER
+  * isolation — the concurrency a 100 TB analytics table actually needs
+  * day-to-day. True multi-writer (content-level conflict
+  * re-validation, atomic log append on plain S3) needs a lock service
+  * or catalog swap — out of scope, documented at [[commit]]. */
 object VersionLog {
 
   private def fsFor(spark: SparkSession, dir: String) = {
@@ -42,11 +45,30 @@ object VersionLog {
       .map(_.drop(1).toInt).foldLeft(-1)(math.max)
   }
 
-  /** Snapshot the live manifest as version head+1. Returns the new
-    * version. Called by every versioned mutation AFTER its manifest
-    * swap, so the head version always mirrors the live manifest. */
+  /** Snapshot the live manifest as version head+1, CLAIMING the version
+    * number first with an atomic exclusive create (`FileSystem.create
+    * (…, overwrite = false)` — atomic on local and HDFS; plain S3 needs
+    * conditional puts or a lock service, the same boundary every
+    * file-log table format has). Called by every versioned mutation
+    * AFTER its manifest swap, so the head version always mirrors the
+    * live manifest. A concurrent committer cannot silently clobber a
+    * version: the loser fails LOUDLY with
+    * `ConcurrentModificationException` and must re-run its mutation
+    * against the new head — optimistic concurrency at the slot level
+    * (content-level conflict re-validation, Delta's next layer up,
+    * stays out of scope and documented). Returns the new version. */
   def commit(spark: SparkSession, versionsDir: String, manifestDir: String): Int = {
+    val (fs, p) = fsFor(spark, versionsDir)
+    if (!fs.exists(p)) fs.mkdirs(p)
     val v = head(spark, versionsDir) + 1
+    val claim = new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v")
+    try fs.create(claim, /* overwrite = */ false).close()
+    catch {
+      case _: java.io.IOException if fs.exists(claim) =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $v of $versionsDir already claimed by another writer — " +
+            "re-run the mutation against the new head")
+    }
     spark.read.parquet(manifestDir)
       .write.mode("overwrite").parquet(s"$versionsDir/v$v")
     v
@@ -90,6 +112,7 @@ object VersionLog {
     dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (0 until cutoff).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v"), false)
     }
     (dead.length, cutoff)
   }

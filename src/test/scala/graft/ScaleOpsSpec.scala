@@ -520,6 +520,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(replay.exceptAll(expected).count() == 0 && expected.exceptAll(replay).count() == 0)
   }
 
+  test("version commit claims its slot atomically: a planted claim fails loudly, log unchanged") {
+    import graft.io.{FileSkipping, VersionLog}
+    val localBase = "/root/repo/target/scratch/fskip_claim"
+    graft.util.Staging.deleteRecursive(localBase)
+    graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_totalprice").coalesce(2)
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val vdir = s"$localBase/versions"
+    assert(VersionLog.commit(spark, vdir, s"$localBase/manifest") == 0)
+    assert(VersionLog.commit(spark, vdir, s"$localBase/manifest") == 1)
+    // another writer has claimed v2: this committer must fail loudly and
+    // leave the log untouched — never silently clobber the slot
+    new java.io.File(s"$vdir/.claim-v2").createNewFile()
+    intercept[java.util.ConcurrentModificationException] {
+      VersionLog.commit(spark, vdir, s"$localBase/manifest")
+    }
+    assert(VersionLog.head(spark, vdir) == 1)
+    assert(!new java.io.File(s"$vdir/v2").exists())
+    // vacuum clears superseded claims along with their versions
+    VersionLog.vacuum(spark, s"$localBase/data", vdir, 1)
+    assert(!new java.io.File(s"$vdir/.claim-v0").exists())
+    assert(new java.io.File(s"$vdir/v1").exists())
+  }
+
   test("merge CDC feed pairs pre/post images and isolates inserts") {
     import graft.io.FileSkipping
     val localBase = "/root/repo/target/scratch/fskip_cdc"
