@@ -133,6 +133,57 @@ object ManifestScaleBench {
       println(s"""MANIFEST_SCALE: {"op":"full_rewrite","files":$nFiles,"rows":$rows,"wall_sec":$rewriteSec}""")
       graft.util.Staging.deleteRecursive(s"$base/rewrite")
     }
+
+    // ── versioned-mode A/B at one mid size: what snapshot isolation
+    // costs. Same merge/delete deltas as above on a fresh copy, with a
+    // version log; then vacuum to head. The interesting numbers are the
+    // wall DELTA vs in-place (expected ~0 — the physical delete moves,
+    // nothing else changes) and the retained-bytes the log holds until
+    // vacuum (the storage price of time travel).
+    {
+      import graft.io.{FileSkipping, VersionLog}
+      val nFiles = 32
+      val rows = nFiles * rowsPerFile
+      val base = s"$scratch/versioned"
+      graft.util.Staging.deleteRecursive(base)
+      spark.range(rows).select(
+          col("id").as("key"),
+          (col("id") % 997 / 7.0).as("v"),
+          md5(col("id").cast("string")).as("payload"))
+        .repartitionByRange(nFiles, col("key"))
+        .sortWithinPartitions("key")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(spark, s"$base/data", "key")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val vdir = s"$base/versions"
+      VersionLog.commit(spark, vdir, s"$base/manifest")
+      def dataBytes(): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$base/data")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getContentSummary(p).getLength
+      }
+      val bytes0 = dataBytes()
+      val bandLo = rowsPerFile / 2
+      val delta = spark.range(bandLo, bandLo + 256).select(
+        col("id").as("key"), lit(9.9).as("v"), lit("MERGED").as("payload"))
+      val (_, vMergeSec) = time {
+        FileSkipping.mergeKeyed(spark, s"$base/data", s"$base/manifest", "key",
+          delta, versionLog = Some(vdir))
+      }
+      val (_, vDelSec) = time {
+        FileSkipping.deleteRange(spark, s"$base/data", s"$base/manifest", "key",
+          lit(2 * rowsPerFile - rowsPerFile / 4), lit(4 * rowsPerFile + rowsPerFile / 4),
+          versionLog = Some(vdir))
+      }
+      val bytesRetained = dataBytes()
+      val ((deadFiles, droppedVersions), vacSec) = time {
+        VersionLog.vacuum(spark, s"$base/data", vdir, retainLast = 1)
+      }
+      val bytesAfter = dataBytes()
+      println(s"""MANIFEST_SCALE: {"op":"versioned_merge","files":$nFiles,"rows":$rows,"wall_sec":$vMergeSec}""")
+      println(s"""MANIFEST_SCALE: {"op":"versioned_delete","files":$nFiles,"rows":$rows,"wall_sec":$vDelSec}""")
+      println(s"""MANIFEST_SCALE: {"op":"vacuum","files":$nFiles,"rows":$rows,"wall_sec":$vacSec,"files_deleted":$deadFiles,"versions_dropped":$droppedVersions,"data_bytes_base":$bytes0,"data_bytes_retained":$bytesRetained,"data_bytes_after_vacuum":$bytesAfter}""")
+    }
     spark.stop()
   }
 }
