@@ -105,6 +105,29 @@ object Multimodal {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** Stage a DIRECTORY of real `.png` FILES (one per sampled doc,
+    * `img_<doc_id>.png`) — the raw-object-store layout a multimodal lake
+    * ingests with Spark's `binaryFile` source (q191), as opposed to the
+    * parquet-packed corpus of [[prepareImageFiles]] it graduates to.
+    * Sampled 1/29 of docs so the file count stays a directory, not a
+    * small-files problem, at every sf; a planted non-png decoy proves
+    * the reader's glob actually filters. Driver-side encode: the sample
+    * is a few hundred ~1 KB PNGs. */
+  def prepareImageDirectory(spark: SparkSession, sfDir: String): String =
+    graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("binimg", sfDir), s"$sfDir/documents.parquet") { dir =>
+      import java.nio.file.{Files, Paths}
+      Files.createDirectories(Paths.get(dir))
+      val ids = graft.io.Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"))
+        .filter(pmod(col("doc_id"), lit(29)) === 0)
+        .collect().map(_.getLong(0))
+      ids.foreach(id => Files.write(Paths.get(dir, s"img_$id.png"), syntheticPng(id)))
+      Files.write(Paths.get(dir, "README.txt"),
+        "decoy: binaryFile's pathGlobFilter must exclude this".getBytes("UTF-8"))
+      ()
+    }
+
   /** The staged image corpus as a typed media dataset. */
   def imageTable(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
     import spark.implicits._

@@ -27,6 +27,7 @@ object MultimodalPack extends QueryPack {
     Multimodal.prepareImageFiles(spark, sfDir)
     Multimodal.prepareVideoFiles(spark, sfDir)
     Multimodal.prepareAudioFiles(spark, sfDir)
+    Multimodal.prepareImageDirectory(spark, sfDir)
     ()
   }
 
@@ -50,6 +51,30 @@ object MultimodalPack extends QueryPack {
     "q68_media_resize" -> { (s, d) =>
       Multimodal.resizeImages(Multimodal.imageTable(s, d), 128)
         .toDF().withColumnRenamed("id", "doc_id")
+    },
+
+    // ── q191: binaryFile DIRECTORY ingest — the raw multimodal-lake
+    // source. A directory of real .png files (the layout images actually
+    // arrive in, one object per image) is read with Spark's binaryFile
+    // source: pathGlobFilter excludes the planted non-png decoy, the id
+    // parses from the file NAME, the bytes ImageIO-decode for real, and
+    // the oracle replays count + geometry sums + the constant-red mean
+    // from the staging arithmetic alone. The parquet-packed corpus
+    // (q44) is what this layout graduates to after one compaction pass —
+    // at 100 TB the lake holds both, and the engine now reads both.
+    "q191_binaryfile_ingest" -> { (s, d) =>
+      import s.implicits._
+      val dir = Multimodal.prepareImageDirectory(s, d)
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(dir)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("id"),
+          col("content").as("media"))
+        .as[Multimodal.MediaItem]
+      Multimodal.decodeAll(bin, Multimodal.ImageIODecoder).toDF()
+        .agg(count(lit(1)).as("n"), sum(col("width")).as("sum_w"),
+          sum(col("height")).as("sum_h"),
+          graft.util.Parity.dsum(col("mean_r")).as("sum_r"))
     },
 
     // decode → frame-sample pipeline (VIDEO shape, documented stub
@@ -149,6 +174,15 @@ object MultimodalPack extends QueryPack {
                  CAST(1 AS BIGINT) AS n_frames,
                  CAST(g.doc_id % 256 AS DOUBLE) AS mean_r
           FROM geom g JOIN med USING (doc_id)""",
+
+    // q191: decode results replayed purely from the staging arithmetic
+    // over the sampled ids — no blob access needed
+    "q191_binaryfile_ingest" ->
+      s"""SELECT COUNT(*) AS n,
+                 CAST(SUM(16 + (doc_id * 37) % 120) AS BIGINT) AS sum_w,
+                 CAST(SUM(16 + (doc_id * 53) % 88) AS BIGINT) AS sum_h,
+                 CAST(SUM(doc_id % 256) AS DOUBLE) AS sum_r
+          FROM documents WHERE doc_id % 29 = 0""",
 
     "q68_media_resize" ->
       s"""WITH $geomCte,
