@@ -56,7 +56,12 @@ object VersionLog {
     * `ConcurrentModificationException` and must re-run its mutation
     * against the new head — optimistic concurrency at the slot level
     * (content-level conflict re-validation, Delta's next layer up,
-    * stays out of scope and documented). Returns the new version. */
+    * stays out of scope and documented). A committer that crashes
+    * between claim and snapshot leaves an ORPHANED claim that blocks
+    * the slot; remediation is the manual unlock every lock-file
+    * protocol has — delete `.claim-v<N>` after confirming no writer is
+    * active (a `v<N>` dir present means the snapshot landed and the
+    * claim is merely spent). Returns the new version. */
   def commit(spark: SparkSession, versionsDir: String, manifestDir: String): Int = {
     val (fs, p) = fsFor(spark, versionsDir)
     if (!fs.exists(p)) fs.mkdirs(p)
