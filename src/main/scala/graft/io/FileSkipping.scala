@@ -118,8 +118,11 @@ object FileSkipping {
       if (partial.isEmpty) Seq.empty[String]
       else {
         val before = listParquet(fs, path)
+        // null keys SURVIVE: the bare negation evaluates to NULL for a
+        // null key and would silently drop the row from the rewrite —
+        // lost from the table and absent from the delete feed
         spark.read.parquet(partial.toIndexedSeq: _*)
-          .filter(!(col(keyCol) >= lo && col(keyCol) <= hi))
+          .filter(col(keyCol).isNull || !(col(keyCol) >= lo && col(keyCol) <= hi))
           .write.mode("append").parquet(dataDir)
         (listParquet(fs, path) -- before).toSeq.sorted
       }
@@ -165,17 +168,28 @@ object FileSkipping {
     * (distinct + semi-join), same economics as the MERGE delta. */
   def semiJoinRead(spark: SparkSession, dataDir: String, manifestDir: String,
                    keys: DataFrame): DataFrame = {
-    val hit = rangeHitFiles(spark.read.parquet(manifestDir), keys)
-    if (hit.isEmpty) emptyLike(spark, dataDir)
+    val man = spark.read.parquet(manifestDir)
+    val hit = rangeHitFiles(man, keys)
+    if (hit.isEmpty) emptyLike(spark, dataDir, Some(man))
     else spark.read.parquet(hit.toIndexedSeq: _*)
   }
 
   /** Zero-row frame carrying the table's schema — the empty-admit branch
-    * of every pruned read. Footer-only, and RECURSIVE so it also works on
-    * slot-resident layouts (post-[[ingestBatch]], pre-[[compactSmall]])
-    * where no parquet file sits at the top level of `dataDir`. */
-  private def emptyLike(spark: SparkSession, dataDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(dataDir).limit(0)
+    * of every pruned read. When the caller's manifest knows ANY file,
+    * the schema comes from that single file's footer (O(1)); only an
+    * empty manifest falls back to listing `dataDir` — recursively, so
+    * the fallback also works on slot-resident layouts
+    * (post-[[ingestBatch]], pre-[[compactSmall]]) where no parquet file
+    * sits at the top level. The fallback's O(\|files\|) listing is the
+    * degenerate empty-table case, not the common empty-ADMIT case. */
+  private def emptyLike(spark: SparkSession, dataDir: String,
+                        manifest: Option[DataFrame] = None): DataFrame =
+    manifest.flatMap(_.select("file").limit(1).collect().headOption)
+      .map(_.getString(0)) match {
+      case Some(f) => spark.read.parquet(f).limit(0)
+      case None =>
+        spark.read.option("recursiveFileLookup", "true").parquet(dataDir).limit(0)
+    }
 
   /** Recursive parquet-file listing through the Hadoop FileSystem —
     * shared by every mutation's before/after diff. */
@@ -224,10 +238,15 @@ object FileSkipping {
     *     touched files retired, the manifest folded — cost
     *     O(touched files + |delta|), never O(table).
     *
-    * All joins broadcast `delta` (a MERGE delta is small by nature — the
-    * caller should cache it, it is used several times); the hit-file
-    * probe is a broadcast range semi-join against the |files|-row
-    * manifest. For deltas too big to broadcast, the upgrade path is a
+    * All joins broadcast `delta` (a MERGE delta is small by nature);
+    * `delta` and the touched-file read are CACHED for the duration of
+    * the merge — each feeds several jobs (hit probe, match split,
+    * rewrite, change feed), and without the cache every job would
+    * re-evaluate the caller's delta lineage and re-scan the hit files,
+    * multiplying I/O on exactly the operation whose claim is
+    * O(touched + |delta|). The hit-file probe is a broadcast range
+    * semi-join against the \|files\|-row manifest. For deltas too big
+    * to broadcast, the upgrade path is a
     * sorted-manifest interval join feeding a shuffle merge — at that
     * point the operation is a bulk rewrite, not a MERGE. Same
     * single-writer model as the rest of this object. Returns
@@ -241,16 +260,28 @@ object FileSkipping {
     * the table; downstream incremental consumers (a view maintainer,
     * a replica) read the feed instead of diffing snapshots. */
   def mergeKeyed(spark: SparkSession, dataDir: String, manifestDir: String,
-                 keyCol: String, delta: DataFrame,
+                 keyCol: String, delta0: DataFrame,
                  versionLog: Option[String] = None,
                  cdcDir: Option[String] = None): (Int, Int) = {
     val man = spark.read.parquet(manifestDir)
+    val delta = delta0.cache()
+    try mergeKeyedCached(spark, dataDir, manifestDir, keyCol, man, delta,
+      versionLog, cdcDir)
+    finally { delta.unpersist(); () }
+  }
+
+  private def mergeKeyedCached(spark: SparkSession, dataDir: String,
+                               manifestDir: String, keyCol: String,
+                               man: DataFrame, delta: DataFrame,
+                               versionLog: Option[String],
+                               cdcDir: Option[String]): (Int, Int) = {
     val hit = rangeHitFiles(man, delta.select(col(keyCol)))
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val touched =
-      if (hit.isEmpty) emptyLike(spark, dataDir)
-      else spark.read.parquet(hit.toIndexedSeq: _*)
+      (if (hit.isEmpty) emptyLike(spark, dataDir, Some(man))
+       else spark.read.parquet(hit.toIndexedSeq: _*)).cache()
+    try {
     val deltaKeys = delta.select(keyCol)
     // keys matched by an ACTUAL row (not just a range) replace; the rest insert
     val matchedKeys = touched.select(keyCol)
@@ -284,6 +315,7 @@ object FileSkipping {
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (hit.length, fresh.length)
+    } finally { touched.unpersist(); () }
   }
 
   /** Small-file compaction with manifest fold — the daily maintenance job
@@ -343,6 +375,10 @@ object FileSkipping {
     * is why [[bloomPointRead]] probes it DISTRIBUTED, not collected). */
   def buildBloomManifest(spark: SparkSession, dataDir: String, keyCol: String,
                          nWords: Int): DataFrame = {
+    // Bloom's probe math masks with (nWords·64 − 1): a non-power-of-two
+    // size leaves bit positions unreachable and silently degrades the
+    // FPR — the "undersized bloom admits everything" failure, hidden
+    require(Integer.bitCount(nWords) == 1, s"nWords must be a power of two, got $nWords")
     import spark.implicits._
     import org.apache.spark.sql.graft.Bloom
     spark.read.parquet(dataDir)
@@ -365,11 +401,12 @@ object FileSkipping {
                      keys: Array[Long]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graft.Bloom
-    val admitted = spark.read.parquet(bloomManifestDir)
+    val man = spark.read.parquet(bloomManifestDir)
+    val admitted = man
       .as[(String, Array[Long])]
       .filter(fb => keys.exists(k => Bloom.mightContain(fb._2, k)))
       .map(_._1).collect().sorted
-    if (admitted.isEmpty) emptyLike(spark, dataDir)
+    if (admitted.isEmpty) emptyLike(spark, dataDir, Some(man))
     else spark.read.parquet(admitted.toIndexedSeq: _*)
   }
 
@@ -401,9 +438,9 @@ object FileSkipping {
     val admit = ranges.map { case (c, lo, hi) =>
       coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi, lit(false))
     }.reduce(_ && _)
-    val files = spark.read.parquet(manifestDir)
-      .filter(admit).select("file").collect().map(_.getString(0))
-    if (files.isEmpty) emptyLike(spark, dataDir)
+    val man = spark.read.parquet(manifestDir)
+    val files = man.filter(admit).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) emptyLike(spark, dataDir, Some(man))
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
@@ -453,12 +490,13 @@ object FileSkipping {
     * residual predicate still applies — exactly like row-group skip. */
   def prunedRead(spark: SparkSession, dataDir: String, manifestDir: String,
                  lo: Column, hi: Column): DataFrame = {
-    val files = spark.read.parquet(manifestDir)
+    val man = spark.read.parquet(manifestDir)
+    val files = man
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       // preserve the data schema on an empty admit (footer-only read)
-      emptyLike(spark, dataDir)
+      emptyLike(spark, dataDir, Some(man))
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 }

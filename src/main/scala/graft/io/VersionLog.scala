@@ -97,28 +97,46 @@ object VersionLog {
     * the newest `retainLast` versions, then delete the data files
     * referenced only by the dropped versions. File liveness is decided
     * by the LOG (dropped-set minus retained-set), never by a directory
-    * listing — a file the log never saw is never touched. Returns
+    * listing — a file the log never saw is never touched, and as a
+    * guard against a mispaired (dataDir, versionsDir) call, every file
+    * the log wants dead must resolve under `dataDir` or the vacuum
+    * refuses. Idempotent and re-runnable: only version dirs that still
+    * EXIST are read, so the recurring maintenance call keeps working
+    * after previous vacuums removed older versions. Returns
     * (data files deleted, versions dropped). */
   def vacuum(spark: SparkSession, dataDir: String, versionsDir: String,
              retainLast: Int): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the head version")
-    val h = head(spark, versionsDir)
-    val cutoff = h - retainLast + 1 // lowest retained version
-    if (cutoff <= 0) return (0, 0)
-    def filesOf(vs: Range): Set[String] =
+    val (fs, p) = fsFor(spark, versionsDir)
+    if (!fs.exists(p)) return (0, 0)
+    val existing = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).sorted.toSeq
+    if (existing.isEmpty) return (0, 0)
+    val cutoff = existing.max - retainLast + 1 // lowest retained version
+    val droppedVs = existing.filter(_ < cutoff)
+    if (droppedVs.isEmpty) return (0, 0)
+    def filesOf(vs: Seq[Int]): Set[String] =
       if (vs.isEmpty) Set.empty
       else vs.map(v => manifestAt(spark, versionsDir, v).select("file"))
         .reduce(_ unionByName _).distinct()
         .collect().map(_.getString(0)).toSet
-    val retained = filesOf(cutoff to h)
-    val dropped = filesOf(0 until cutoff)
-    val (fs, _) = fsFor(spark, versionsDir)
+    val retained = filesOf(existing.filter(_ >= cutoff))
+    val dropped = filesOf(droppedVs)
     val dead = (dropped -- retained).toSeq.sorted
-    dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    (0 until cutoff).foreach { v =>
+    // compare PATH components: input_file_name yields file:/// while
+    // Path.toUri yields file:/ — same file, different spellings
+    val dataPath = fs.makeQualified(new org.apache.hadoop.fs.Path(dataDir)).toUri.getPath
+    dead.foreach { f =>
+      val fp = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      require(fp != null && fp.startsWith(dataPath + "/"),
+        s"vacuum refusing to delete $f — outside $dataPath; wrong (dataDir, versionsDir) pairing?")
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+    droppedVs.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v"), false)
     }
-    (dead.length, cutoff)
+    (dead.length, droppedVs.length)
   }
 }

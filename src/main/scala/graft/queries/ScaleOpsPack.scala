@@ -101,6 +101,38 @@ object ScaleOpsPack extends QueryPack {
     stagedZLayout(s, d); ()
   }
 
+  /** Shared MERGE-family fixture (q181/q185/q186/q189/q190): a fresh
+    * 16-file key-sorted copy of orders plus its manifest under `base`,
+    * staged per RUN — a mutation must be exercised, not replayed.
+    * Returns the source projection the deltas derive from. */
+  private def stagedOrdersCopy(s: SparkSession, d: String, base: String): DataFrame = {
+    graft.util.Staging.deleteRecursive(base)
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(s"$base/data")
+    graft.io.FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    orders
+  }
+
+  /** The fixture's delta arithmetic, mirrored VERBATIM by the oracles
+    * (one definition here; four oracle SQL twins below — change both):
+    * ~1% of keys update (priority → 9-MERGED, price ×2, exact in
+    * double); ~0.17% insert at key+10⁸, provably beyond every file's
+    * range. */
+  private def mergeUpdates(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderpriority", lit("9-MERGED"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+
+  private def mergeInserts(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 601 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("9-MERGED").as("o_orderpriority"),
+        (col("o_totalprice") + 5).as("o_totalprice"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── q121: incremental materialized-view maintenance ────────────────
@@ -373,27 +405,10 @@ object ScaleOpsPack extends QueryPack {
     // exercised, not replayed) and reads the merged table back; the
     // oracle recomputes the merge set-theoretically over the source.
     "q181_manifest_merge" -> { (s, d) =>
-      import graft.io.FileSkipping
       val base = "/root/repo/target/scratch/q181_merge"
-      graft.util.Staging.deleteRecursive(base)
-      val orders = Tables.orders(s, d)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      orders.repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/data")
-      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/manifest")
-      // ~1% of keys update (×2 price — exact in double — re-prioritized);
-      // ~0.17% insert at key+10⁸, provably outside every file's range
-      val updates = orders.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderpriority", lit("9-MERGED"))
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-      val inserts = orders.filter(col("o_orderkey") % 601 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("9-MERGED").as("o_orderpriority"),
-          (col("o_totalprice") + 5).as("o_totalprice"))
-      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
-        updates.unionByName(inserts))
+      val orders = stagedOrdersCopy(s, d, base)
+      graft.io.FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest",
+        "o_orderkey", mergeUpdates(orders).unionByName(mergeInserts(orders)))
       s.read.parquet(s"$base/data")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
@@ -486,21 +501,11 @@ object ScaleOpsPack extends QueryPack {
     "q185_version_travel" -> { (s, d) =>
       import graft.io.{FileSkipping, VersionLog}
       val base = "/root/repo/target/scratch/q185_versions"
-      graft.util.Staging.deleteRecursive(base)
-      val orders = Tables.orders(s, d)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      orders.repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/data")
-      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/manifest")
+      val orders = stagedOrdersCopy(s, d, base)
       val vlog = Some(s"$base/versions")
       VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
-      val updates = orders.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderpriority", lit("9-MERGED"))
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
       FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
-        updates, versionLog = vlog) // v1
+        mergeUpdates(orders), versionLog = vlog) // v1
       FileSkipping.deleteRange(s, s"$base/data", s"$base/manifest", "o_orderkey",
         lit(1L), lit(3000L), versionLog = vlog) // v2
       def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
@@ -519,25 +524,11 @@ object ScaleOpsPack extends QueryPack {
     // O(table). The oracle recomputes all three row classes from the
     // source with the same key arithmetic.
     "q186_merge_cdc_feed" -> { (s, d) =>
-      import graft.io.FileSkipping
       val base = "/root/repo/target/scratch/q186_cdc"
-      graft.util.Staging.deleteRecursive(base)
-      val orders = Tables.orders(s, d)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      orders.repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/data")
-      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/manifest")
-      val updates = orders.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderpriority", lit("9-MERGED"))
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-      val inserts = orders.filter(col("o_orderkey") % 601 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("9-MERGED").as("o_orderpriority"),
-          (col("o_totalprice") + 5).as("o_totalprice"))
-      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
-        updates.unionByName(inserts), cdcDir = Some(s"$base/cdc"))
+      val orders = stagedOrdersCopy(s, d, base)
+      graft.io.FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest",
+        "o_orderkey", mergeUpdates(orders).unionByName(mergeInserts(orders)),
+        cdcDir = Some(s"$base/cdc"))
       s.read.parquet(s"$base/cdc")
         .groupBy("op")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
@@ -592,18 +583,10 @@ object ScaleOpsPack extends QueryPack {
     // files on DELETE. The oracle recomputes the deleted set from the
     // source; the spec proves survivors ∪ feed == source exactly once.
     "q189_delete_cdc_feed" -> { (s, d) =>
-      import graft.io.FileSkipping
       val base = "/root/repo/target/scratch/q189_delcdc"
-      graft.util.Staging.deleteRecursive(base)
-      val orders = Tables.orders(s, d)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      orders.repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/data")
-      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/manifest")
-      FileSkipping.deleteRange(s, s"$base/data", s"$base/manifest", "o_orderkey",
-        lit(1000L), lit(4000L), cdcDir = Some(s"$base/cdc"))
+      stagedOrdersCopy(s, d, base)
+      graft.io.FileSkipping.deleteRange(s, s"$base/data", s"$base/manifest",
+        "o_orderkey", lit(1000L), lit(4000L), cdcDir = Some(s"$base/cdc"))
       s.read.parquet(s"$base/cdc")
         .groupBy("op", "o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
@@ -621,30 +604,16 @@ object ScaleOpsPack extends QueryPack {
     // from the base; here it arrives as the mutation's own feed.
     "q190_cdc_view_maintenance" -> { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
-      import graft.io.FileSkipping
       val base = "/root/repo/target/scratch/q190_cdcview"
-      graft.util.Staging.deleteRecursive(base)
-      val orders = Tables.orders(s, d)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      orders.repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/data")
-      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$base/manifest")
+      val orders = stagedOrdersCopy(s, d, base)
       // the maintained view, built once BEFORE the merge
       orders.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(28, 4))).as("sum_dec"))
         .write.mode("overwrite").parquet(s"$base/view")
-      val updates = orders.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderpriority", lit("9-MERGED"))
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-      val inserts = orders.filter(col("o_orderkey") % 601 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("9-MERGED").as("o_orderpriority"),
-          (col("o_totalprice") + 5).as("o_totalprice"))
-      FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest", "o_orderkey",
-        updates.unionByName(inserts), cdcDir = Some(s"$base/cdc"))
+      graft.io.FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest",
+        "o_orderkey", mergeUpdates(orders).unionByName(mergeInserts(orders)),
+        cdcDir = Some(s"$base/cdc"))
       // maintenance: ONLY the staged view + the feed
       val delta = s.read.parquet(s"$base/cdc")
         .withColumn("w",

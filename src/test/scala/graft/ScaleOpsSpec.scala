@@ -518,6 +518,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert((beforeVacuum -- afterVacuum).size == deadCount)
     val replay = VersionLog.readVersion(spark, vdir, 2)
     assert(replay.exceptAll(expected).count() == 0 && expected.exceptAll(replay).count() == 0)
+    // vacuum is a RECURRING maintenance call: another mutation + another
+    // vacuum must work after older version dirs are already gone
+    // (regression: the first cut read manifests for ALL versions < cutoff,
+    // crashing on the deleted v0)
+    FileSkipping.deleteRange(spark, s"$localBase/data", s"$localBase/manifest",
+      "o_orderkey", lit(400L), lit(500L), versionLog = Some(vdir)) // v3
+    val (dead2, dropped2) = VersionLog.vacuum(spark, s"$localBase/data", vdir, 1)
+    assert(dropped2 == 1, s"second vacuum should drop exactly v2, dropped $dropped2")
+    val expected2 = expected.filter(!col("o_orderkey").between(400L, 500L))
+    val replay2 = VersionLog.readVersion(spark, vdir, 3)
+    assert(replay2.exceptAll(expected2).count() == 0 && expected2.exceptAll(replay2).count() == 0)
+    // idempotent when nothing is droppable
+    assert(VersionLog.vacuum(spark, s"$localBase/data", vdir, 1) == (0, 0))
+  }
+
+  test("deleteRange keeps null-key rows in rewritten boundary files") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_nullkey"
+    graft.util.Staging.deleteRecursive(localBase)
+    // ~1/997 of keys nulled, scattered through files whose non-null
+    // ranges overlap the deleted band
+    val src = graft.io.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_orderkey")))
+    src.coalesce(4).write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val nNull = src.filter(col("o_orderkey").isNull).count()
+    assert(nNull > 0, "fixture lost its null keys")
+    FileSkipping.deleteRange(spark, s"$localBase/data", s"$localBase/manifest",
+      "o_orderkey", lit(200L), lit(900L), cdcDir = Some(s"$localBase/cdc"))
+    val survivors = spark.read.parquet(s"$localBase/data")
+    // regression: the bare !(k >= lo && k <= hi) filter silently dropped
+    // null-key rows from every rewritten boundary file
+    assert(survivors.filter(col("o_orderkey").isNull).count() == nNull,
+      "null-key rows were lost in the boundary rewrite")
+    val feed = spark.read.parquet(s"$localBase/cdc")
+    assert(feed.filter(col("o_orderkey").isNull).count() == 0)
+    val rebuilt = survivors.unionByName(feed.drop("op"))
+    assert(rebuilt.exceptAll(src).count() == 0 && src.exceptAll(rebuilt).count() == 0)
   }
 
   test("version commit claims its slot atomically: a planted claim fails loudly, log unchanged") {
