@@ -79,18 +79,16 @@ object ManifestScaleBench {
 
       // ── merge: fixed delta, one-file band + beyond-range inserts ──
       val bandLo = rowsPerFile / 2
+      // no caller-side cache: mergeKeyed caches its delta internally
       val delta = spark.range(bandLo, bandLo + 256).select(
           col("id").as("key"), lit(-1L).as("probe"), lit(9.9).as("v"),
           lit("MERGED").as("payload"))
         .unionByName(spark.range(32).select((col("id") + rows + 1000000L).as("key"),
           lit(-2L).as("probe"), lit(8.8).as("v"), lit("INSERTED").as("payload")))
-        .cache()
-      delta.count()
       val ((hit, appended), mergeSec) = time {
         FileSkipping.mergeKeyed(spark, s"$base/data", s"$base/manifest", "key", delta)
       }
       println(s"""MANIFEST_SCALE: {"op":"merge","files":$nFiles,"rows":$rows,"wall_sec":$mergeSec,"files_rewritten":$hit,"files_appended":$appended}""")
-      delta.unpersist()
 
       // ── delete: ~2 interior files + 2 boundary slivers ────────────
       val lo = 2 * rowsPerFile - rowsPerFile / 4
