@@ -138,7 +138,7 @@ object FileSkipping {
       broadcast(spark.createDataset(dropped.toSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
-    swapManifest(fs, manifestDir,
+    swapManifest(spark, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (full.length, partial.length)
@@ -207,14 +207,26 @@ object FileSkipping {
     }
 
   /** Stage `next` beside the live manifest and swap it in — the lazy
-    * manifest read never races its own overwrite. */
-  private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           manifestDir: String, next: DataFrame): Unit = {
-    val tmp = s"${manifestDir}__rewrite"
-    next.write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(manifestDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(manifestDir))
-    ()
+    * manifest read never races its own overwrite. The swap is CHECKED:
+    * Hadoop rename/delete report most failures by returning false, and
+    * an unchecked delete-then-rename could leave the table with no
+    * manifest at all. The live manifest is retired by rename (its rows
+    * exist until the swap is proven), and the filesystem is resolved
+    * from the MANIFEST path — the caller's data-dir FS is the wrong one
+    * whenever the manifest lives on a different scheme. */
+  private def swapManifest(spark: SparkSession, manifestDir: String,
+                           next: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"${manifestDir}__rewrite")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    val retired = new org.apache.hadoop.fs.Path(s"${manifestDir}__retiring")
+    fs.delete(retired, true) // a previous failed swap's leftover
+    require(fs.rename(live, retired),
+      s"could not retire live manifest $live — swap aborted, manifest intact")
+    require(fs.rename(tmp, live),
+      s"rename $tmp -> $live failed; previous manifest preserved at $retired")
+    require(fs.delete(retired, true), s"could not drop retired manifest $retired")
   }
 
   /** Fresh per-file stats for `files` — one pass over the replacements. */
@@ -311,7 +323,7 @@ object FileSkipping {
       broadcast(spark.createDataset(hit.toIndexedSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
-    swapManifest(fs, manifestDir,
+    swapManifest(spark, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (hit.length, fresh.length)
@@ -356,7 +368,7 @@ object FileSkipping {
       broadcast(spark.createDataset(small.toIndexedSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
-    swapManifest(fs, manifestDir,
+    swapManifest(spark, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (small.length, fresh.length)
@@ -480,7 +492,7 @@ object FileSkipping {
     val p = new org.apache.hadoop.fs.Path(manifestDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val flat = spark.read.option("recursiveFileLookup", "true").parquet(manifestDir)
-    swapManifest(fs, manifestDir, flat)
+    swapManifest(spark, manifestDir, flat)
   }
 
   /** Read only the files whose [min_key, max_key] intersects [lo, hi].

@@ -23,26 +23,66 @@ object SimilarityPack extends QueryPack {
     * type and `graft.exact` stamp through the round trip). */
   private def stagedPersistedIndex(s: SparkSession, d: String)
       : (String, String, org.apache.spark.sql.types.StructType,
-         org.apache.spark.sql.types.StructType) = {
-    val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
-    val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
-      .select(col("vec_id").as("__cell"), col("v").as("__cv"))
-    val cb = Similarity.affineCodebook(base, "v", width)
-    val indexed = Similarity.indexCells(base, cents, "v")
-    val segment = Similarity.quantizedSegment(indexed, cb, "vec_id", "v")
-    val segDir = graft.util.Staging.ensure(
-      graft.util.Staging.dirFor("q175_segment", d), s"$d/embeddings.parquet") { out =>
-      Similarity.writeCellPartitioned(segment, out)
+         org.apache.spark.sql.types.StructType, Similarity.AffineCodebook) = {
+    import java.nio.file.{Files, Paths}
+    // EVERYTHING builds inside the ensure closure (round-9 review: the
+    // codebook .head() and indexCells' centroid collect used to run
+    // eagerly on every q175 execution even when the marker existed —
+    // redundant corpus scans inside a query whose contract is "measure
+    // the probe, from disk"); the cached path reads only the sidecar
+    // files: both BUILD schemas (readCellPartitioned needs them so
+    // `__cell` keeps its long type and `graft.exact` stamp) and the
+    // codebook (Double.toString round-trips exactly).
+    val root = graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("q175_index", d), s"$d/embeddings.parquet") { out =>
+      val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+      val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("__cell"), col("v").as("__cv"))
+      val cb = Similarity.affineCodebook(base, "v", width)
+      val indexed = Similarity.indexCells(base, cents, "v")
+      val segment = Similarity.quantizedSegment(indexed, cb, "vec_id", "v")
+      Similarity.writeCellPartitioned(segment, s"$out/segment")
+      Similarity.writeCellPartitioned(indexed, s"$out/fullindex")
+      Files.write(Paths.get(out, "segment_schema.json"),
+        segment.schema.json.getBytes("UTF-8"))
+      Files.write(Paths.get(out, "fullindex_schema.json"),
+        indexed.schema.json.getBytes("UTF-8"))
+      Files.write(Paths.get(out, "codebook.txt"),
+        (cb.los.mkString(",") + "\n" + cb.his.mkString(",")).getBytes("UTF-8"))
+      ()
     }
-    val idxDir = graft.util.Staging.ensure(
-      graft.util.Staging.dirFor("q175_fullindex", d), s"$d/embeddings.parquet") { out =>
-      Similarity.writeCellPartitioned(indexed, out)
-    }
-    (segDir, idxDir, segment.schema, indexed.schema)
+    def schemaOf(n: String) = org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(Paths.get(root, n)), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val Array(los, his) = new String(
+      Files.readAllBytes(Paths.get(root, "codebook.txt")), "UTF-8").split("\n")
+    (s"$root/segment", s"$root/fullindex",
+      schemaOf("segment_schema.json"), schemaOf("fullindex_schema.json"),
+      Similarity.AffineCodebook(
+        los.split(",").map(_.toDouble), his.split(",").map(_.toDouble)))
   }
 
-  override def stage(s: SparkSession, d: String): Unit = { stagedPersistedIndex(s, d); () }
+  /** q177's arrival split — true arrivals (vec_id ≡ 2 mod 5) plus
+    * perturbed near-copies of history vectors — staged once per sfDir
+    * so the benchmarked run measures the streaming probe, not this
+    * write (the Staging harness rule). */
+  private def stagedArrivals(s: SparkSession, d: String): String =
+    graft.util.Staging.ensure(
+      graft.util.Staging.dirFor("vecadm_in", d), s"$d/embeddings.parquet") { out =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      base.filter(pmod(col("vec_id"), lit(5)) === 2)
+        .unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("v"), (x, i) =>
+              x + lit(0.005) * (pmod(i, lit(2)) * 2 - 1).cast("double")).as("v")))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+
+  override def stage(s: SparkSession, d: String): Unit = {
+    stagedPersistedIndex(s, d); stagedArrivals(s, d); ()
+  }
 
   /** embeddings (as double arrays) ∪ perturbed copies of every 10th vector
     * (±0.005 alternating per dimension: vectors are unit-norm, so cosine to
@@ -274,14 +314,13 @@ object SimilarityPack extends QueryPack {
     // corpus re-stages); the registered query measures the PRODUCTION
     // operation: the probe, from disk, partition-pruned.
     "q175_persisted_ivf" -> { (s, d) =>
-      val (segDir, idxDir, segSchema, idxSchema) = stagedPersistedIndex(s, d)
+      val (segDir, idxDir, segSchema, idxSchema, cb) = stagedPersistedIndex(s, d)
       val base = graft.relational.Scale.fanOut(Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
       val cents = base.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("__cell"), col("v").as("__cv"))
       val queries = base.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val cb = Similarity.affineCodebook(base, "v", width)
       Similarity.probeQuantizedIvf(
         Similarity.readCellPartitioned(s, segDir, segSchema),
         Similarity.readCellPartitioned(s, idxDir, idxSchema),
@@ -353,15 +392,7 @@ object SimilarityPack extends QueryPack {
       val cb = Similarity.affineCodebook(hist, "v", width)
       val segment = Similarity.quantizedSegment(
         Similarity.indexCells(hist, cents, "v"), cb, "vec_id", "v")
-      val dir = graft.util.Staging.ensure(
-        graft.util.Staging.dirFor("vecadm_in", d), s"$d/embeddings.parquet") { out =>
-        base.filter(pmod(col("vec_id"), lit(5)) === 2)
-          .unionByName(base.filter(pmod(col("vec_id"), lit(10)) === 0)
-            .select((col("vec_id") + 1000000).as("vec_id"),
-              transform(col("v"), (x, i) =>
-                x + lit(0.005) * (pmod(i, lit(2)) * 2 - 1).cast("double")).as("v")))
-          .coalesce(1).write.mode("overwrite").parquet(out)
-      }
+      val dir = stagedArrivals(s, d)
       val schema = s.read.parquet(dir).schema
       val arrivals = s.readStream.schema(schema).parquet(dir)
         .select(col("vec_id").as("a_id"), col("v").as("av"))

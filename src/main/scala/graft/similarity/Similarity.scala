@@ -405,10 +405,21 @@ object Similarity {
       cells.foreach { c =>
         val live = new org.apache.hadoop.fs.Path(s"$path/__cell=$c")
         val fresh = new org.apache.hadoop.fs.Path(s"$staging/__cell=$c")
-        fs.delete(live, true)
+        // Hadoop rename/delete report most failures by RETURNING FALSE,
+        // not throwing — unchecked, a failed rename after the live delete
+        // would silently destroy the cell's only surviving copy (and the
+        // staging cleanup below would erase the staged rows too). Retire
+        // the live dir by RENAME (not delete) so the old rows exist until
+        // the swap is proven, then drop them.
+        val retired = new org.apache.hadoop.fs.Path(s"$path/__cell=$c.__retiring")
+        fs.delete(retired, true) // a previous failed swap's leftover
+        require(fs.rename(live, retired), s"could not retire $live — cell swap aborted")
         // a cell whose rows were ALL tombstoned has no staging dir — the
-        // delete above already retired it
-        if (fs.exists(fresh)) fs.rename(fresh, live)
+        // retire above already removed it from the live layout
+        if (fs.exists(fresh))
+          require(fs.rename(fresh, live),
+            s"rename $fresh -> $live failed; old rows preserved at $retired")
+        require(fs.delete(retired, true), s"could not drop retired cell $retired")
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }

@@ -96,7 +96,12 @@ object StateReshard {
         spark.read.format("statestore").option("path", ckptPath)
           .option("operatorId", op).option("stateVarName", stateVar).load()
         true
-      } catch { case _: Throwable => false }
+      } catch {
+        // only non-fatal analysis failures mean "not this operator";
+        // swallowing fatals (OOM, interrupt) would misreport them as a
+        // missing state variable and mask the real error
+        case scala.util.control.NonFatal(_) => false
+      }
     }.getOrElse(throw new IllegalArgumentException(
       s"no transformWithState operator with state variable '$stateVar' under $ckptPath/state " +
         s"(operators found: ${ops.mkString(",")})"))

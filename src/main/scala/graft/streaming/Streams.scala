@@ -206,15 +206,7 @@ object Streams {
         ev.filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) === 0))
       val mtime0 = System.currentTimeMillis()
       chunks.zipWithIndex.foreach { case (df, i) =>
-        val tmp = s"$dir/_tmp$i"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dst = base.resolve(s"${i + 1}.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + i * 2000L))
-        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.delete(p))
+        stageSingleFile(df, base.resolve(s"${i + 1}.parquet"), mtime0 + i * 2000L)
       }
     }
 
@@ -249,15 +241,7 @@ object Streams {
       val seal = ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2) &&
           !col("event_type").isin("view", "click"))
         .orderBy(col("ts").desc, col("event_id").desc).limit(1)
-      val tmp = s"$dir/_tmpseal"
-      seal.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dst = base.resolve("4.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + 8000L))
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
+      stageSingleFile(seal, base.resolve("4.parquet"), mtime0 + 8000L)
     }
 
   /** Checkpoint path for a drain `name` — one place owns the scratch
@@ -285,6 +269,25 @@ object Streams {
         }
       }
     (copyTo("late_hist", Seq(1, 2)), copyTo("late_tail", Seq(3)))
+  }
+
+  /** Write `df` as exactly ONE parquet file at `dst` with a pinned
+    * mtime — the staged-replay building block. Every multi-micro-batch
+    * harness depends on the name+mtime ordering contract, so the rule
+    * lives in one place (round-9 review: this dance was copy-pasted
+    * across the staging helpers). */
+  private def stageSingleFile(df: DataFrame, dst: java.nio.file.Path,
+                              mtimeMillis: Long): Unit = {
+    import java.nio.file._
+    import java.nio.file.attribute.FileTime
+    val tmp = s"${dst.toString}__tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMillis))
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
   }
 
   /** Stream the staged late-arrival files one per micro-batch. */
@@ -579,46 +582,23 @@ object Streams {
     * only oracle-exact because the upstream dedup makes (user, type, ts)
     * unique and the replay harness pins batch boundaries. Memory is
     * O(quota) per key per batch — a bounded max-heap keeps the
-    * `remaining`-smallest rows, never the batch's full row list. */
-  class QuotaAdmitProcessor(quota: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, String, java.sql.Timestamp), AdmittedEvent] {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
-    import org.apache.spark.sql.Encoders
-    @transient private var admitted: org.apache.spark.sql.streaming.ValueState[Long] = _
+    * `remaining`-smallest rows, never the batch's full row list.
+    *
+    * ONE body, two entry points (round-9 review: the seeded twin used to
+    * duplicate this class verbatim): the unseeded processor IS
+    * [[SeededQuotaAdmitProcessor]] minus an initial state — the plain
+    * `transformWithState` overload never calls `handleInitialState`, so
+    * a future change to the admission rule cannot desynchronize q155
+    * from q176's migration. */
+  class QuotaAdmitProcessor(quota: Long) extends SeededQuotaAdmitProcessor(quota)
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      admitted = getHandle.getValueState[Long]("admitted", Encoders.scalaLong, TTLConfig.NONE)
-
-    override def handleInputRows(user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
-                                 tv: TimerValues): Iterator[AdmittedEvent] = {
-      val have = if (admitted.exists()) admitted.get() else 0L
-      // clamp BEFORE narrowing: a quota above Int.MaxValue would wrap the
-      // .toInt negative and silently admit zero rows instead of all
-      val remaining = math.min(math.max(0L, quota - have), Int.MaxValue.toLong).toInt
-      if (remaining == 0) { rows.foreach(_ => ()); Iterator.empty }
-      else {
-        // max-heap capped at `remaining`: push each row, evict the largest
-        // — survivors are the remaining-smallest by (event time, type)
-        val ord = Ordering.by[(Long, String, java.sql.Timestamp), (Long, String)](
-          r => (r._3.getTime, r._2))
-        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, java.sql.Timestamp)](ord)
-        rows.foreach { r =>
-          heap.enqueue(r)
-          if (heap.size > remaining) heap.dequeue()
-        }
-        admitted.update(have + heap.size)
-        heap.toIndexedSeq.iterator.map(r => AdmittedEvent(r._1, r._2, r._3))
-      }
-    }
-  }
-
-  /** [[QuotaAdmitProcessor]]'s seeded twin — the composed-pipeline
-    * MIGRATION vehicle (q176): identical admission semantics, but the
-    * per-user admitted count is seeded from an initial-state relation
-    * (the offline read of the pre-migration checkpoint's "admitted"
-    * ValueState) before any input row, so a re-sharded continuation
-    * never re-admits what the original job already granted. */
+  /** [[QuotaAdmitProcessor]]'s seeded form — the composed-pipeline
+    * MIGRATION vehicle (q176): identical admission semantics (the
+    * unseeded class extends this one), plus the per-user admitted count
+    * seeded from an initial-state relation (the offline read of the
+    * pre-migration checkpoint's "admitted" ValueState) before any input
+    * row, so a re-sharded continuation never re-admits what the
+    * original job already granted. */
   class SeededQuotaAdmitProcessor(quota: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
         Long, (Long, String, java.sql.Timestamp), AdmittedEvent, Long] {
@@ -635,9 +615,13 @@ object Streams {
     override def handleInputRows(user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
                                  tv: TimerValues): Iterator[AdmittedEvent] = {
       val have = if (admitted.exists()) admitted.get() else 0L
+      // clamp BEFORE narrowing: a quota above Int.MaxValue would wrap the
+      // .toInt negative and silently admit zero rows instead of all
       val remaining = math.min(math.max(0L, quota - have), Int.MaxValue.toLong).toInt
       if (remaining == 0) { rows.foreach(_ => ()); Iterator.empty }
       else {
+        // max-heap capped at `remaining`: push each row, evict the largest
+        // — survivors are the remaining-smallest by (event time, type)
         val ord = Ordering.by[(Long, String, java.sql.Timestamp), (Long, String)](
           r => (r._3.getTime, r._2))
         val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, java.sql.Timestamp)](ord)
@@ -757,6 +741,25 @@ object Streams {
         .agg(max(col("ts"))).head().getTimestamp(0)
       val wmT2 = ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2))
         .agg(max(col("ts"))).head().getTimestamp(0)
+      // SOUNDNESS GUARD (round-9 review): the migrated continuation
+      // starts its dedup state EMPTY, which equals the uninterrupted run
+      // ONLY while no tail late row shares the full dedup key
+      // (user_id, event_type, ts) with any phase-1 row — a colliding key
+      // still live in the uninterrupted run's dedup state would drop the
+      // late row there but be admitted here. The staged corpus satisfies
+      // this; a regenerated corpus that doesn't must fail HERE, loudly,
+      // instead of as an unexplained q176 hash mismatch.
+      val phase1Keys = ev.filter(
+          (col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) =!= 0) ||
+          (col("ts") >= lit(t1) && col("ts") < lit(t2)))
+        .select("user_id", "event_type", "ts")
+      val collisions = ev
+        .filter(col("ts") < lit(t1) && pmod(col("event_id"), lit(10)) === 0)
+        .select("user_id", "event_type", "ts")
+        .intersect(phase1Keys).count()
+      require(collisions == 0,
+        s"$collisions tail late row(s) collide with phase-1 dedup keys — " +
+          "the empty-dedup migration boundary is unsound for this corpus")
       // sentinel rows carry the REAL schema (types cloned per field) so the
       // mixed-file stream reads them with the staged files' footer schema
       def primer(id: Long, ts: java.sql.Timestamp) =
@@ -769,15 +772,7 @@ object Streams {
       val base = Files.createDirectories(Paths.get(dir))
       val mtime0 = System.currentTimeMillis()
       Seq(primer(-1L, wmT1), primer(-2L, wmT2)).zipWithIndex.foreach { case (df, i) =>
-        val tmp = s"$dir/_tmp$i"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dst = base.resolve(s"${i + 1}.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime0 + i * 2000L))
-        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.delete(p))
+        stageSingleFile(df, base.resolve(s"${i + 1}.parquet"), mtime0 + i * 2000L)
       }
       val dst = base.resolve("3.parquet")
       Files.copy(Paths.get(src, "3.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
@@ -923,61 +918,13 @@ object Streams {
     * truncation keeps every boundary on an exact millisecond so the
     * ms-granular timer/watermark arithmetic replays exactly in the
     * µs-granular oracle. */
-  class TimerSessionProcessor(gapSec: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long), (Long, Long, Long, Long)] {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ExpiredTimerInfo}
-    import org.apache.spark.sql.Encoders
-    private val gapUs = gapSec * 1000000L
-    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingSession] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      pending = getHandle.getListState[PendingSession]("pending",
-        Encoders.product[PendingSession], TTLConfig.NONE)
-
-    /** Coalesce islands: neighbours merge when STRICTLY within gap —
-      * `session_window` semantics (sessions are [start, last+gap) half
-      * open; an event at exactly last+gap starts a new session), matching
-      * q42/q117. */
-    private def merged(islands: Seq[PendingSession]): Seq[PendingSession] =
-      islands.sortBy(s => (s.start_us, s.last_us))
-        .foldLeft(Vector.empty[PendingSession]) { (acc, s) =>
-          acc.lastOption match {
-            case Some(p) if s.start_us < p.last_us + gapUs =>
-              acc.init :+ PendingSession(p.start_us, math.max(p.last_us, s.last_us), p.n + s.n)
-            case _ => acc :+ s
-          }
-        }
-
-    /** One timer per key: the earliest pending expiry. */
-    private def rearm(live: Seq[PendingSession]): Unit = {
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      if (live.nonEmpty)
-        getHandle.registerTimer(live.map(s => s.last_us + gapUs).min / 1000L)
-    }
-
-    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
-                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-      val wmUs = tv.getCurrentWatermarkInMs * 1000L
-      val fresh = rows.map(_._2).filter(_ >= wmUs).map(e => PendingSession(e, e, 1L)).toSeq
-      if (fresh.nonEmpty) {
-        val all = merged((if (pending.exists()) pending.get().toSeq else Nil) ++ fresh)
-        pending.put(all.toArray)
-        rearm(all)
-      }
-      Iterator.empty
-    }
-
-    override def handleExpiredTimer(user: Long, tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
-      val wmUs = tv.getCurrentWatermarkInMs * 1000L
-      val all = if (pending.exists()) pending.get().toSeq else Nil
-      val (closed, live) = all.partition(s => s.last_us + gapUs <= wmUs)
-      if (live.isEmpty) pending.clear() else pending.put(live.toArray)
-      rearm(live)
-      closed.iterator.map(s => (user, s.start_us, s.last_us, s.n))
-    }
-  }
+  /** ONE body, two entry points (round-9 review: the seeded twin used
+    * to duplicate this class verbatim): the unseeded processor IS
+    * [[SeededTimerSessionProcessor]] minus an initial state — the plain
+    * `transformWithState` overload never calls `handleInitialState`, so
+    * a change to the island-merge or timer rule cannot desynchronize
+    * q162/q172 from q180's re-shard. */
+  class TimerSessionProcessor(gapSec: Long) extends SeededTimerSessionProcessor(gapSec)
 
   /** [[TimerSessionProcessor]] wired up over a watermarked event stream:
     * second-truncated event times, 1-hour watermark delay (≥ gap, so an
@@ -1025,6 +972,10 @@ object Streams {
       pending = getHandle.getListState[PendingSession]("pending",
         Encoders.product[PendingSession], TTLConfig.NONE)
 
+    /** Coalesce islands: neighbours merge when STRICTLY within gap —
+      * `session_window` semantics (sessions are [start, last+gap) half
+      * open; an event at exactly last+gap starts a new session), matching
+      * q42/q117. */
     private def merged(islands: Seq[PendingSession]): Seq[PendingSession] =
       islands.sortBy(s => (s.start_us, s.last_us))
         .foldLeft(Vector.empty[PendingSession]) { (acc, s) =>
@@ -1127,14 +1078,7 @@ object Streams {
         lit(wmT1).as("ts"))
       val base = Files.createDirectories(Paths.get(dir))
       val mtime0 = System.currentTimeMillis()
-      val tmp = s"$dir/_tmpp"
-      primer.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, base.resolve("1.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(base.resolve("1.parquet"), FileTime.fromMillis(mtime0))
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
+      stageSingleFile(primer, base.resolve("1.parquet"), mtime0)
       Seq(2, 3).zipWithIndex.foreach { case (i, pos) =>
         val dst = base.resolve(s"$i.parquet")
         Files.copy(Paths.get(src, s"$i.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)

@@ -99,7 +99,9 @@ class AnnMaintenanceSpec extends SparkSpec {
       ss.foreach { s =>
         assert(s.partitionFilters.exists(_.toString.contains("dynamicpruning")),
           s"$what scan has no dynamic partition pruning filter: ${s.partitionFilters}")
-        val total = spark.read.schema(segment.schema).parquet(path).inputFiles.length
+        // schema-less listing: only the file count matters, and the
+        // segment schema would be wrong for the re-rank index anyway
+        val total = spark.read.parquet(path).inputFiles.length
         val read = s.metrics("numFiles").value
         assert(read * 2 <= total,
           s"$what scan read $read of $total files — partitions not pruned")
