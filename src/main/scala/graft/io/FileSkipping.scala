@@ -214,8 +214,8 @@ object FileSkipping {
     * exist until the swap is proven), and the filesystem is resolved
     * from the MANIFEST path — the caller's data-dir FS is the wrong one
     * whenever the manifest lives on a different scheme. */
-  private def swapManifest(spark: SparkSession, manifestDir: String,
-                           next: DataFrame): Unit = {
+  private[io] def swapManifest(spark: SparkSession, manifestDir: String,
+                               next: DataFrame): Unit = {
     val live = new org.apache.hadoop.fs.Path(manifestDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(s"${manifestDir}__rewrite")
@@ -328,6 +328,57 @@ object FileSkipping {
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     (hit.length, fresh.length)
     } finally { touched.unpersist(); () }
+  }
+
+  /** OCC transactional MERGE — the multi-writer variant of [[mergeKeyed]]
+    * ([[VersionLog]]'s `begin`/`commitRebase` protocol):
+    *
+    *   - the hit probe, survivor split, and rewrite all derive from a
+    *     PINNED version snapshot (`pinned`, or a fresh [[VersionLog.begin]])
+    *     — never the live manifest a concurrent committer may advance;
+    *   - replacement files land in a PRIVATE slot dir
+    *     (`dataDir/txn-<txnId>`), so concurrent writers can never be
+    *     mis-attributed by a listing diff (the race [[appendWithManifest]]
+    *     documents) and a retry of the same txnId overwrites its own slot;
+    *   - the commit REBASES (head snapshot − touched + replacements) after
+    *     [[VersionLog.commitRebase]]'s file- and key-band-conflict checks:
+    *     band-disjoint concurrent merges BOTH land, overlapping ones abort
+    *     with `ConcurrentModificationException` and re-run against the new
+    *     head.
+    *
+    * MVCC by construction: touched files are never physically deleted
+    * (concurrent readers + older snapshots keep them; [[VersionLog.vacuum]]
+    * reclaims), and the flat manifest is refreshed with
+    * [[VersionLog.syncLive]] once writers quiesce. Returns the committed
+    * version. */
+  def mergeKeyedOcc(spark: SparkSession, dataDir: String, versionsDir: String,
+                    keyCol: String, delta0: DataFrame, txnId: String,
+                    pinned: Option[(Int, DataFrame)] = None): Int = {
+    val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    val delta = delta0.cache()
+    try {
+      val hit = rangeHitFiles(snap, delta.select(col(keyCol)))
+      val touched =
+        (if (hit.isEmpty) emptyLike(spark, dataDir, Some(snap))
+         else spark.read.parquet(hit.toIndexedSeq: _*)).cache()
+      try {
+        val deltaKeys = delta.select(keyCol)
+        val matchedKeys = touched.select(keyCol)
+          .join(broadcast(deltaKeys), Seq(keyCol), "left_semi").distinct()
+        val out = touched.join(broadcast(deltaKeys), Seq(keyCol), "left_anti")
+          .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi"))
+          .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti"))
+        val slot = s"$dataDir/txn-$txnId"
+        out.repartitionByRange(math.max(1, hit.length), col(keyCol))
+          .sortWithinPartitions(keyCol)
+          .write.mode("overwrite").parquet(slot)
+        val slotPath = new org.apache.hadoop.fs.Path(slot)
+        val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val fresh = listParquet(fs, slotPath).toSeq.sorted
+        VersionLog.commitRebase(spark, versionsDir, rv,
+          hit.toIndexedSeq, statsFor(spark, fresh, keyCol))
+      } finally { touched.unpersist(); () }
+    } finally { delta.unpersist(); () }
   }
 
   /** Small-file compaction with manifest fold — the daily maintenance job

@@ -21,14 +21,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     cost of time travel = retired-but-retained bytes, the same trade
   *     Delta/Iceberg `VACUUM`/`expire_snapshots` make.
   *
-  * The operating model stays single-writer, but the commit slot is
-  * claimed with an atomic exclusive create ([[commit]]): a racing
-  * second writer fails LOUDLY instead of silently clobbering a version.
-  * What the log buys over the in-place layout is WRITER/READER
-  * isolation — the concurrency a 100 TB analytics table actually needs
-  * day-to-day. True multi-writer (content-level conflict
-  * re-validation, atomic log append on plain S3) needs a lock service
-  * or catalog swap — out of scope, documented at [[commit]]. */
+  * Two writer models share the log:
+  *
+  *   - SINGLE-WRITER ([[commit]]): each versioned mutation snapshots the
+  *     live manifest after its in-place swap; the slot claim only turns
+  *     a racing second writer into a loud failure.
+  *   - MULTI-WRITER OCC ([[begin]]/[[commitRebase]]): a transaction pins
+  *     a snapshot, computes its rewrite against THAT snapshot (new files
+  *     land in a private slot dir), and commits by REBASING its file
+  *     delta onto whatever head exists at commit time — after validating
+  *     that no intermediate commit removed one of its files (write-write
+  *     file conflict) or wrote into its key band (the conservative
+  *     predicate check that catches two blind inserts of the same key,
+  *     Delta's WriteSerializable shape). Disjoint writers both land;
+  *     overlapping writers abort loudly and re-run against the new head.
+  *     Under OCC the LOG is the source of truth and the flat manifest
+  *     dir is a cache — refresh it with [[syncLive]] once writers
+  *     quiesce, or read via [[readVersion]] while they race.
+  *
+  * The remaining boundary is the claim primitive itself:
+  * `FileSystem.create(overwrite=false)` is atomic on HDFS-like stores;
+  * plain S3 needs a conditional put or a lock service — the same
+  * boundary every file-log table format has. */
 object VersionLog {
 
   private def fsFor(spark: SparkSession, dir: String) = {
@@ -36,12 +50,17 @@ object VersionLog {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Highest committed version, or -1 if the log is empty. */
+  /** Highest committed version, or -1 if the log is empty. A version
+    * counts only once its snapshot write COMMITTED (`_SUCCESS` present):
+    * under OCC a concurrent committer's claimed-but-still-writing
+    * snapshot dir must not be observed as head — [[commitRebase]]'s spin
+    * loop waits for exactly this edge. */
   def head(spark: SparkSession, versionsDir: String): Int = {
     val (fs, p) = fsFor(spark, versionsDir)
     if (!fs.exists(p)) -1
     else fs.listStatus(p).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/$n/_SUCCESS")))
       .map(_.drop(1).toInt).foldLeft(-1)(math.max)
   }
 
@@ -55,8 +74,9 @@ object VersionLog {
     * version: the loser fails LOUDLY with
     * `ConcurrentModificationException` and must re-run its mutation
     * against the new head — optimistic concurrency at the slot level
-    * (content-level conflict re-validation, Delta's next layer up,
-    * stays out of scope and documented). A committer that crashes
+    * (content-level conflict re-validation is [[commitRebase]]'s job;
+    * mutations that want to COMPOSE with concurrent writers go through
+    * [[begin]]/[[commitRebase]] instead). A committer that crashes
     * between claim and snapshot leaves an ORPHANED claim that blocks
     * the slot; remediation is the manual unlock every lock-file
     * protocol has — delete `.claim-v<N>` after confirming no writer is
@@ -91,6 +111,148 @@ object VersionLog {
     val files = manifestAt(spark, versionsDir, v)
       .select("file").collect().map(_.getString(0)).sorted
     spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Pin an OCC transaction's read snapshot: (head version, that
+    * version's manifest). Everything the transaction reads and rewrites
+    * derives from THIS frame — never the live manifest, which a
+    * concurrent committer may advance underneath it. Requires a base
+    * version: bootstrap the log with [[commit]] before the first
+    * transaction. */
+  def begin(spark: SparkSession, versionsDir: String): (Int, DataFrame) = {
+    val h = head(spark, versionsDir)
+    require(h >= 0,
+      s"no committed version in $versionsDir — bootstrap with VersionLog.commit first")
+    (h, manifestAt(spark, versionsDir, h))
+  }
+
+  /** Commit an OCC transaction by REBASE — the content-level conflict
+    * re-validation the slot claim alone cannot give (Delta's
+    * WriteSerializable shape, metadata-free: every check derives from
+    * the version snapshots already in the log):
+    *
+    *   1. claim the next slot (atomic exclusive create). A claim held by
+    *      an in-flight committer makes us WAIT for its `_SUCCESS`, then
+    *      rebase one version later; a claim whose snapshot never lands
+    *      (`maxSpins`) fails loudly — the orphaned-claim remediation
+    *      documented at [[commit]].
+    *   2. validate against every version committed after `readVersion`:
+    *      - FILE conflict: an intermediate commit removed one of the
+    *        files this transaction rewrote → its rewrite is based on
+    *        stale content → abort.
+    *      - KEY-BAND conflict: an intermediate commit's write footprint
+    *        ([min,max] over its removed+added file stats) intersects
+    *        ours → abort. Conservative on purpose: it catches the
+    *        write-write anomaly file math cannot see — two transactions
+    *        blind-INSERTING the same key into different new files.
+    *   3. write v = head+1 as (head snapshot − `removed`) ∪ `addedStats`
+    *      — the rebase. Data files were already written to the
+    *      transaction's private slot dir; in MVCC fashion nothing is
+    *      physically deleted ([[vacuum]] reclaims).
+    *
+    * On abort the claim is released and the transaction's slot files are
+    * orphans outside the log — the retrying writer overwrites the same
+    * slot; an abandoned slot is deleted manually (the same orphan-file
+    * garbage Delta's VACUUM sweeps). Aborts throw
+    * `java.util.ConcurrentModificationException` with the conflict class
+    * in the message. Returns the committed version. */
+  def commitRebase(spark: SparkSession, versionsDir: String, readVersion: Int,
+                   removed: Seq[String], addedStats: DataFrame,
+                   spinMs: Long = 100L, maxSpins: Int = 50): Int = {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val (fs, p) = fsFor(spark, versionsDir)
+    require(fs.exists(p), s"version log $versionsDir does not exist")
+    val added = addedStats.select("file", "min_key", "max_key", "n_rows").cache()
+    try {
+      var spins = 0
+      while (true) {
+        val h = head(spark, versionsDir)
+        val v = h + 1
+        val claim = new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v")
+        val won =
+          try { fs.create(claim, /* overwrite = */ false).close(); true }
+          catch { case _: java.io.IOException if fs.exists(claim) => false }
+        if (!won) {
+          // an in-flight committer holds v's claim (or we raced head()):
+          // wait for its snapshot to land, then rebase one version later
+          spins += 1
+          if (spins > maxSpins) throw new IllegalStateException(
+            s"slot v$v of $versionsDir claimed but its snapshot never landed " +
+              s"after $spins checks — orphaned claim? delete .claim-v$v after " +
+              "confirming no writer is active")
+          Thread.sleep(spinMs)
+        } else {
+          try validateNoConflict(spark, versionsDir, readVersion, h, removed, added)
+          catch { case e: Throwable => fs.delete(claim, false); throw e }
+          val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("file"))
+          manifestAt(spark, versionsDir, h)
+            .join(removedDf, Seq("file"), "left_anti")
+            .unionByName(added)
+            .write.mode("overwrite").parquet(s"$versionsDir/v$v")
+          return v
+        }
+      }
+      -1 // unreachable
+    } finally { added.unpersist(); () }
+  }
+
+  /** [min,max] over a stats frame's (min_key, max_key) — a transaction's
+    * or commit's key-space write footprint; (null, null) when empty. */
+  private def bandOf(stats: DataFrame): (Any, Any) = {
+    import org.apache.spark.sql.functions.{min, max, col}
+    val r = stats.agg(min(col("min_key")), max(col("max_key"))).head()
+    (r.get(0), r.get(1))
+  }
+
+  private def validateNoConflict(spark: SparkSession, versionsDir: String,
+                                 readVersion: Int, h: Int, removed: Seq[String],
+                                 added: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, broadcast, lit, coalesce}
+    if (h == readVersion) return
+    val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file"))
+    val myRemovedStats = manifestAt(spark, versionsDir, readVersion)
+      .join(removedDf, Seq("file"), "left_semi")
+    val (myLo, myHi) = bandOf(myRemovedStats.unionByName(
+      added.select("file", "min_key", "max_key", "n_rows")))
+    for (i <- readVersion + 1 to h) {
+      val prev = manifestAt(spark, versionsDir, i - 1)
+      val cur = manifestAt(spark, versionsDir, i)
+      val removedRows = prev.join(cur.select("file"), Seq("file"), "left_anti")
+      val fileClash = removedRows.join(removedDf, Seq("file"), "left_semi").count()
+      if (fileClash > 0) throw new java.util.ConcurrentModificationException(
+        s"OCC conflict: version $i of $versionsDir removed $fileClash file(s) this " +
+          s"transaction (read at v$readVersion) also rewrote — re-run against the new head")
+      val addedRows = cur.join(prev.select("file"), Seq("file"), "left_anti")
+      val (thLo, thHi) = bandOf(removedRows.unionByName(addedRows))
+      val overlaps =
+        if (myLo == null || myHi == null || thLo == null || thHi == null) false
+        else spark.range(1).select(
+          coalesce(lit(myLo) <= lit(thHi) && lit(myHi) >= lit(thLo), lit(false)).as("c")
+        ).head().getBoolean(0)
+      if (overlaps) throw new java.util.ConcurrentModificationException(
+        s"OCC conflict: version $i of $versionsDir wrote into key band [$thLo, $thHi], " +
+          s"intersecting this transaction's band [$myLo, $myHi] " +
+          s"(read at v$readVersion) — re-run against the new head")
+    }
+  }
+
+  /** Mirror the head snapshot into the flat manifest dir — the handoff
+    * from OCC back to the single-writer batch world (every in-place
+    * mutation and pruned read consults `manifestDir`). Call once writers
+    * QUIESCE: the mirror itself is not concurrency-safe (concurrent
+    * readers should pin versions via [[readVersion]] while writers
+    * race). */
+  def syncLive(spark: SparkSession, versionsDir: String, manifestDir: String): Unit = {
+    val h = head(spark, versionsDir)
+    require(h >= 0, s"nothing committed in $versionsDir")
+    val live = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(live))
+      FileSkipping.swapManifest(spark, manifestDir, manifestAt(spark, versionsDir, h))
+    else
+      manifestAt(spark, versionsDir, h).write.parquet(manifestDir)
   }
 
   /** Physically delete what time travel no longer needs: drop all but

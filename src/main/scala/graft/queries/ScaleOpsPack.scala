@@ -629,6 +629,49 @@ object ScaleOpsPack extends QueryPack {
             coalesce(col("dsum_dec").cast(DecimalType(38, 8)), lit(0).cast(DecimalType(38, 8))))
             .cast("double").as("sum_price"))
         .filter(col("n") > 0)
+    },
+
+    // ── q192: MULTI-WRITER OCC — two concurrent merges, rebase commit ──
+    // The version log's documented boundary ("true multi-writer needs
+    // content-level conflict re-validation") closed: two transactions
+    // BOTH pin the v0 snapshot, compute their merges against it into
+    // private txn slots, and commit optimistically — writer A lands as
+    // v1; writer B's commit finds a head it did not read, validates that
+    // v1 neither removed B's files nor wrote into B's key band (the
+    // deltas update disjoint thirds of the keyspace, so the 16-file
+    // range-sorted layout gives them disjoint write footprints), and
+    // REBASES onto v1 as v2. head_version = 2 proves the rebase path ran
+    // — a serialized second writer would also reach v2, but ConcurrencySpec
+    // pins the stale-snapshot path (and the abort paths) directly. The
+    // oracle applies both band-disjoint updates to the source — under
+    // OCC that equals ANY commit order.
+    "q192_occ_concurrent_merge" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      val base = "/root/repo/target/scratch/q192_occ"
+      val orders = stagedOrdersCopy(s, d, base)
+      val vdir = s"$base/versions"
+      VersionLog.commit(s, vdir, s"$base/manifest") // v0
+      val kmax = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo3, hi3) = (kmax / 3, 2L * (kmax / 3))
+      val deltaA = orders.filter(col("o_orderkey") <= lo3 && col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-OCC-A"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val deltaB = orders.filter(col("o_orderkey") >= hi3 && col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderpriority", lit("9-OCC-B"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      // both transactions pin v0 BEFORE either commits — B's snapshot is
+      // stale by the time it commits, which is the path under test
+      val pinA = VersionLog.begin(s, vdir)
+      val pinB = VersionLog.begin(s, vdir)
+      FileSkipping.mergeKeyedOcc(s, s"$base/data", vdir, "o_orderkey",
+        deltaA, "A", pinned = Some(pinA)) // v1
+      val vB = FileSkipping.mergeKeyedOcc(s, s"$base/data", vdir, "o_orderkey",
+        deltaB, "B", pinned = Some(pinB)) // v2, via rebase
+      VersionLog.syncLive(s, vdir, s"$base/manifest")
+      VersionLog.readVersion(s, vdir, vB)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"),
+          min(lit(vB.toLong)).as("head_version"))
     }
   )
 
@@ -771,6 +814,26 @@ object ScaleOpsPack extends QueryPack {
           SELECT o_orderpriority, COUNT(*) AS n,
                  ${Sql.dsum("o_totalprice")} AS sum_price
           FROM merged GROUP BY 1""",
+
+    // q192: both band-disjoint OCC merges applied to the source — under
+    // snapshot-pinned rebase that equals any commit order; head_version
+    // = 2 (v0 bootstrap + two transactional commits) proves B rebased
+    "q192_occ_concurrent_merge" ->
+      s"""WITH k AS (SELECT MAX(o_orderkey) // 3 AS lo3,
+                            2 * (MAX(o_orderkey) // 3) AS hi3 FROM orders),
+          m AS (SELECT CASE
+                    WHEN o_orderkey <= k.lo3 AND o_orderkey % 97 = 0 THEN '9-OCC-A'
+                    WHEN o_orderkey >= k.hi3 AND o_orderkey % 89 = 0 THEN '9-OCC-B'
+                    ELSE o_orderpriority END AS o_orderpriority,
+                  CASE
+                    WHEN o_orderkey <= k.lo3 AND o_orderkey % 97 = 0 THEN o_totalprice * 2
+                    WHEN o_orderkey >= k.hi3 AND o_orderkey % 89 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice
+                FROM orders, k)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 CAST(2 AS BIGINT) AS head_version
+          FROM m GROUP BY 1""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price
