@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object FileSkipping {
 
-  /** One manifest row per data file: (file, min_key, max_key, n_rows).
-    * Built in one scan via `input_file_name()` — the bootstrap/repair
-    * path; steady-state maintenance is [[appendWithManifest]], which
-    * folds only newly written files in (the Delta-log shape). */
+  /** One manifest row per data file: (file, min_key, max_key, n_rows,
+    * n_keys). Built in one scan via `input_file_name()` — the
+    * bootstrap/repair path; steady-state maintenance is
+    * [[appendWithManifest]], which folds only newly written files in (the
+    * Delta-log shape). `n_keys` is the NON-NULL key count: min/max stats
+    * ignore nulls, so `n_keys < n_rows` is the only signal that a file
+    * holds null-key rows the range math cannot see — [[deleteRange]]
+    * uses it to demote such files from the retire-unread path (round-9
+    * review: a fully-covered file's null rows were deleted unread AND
+    * absent from the CDC feed). */
   def buildManifest(spark: SparkSession, dataDir: String, keyCol: String): DataFrame =
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"), count(col(keyCol)).as("n_keys"))
 
   /** INCREMENTAL write-path maintenance (round-7 review: the scaladoc
     * promised it, now it exists): append `df` to `dataDir` and fold ONLY
@@ -86,10 +92,20 @@ object FileSkipping {
                   cdcDir: Option[String] = None): (Int, Int) = {
     val man = spark.read.parquet(manifestDir)
     // coalesce(false): an all-null stats row (0-row file from a previous
-    // rewrite) is neither covered nor overlapping
+    // rewrite) is neither covered nor overlapping. A file may be retired
+    // UNREAD only when its range is covered AND it provably holds no
+    // null-key rows (n_keys == n_rows): min/max ignore nulls, so a
+    // covered file's null rows would otherwise be deleted unread and
+    // missing from the CDC feed — they must SURVIVE, via the rewrite
+    // path. A manifest without the n_keys column (pre-round-10) cannot
+    // prove null-freeness, so every covered file demotes to the rewrite
+    // path — slower, never wrong.
+    val nullFree =
+      if (man.columns.contains("n_keys")) col("n_keys") === col("n_rows")
+      else lit(false)
     val tagged = man
       .withColumn("__covered",
-        coalesce(col("min_key") >= lo && col("max_key") <= hi, lit(false)))
+        coalesce(col("min_key") >= lo && col("max_key") <= hi && nullFree, lit(false)))
       .withColumn("__overlap",
         coalesce(col("max_key") >= lo && col("min_key") <= hi, lit(false)))
       .collect() // driver-bounded by design: |files| rows (see prunedRead)
@@ -126,10 +142,6 @@ object FileSkipping {
           .write.mode("append").parquet(dataDir)
         (listParquet(fs, path) -- before).toSeq.sorted
       }
-    // versioned mode: retired files stay on disk for older snapshots —
-    // VersionLog.vacuum is the physical delete
-    if (versionLog.isEmpty)
-      (full ++ partial).foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     // manifest rewrite: surviving rows ∪ replacement stats — staged to a
     // sibling dir and swapped in, so the lazy `man` read never races its
     // own overwrite
@@ -141,6 +153,13 @@ object FileSkipping {
     swapManifest(spark, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
+    // physical delete LAST (round-9 review): a crash before this point
+    // leaves benign orphan files the swapped manifest no longer
+    // references — never a manifest referencing deleted files. In
+    // versioned mode retired files stay on disk for older snapshots;
+    // VersionLog.vacuum is the physical delete.
+    if (versionLog.isEmpty)
+      (full ++ partial).foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (full.length, partial.length)
   }
 
@@ -234,7 +253,21 @@ object FileSkipping {
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"), count(col(keyCol)).as("n_keys"))
+
+  /** The MERGE contract every scaladoc states ("one row per key") made a
+    * loud precondition instead of silent duplicate rows + double-emitted
+    * CDC post-images (round-9 review — Delta's `MERGE INTO` likewise
+    * fails on multiple matches). Two jobs on the already-cached delta:
+    * a MERGE delta is broadcast-small by nature, so the check is ~free
+    * next to the rewrite it guards. */
+  private def requireUniqueKeys(delta: DataFrame, keyCol: String): Unit = {
+    val n = delta.count()
+    val distinct = delta.select(col(keyCol)).distinct().count()
+    require(distinct == n,
+      s"MERGE delta must have one row per '$keyCol' (got $n rows, $distinct distinct keys) " +
+        "— dedup the delta before merging, as Delta's MERGE INTO would also reject it")
+  }
 
   /** Keyed MERGE (upsert) costed by the manifest, not the table — the
     * Delta-`MERGE INTO` shape without the table format. Given a small
@@ -287,6 +320,7 @@ object FileSkipping {
                                man: DataFrame, delta: DataFrame,
                                versionLog: Option[String],
                                cdcDir: Option[String]): (Int, Int) = {
+    requireUniqueKeys(delta, keyCol)
     val hit = rangeHitFiles(man, delta.select(col(keyCol)))
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -317,8 +351,6 @@ object FileSkipping {
       .sortWithinPartitions(keyCol)
       .write.mode("append").parquet(dataDir)
     val fresh = (listParquet(fs, path) -- before).toSeq.sorted
-    if (versionLog.isEmpty)
-      hit.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     val kept = man.join(
       broadcast(spark.createDataset(hit.toIndexedSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
@@ -326,6 +358,10 @@ object FileSkipping {
     swapManifest(spark, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
+    // physical delete LAST — a crash leaves benign orphans, never a
+    // manifest referencing deleted files (see deleteRange)
+    if (versionLog.isEmpty)
+      hit.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (hit.length, fresh.length)
     } finally { touched.unpersist(); () }
   }
@@ -357,6 +393,7 @@ object FileSkipping {
     val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
     val delta = delta0.cache()
     try {
+      requireUniqueKeys(delta, keyCol)
       val hit = rangeHitFiles(snap, delta.select(col(keyCol)))
       val touched =
         (if (hit.isEmpty) emptyLike(spark, dataDir, Some(snap))
@@ -412,8 +449,6 @@ object FileSkipping {
       .sortWithinPartitions(keyCol)
       .write.mode("append").parquet(dataDir)
     val fresh = (listParquet(fs, path) -- before).toSeq.sorted
-    if (versionLog.isEmpty)
-      small.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     val man = spark.read.parquet(manifestDir)
     val kept = man.join(
       broadcast(spark.createDataset(small.toIndexedSeq)(
@@ -422,6 +457,10 @@ object FileSkipping {
     swapManifest(spark, manifestDir,
       if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
+    // physical delete LAST — a crash leaves benign orphans, never a
+    // manifest referencing deleted files (see deleteRange)
+    if (versionLog.isEmpty)
+      small.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (small.length, fresh.length)
   }
 
@@ -444,8 +483,25 @@ object FileSkipping {
     require(Integer.bitCount(nWords) == 1, s"nWords must be a power of two, got $nWords")
     import spark.implicits._
     import org.apache.spark.sql.graft.Bloom
-    spark.read.parquet(dataDir)
+    val df = spark.read.parquet(dataDir)
+    // the no-false-negative guarantee holds only for keys that reach the
+    // bloom: a non-integral column would silently CAST to null (every
+    // key unrepresented — bloom useless, contract broken), and a null
+    // key would NPE mid-job in the non-nullable encoder. Fail loudly on
+    // the type (round-9 review); FILTER nulls — a null can never equal a
+    // probe's Long key, so excluding it loses nothing a point read could
+    // ever ask for.
+    require(df.schema(keyCol).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      },
+      s"bloom manifest key '$keyCol' must be an integral column, got " +
+        s"${df.schema(keyCol).dataType.simpleString} — a silent cast would null " +
+        "every key and break the no-false-negative guarantee")
+    df
       .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
       .as[(String, Long)].rdd
       .aggregateByKey(new Array[Long](nWords))(
         (w, k) => { Bloom.add(w, k); w },

@@ -162,7 +162,10 @@ object VersionLog {
     import org.apache.spark.sql.functions.{col, broadcast}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
-    val added = addedStats.select("file", "min_key", "max_key", "n_rows").cache()
+    // column-align with the log's own manifests (schema may carry n_keys
+    // or other stats columns) so the rebase union never drifts
+    val tmpl = manifestAt(spark, versionsDir, readVersion).columns
+    val added = addedStats.select(tmpl.map(col): _*).cache()
     try {
       var spins = 0
       while (true) {
@@ -214,8 +217,8 @@ object VersionLog {
       org.apache.spark.sql.Encoders.STRING).toDF("file"))
     val myRemovedStats = manifestAt(spark, versionsDir, readVersion)
       .join(removedDf, Seq("file"), "left_semi")
-    val (myLo, myHi) = bandOf(myRemovedStats.unionByName(
-      added.select("file", "min_key", "max_key", "n_rows")))
+    // `added` is already column-aligned with the log's manifests
+    val (myLo, myHi) = bandOf(myRemovedStats.unionByName(added))
     for (i <- readVersion + 1 to h) {
       val prev = manifestAt(spark, versionsDir, i - 1)
       val cur = manifestAt(spark, versionsDir, i)

@@ -561,6 +561,89 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rebuilt.exceptAll(src).count() == 0 && src.exceptAll(rebuilt).count() == 0)
   }
 
+  test("deleteRange demotes covered-but-null-bearing files to the rewrite path; null rows survive") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_nullcovered"
+    graft.util.Staging.deleteRecursive(localBase)
+    // file A: non-null keys 1..1000 FULLY inside the deleted range, plus
+    // null-key rows the range math cannot see; file B: keys 1200..1400,
+    // also fully covered, provably null-free; file C: keys 2000..3000,
+    // outside the range entirely
+    val fileA = spark.range(1, 1001).select(
+      when(col("id") % 10 === 0, lit(null).cast("long")).otherwise(col("id")).as("k"),
+      lit("A").as("tag"))
+    val fileB = spark.range(1200, 1401).select(col("id").as("k"), lit("B").as("tag"))
+    val fileC = spark.range(2000, 3001).select(col("id").as("k"), lit("C").as("tag"))
+    fileA.coalesce(1).write.mode("overwrite").parquet(s"$localBase/data")
+    fileB.coalesce(1).write.mode("append").parquet(s"$localBase/data")
+    fileC.coalesce(1).write.mode("append").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "k")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val nNull = fileA.filter(col("k").isNull).count()
+    assert(nNull > 0)
+    val (retired, rewritten) = FileSkipping.deleteRange(
+      spark, s"$localBase/data", s"$localBase/manifest", "k",
+      lit(0L), lit(1500L), cdcDir = Some(s"$localBase/cdc"))
+    // regression (round-9 review): file A was retired UNREAD because its
+    // non-null [min,max] is covered — deleting its null rows and omitting
+    // them from the CDC feed. n_keys < n_rows now demotes it to the
+    // rewrite path; the provably null-free file B still retires unread.
+    assert(retired == 1, s"expected only the null-free covered file retired unread, got $retired")
+    assert(rewritten == 1, s"expected the null-bearing covered file rewritten, got $rewritten")
+    val survivors = spark.read.parquet(s"$localBase/data")
+    assert(survivors.filter(col("k").isNull).count() == nNull,
+      "null-key rows were lost from a covered file")
+    assert(survivors.filter(col("k").isNotNull && col("k") < 2000L).count() == 0)
+    // the feed holds exactly the deleted (non-null, in-range) rows, so
+    // survivors ∪ feed == source exactly once — including A's null rows
+    val feed = spark.read.parquet(s"$localBase/cdc")
+    val src = fileA.unionByName(fileB).unionByName(fileC)
+    val rebuilt = survivors.unionByName(feed.drop("op"))
+    assert(rebuilt.exceptAll(src).count() == 0 && src.exceptAll(rebuilt).count() == 0)
+  }
+
+  test("mergeKeyed rejects a duplicate-key delta before touching the table") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_dupdelta"
+    graft.util.Staging.deleteRecursive(localBase)
+    spark.range(100).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "k")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val manBefore = spark.read.parquet(s"$localBase/manifest").collect().toSet
+    val dup = spark.range(2).select(lit(7L).as("k"), col("id").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.mergeKeyed(spark, s"$localBase/data", s"$localBase/manifest", "k", dup)
+    }
+    assert(e.getMessage.contains("one row per"), e.getMessage)
+    // the guard runs before any write: table and manifest untouched
+    assert(spark.read.parquet(s"$localBase/data").count() == 100)
+    assert(spark.read.parquet(s"$localBase/manifest").collect().toSet == manBefore)
+  }
+
+  test("bloom manifest rejects non-integral keys and survives null keys") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_bloomkeys"
+    graft.util.Staging.deleteRecursive(localBase)
+    spark.range(500).select(
+        when(col("id") % 50 === 0, lit(null).cast("long")).otherwise(col("id")).as("k"),
+        col("id").cast("string").as("s"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$localBase/data")
+    // a string key would silently cast every value to null — fail loudly
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.buildBloomManifest(spark, s"$localBase/data", "s", 64)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // null keys no longer NPE mid-job; non-null keys keep the
+    // no-false-negative guarantee
+    FileSkipping.buildBloomManifest(spark, s"$localBase/data", "k", 1024)
+      .write.mode("overwrite").parquet(s"$localBase/bloom")
+    val probe = Array(7L, 123L, 499L)
+    val got = FileSkipping.bloomPointRead(spark, s"$localBase/data", s"$localBase/bloom", probe)
+      .filter(col("k").isin(probe.map(Long.box).toIndexedSeq: _*)).count()
+    assert(got == 3, s"bloom point read lost a non-null key (got $got of 3)")
+  }
+
   test("version commit claims its slot atomically: a planted claim fails loudly, log unchanged") {
     import graft.io.{FileSkipping, VersionLog}
     val localBase = "/root/repo/target/scratch/fskip_claim"
@@ -679,7 +762,7 @@ class ScaleOpsSpec extends SparkSpec {
     val rebuilt = spark.read.parquet(files.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min(col("ts")).as("min_key"), max(col("ts")).as("max_key"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"), count(col("ts")).as("n_keys"))
     assert(maintained.exceptAll(rebuilt).count() == 0 &&
       rebuilt.exceptAll(maintained).count() == 0)
     // batch maintenance now owns the table: compaction folds the
