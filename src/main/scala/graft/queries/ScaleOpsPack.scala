@@ -641,10 +641,13 @@ object ScaleOpsPack extends QueryPack {
     // deltas update disjoint thirds of the keyspace, so the 16-file
     // range-sorted layout gives them disjoint write footprints), and
     // REBASES onto v1 as v2. head_version = 2 proves the rebase path ran
-    // — a serialized second writer would also reach v2, but ConcurrencySpec
-    // pins the stale-snapshot path (and the abort paths) directly. The
-    // oracle applies both band-disjoint updates to the source — under
-    // OCC that equals ANY commit order.
+    // — a serialized second writer would also reach v2, but
+    // ConcurrencySpec races genuinely concurrent threads through
+    // mergeKeyedOcc and pins the band-conflict abort (claim released,
+    // retry converges), the file-conflict abort, the claim spin-wait,
+    // the orphaned-claim timeout, and the disjoint-writers-both-land
+    // union directly. The oracle applies both band-disjoint updates to
+    // the source — under OCC that equals ANY commit order.
     "q192_occ_concurrent_merge" -> { (s, d) =>
       import graft.io.{FileSkipping, VersionLog}
       val base = "/root/repo/target/scratch/q192_occ"

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.util.{Failure, Success, Try}
+
+/** The OCC multi-writer conflict machinery, exercised by GENUINELY
+  * concurrent threads — the paths q192 cannot pin from a single thread
+  * ([[graft.io.VersionLog.commitRebase]]'s claim/spin/validate loop and
+  * both abort classes):
+  *
+  *   - two racing writers with OVERLAPPING key bands: exactly one lands,
+  *     the other aborts with `ConcurrentModificationException`, its
+  *     claim is released, and the retry against the new head converges
+  *     to the serial result;
+  *   - the FILE-conflict abort (both transactions rewrote the same
+  *     file — the stale-rewrite anomaly);
+  *   - the claim spin-wait (an in-flight committer's `_SUCCESS` lands
+  *     mid-spin and the waiter rebases one version later) and the
+  *     orphaned-claim timeout;
+  *   - two racing writers with DISJOINT bands: both land, any commit
+  *     order, union exact.
+  *
+  * Spark's scheduler is thread-safe (one shared local session, jobs
+  * submitted from scalatest-side threads) — the races here are real
+  * claim-file races on the version log, not simulations.
+  */
+class ConcurrencySpec extends SparkSpec {
+  import graft.io.{FileSkipping, VersionLog}
+
+  /** Fresh 8-file range-sorted table (keys 0..7999, ~1000/file) with
+    * manifest + a bootstrapped version log. Returns (dataDir, vdir). */
+  private def freshTable(name: String): (String, String) = {
+    val base = s"/root/repo/target/scratch/conc_$name"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(8000).select(col("id").as("k"),
+        concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    (s"$base/data", s"$base/versions")
+  }
+
+  private def insertsDf(lo: Long, n: Long, tag: String) =
+    spark.range(lo, lo + n).select(col("id").as("k"), lit(tag).as("tag"),
+      lit(9.9).as("v"))
+
+  /** Every claim in the log must be SPENT (its snapshot landed): an
+    * aborted transaction must release its claim, or the slot is blocked
+    * for every later writer. */
+  private def noOrphanedClaims(vdir: String): Unit = {
+    val claims = new java.io.File(vdir).listFiles()
+      .filter(_.getName.startsWith(".claim-v")).map(_.getName.stripPrefix(".claim-"))
+    claims.foreach { v =>
+      assert(new java.io.File(s"$vdir/$v/_SUCCESS").exists(),
+        s"claim for $v has no landed snapshot — aborted txn leaked its claim")
+    }
+  }
+
+  test("racing writers with overlapping bands: one lands, one aborts, claim released, retry converges") {
+    val (data, vdir) = freshTable("band")
+    // two blind INSERTS into overlapping key ranges — no shared files
+    // (removed = none on both sides), so only the key-band check can see
+    // the write-write anomaly
+    val insA = insertsDf(1000000L, 60, "OCC-A")
+    val insB = insertsDf(1000030L, 60, "OCC-B") // overlaps A on [1000030, 1000059]
+    val pinA = VersionLog.begin(spark, vdir)
+    val pinB = VersionLog.begin(spark, vdir)
+    assert(pinA._1 == 0 && pinB._1 == 0, "both transactions must pin v0")
+    val fA = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", insA, "A", Some(pinA))))
+    val fB = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", insB, "B", Some(pinB))))
+    val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
+    val outcomes = Seq("A" -> rA, "B" -> rB)
+    val winners = outcomes.collect { case (n, Success(v)) => (n, v) }
+    val losers = outcomes.collect { case (n, Failure(e)) => (n, e) }
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one commit and one abort, got winners=$winners losers=$losers")
+    assert(winners.head._2 == 1, "the winner must have committed v1")
+    losers.foreach { case (_, e) =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString)
+      assert(e.getMessage.contains("key band"), s"expected a band-conflict abort: ${e.getMessage}")
+    }
+    // the aborted claim must be RELEASED: head is v1 and no claim file
+    // exists without a landed snapshot
+    assert(VersionLog.head(spark, vdir) == 1)
+    noOrphanedClaims(vdir)
+    // retry-after-abort: re-pin the NEW head, recompute, commit — the
+    // loser's delta now sees the winner's rows (overlap keys become
+    // matched updates) and converges to the serial winner-then-loser result
+    val (loserName, _) = losers.head
+    val loserDelta = if (loserName == "A") insA else insB
+    val v2 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", loserDelta,
+      s"$loserName-retry", pinned = Some(VersionLog.begin(spark, vdir)))
+    assert(v2 == 2, s"retry must rebase onto v1 and land as v2, got $v2")
+    val winnerDelta = if (loserName == "A") insB else insA
+    val expected = spark.range(8000).select(col("id").as("k"),
+        concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+      .unionByName(winnerDelta.join(loserDelta.select("k"), Seq("k"), "left_anti"))
+      .unionByName(loserDelta)
+    val got = VersionLog.readVersion(spark, vdir, v2)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "retried merge diverged from the serial winner-then-loser result")
+  }
+
+  test("file-conflict abort: a second rewrite of the same file is based on stale content") {
+    val (data, vdir) = freshTable("file")
+    // both transactions UPDATE keys inside file 0's band (keys 0..~999):
+    // different keys, same rewritten file — the rebase would silently
+    // drop A's updates if B's stale rewrite of that file landed
+    val updA = spark.range(100, 111).select(col("id").as("k"), lit("F-A").as("tag"), lit(1.1).as("v"))
+    val updB = spark.range(200, 211).select(col("id").as("k"), lit("F-B").as("tag"), lit(2.2).as("v"))
+    val pinA = VersionLog.begin(spark, vdir)
+    val pinB = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updA, "FA", Some(pinA)) == 1)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updB, "FB", Some(pinB))
+    }
+    assert(e.getMessage.contains("removed") && e.getMessage.contains("rewrote"),
+      s"expected the FILE-conflict class, got: ${e.getMessage}")
+    noOrphanedClaims(vdir)
+    // the retry converges: both update sets present at the new head
+    val v2 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updB, "FB-retry",
+      pinned = Some(VersionLog.begin(spark, vdir)))
+    val head = VersionLog.readVersion(spark, vdir, v2)
+    assert(head.filter(col("tag") === "F-A").count() == 11)
+    assert(head.filter(col("tag") === "F-B").count() == 11)
+  }
+
+  test("claim spin-wait: an in-flight committer's snapshot lands mid-spin; the waiter rebases one later") {
+    val (_, vdir) = freshTable("spin")
+    // another writer holds v1's claim but its snapshot has not landed yet
+    new java.io.File(s"$vdir/.claim-v1").createNewFile()
+    val added = insertsDf(2000000L, 5, "SPIN")
+      .groupBy(lit(s"$vdir/fake.parquet").as("file"))
+      .agg(min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        count(lit(1)).as("n_rows"), count(col("k")).as("n_keys"))
+    val waiter = Future(Try(VersionLog.commitRebase(spark, vdir, 0, Seq.empty, added,
+      spinMs = 100L, maxSpins = 100)))
+    // let the waiter enter its spin loop, then land v1 (disjoint insert
+    // band far from the waiter's, so the rebase validates cleanly)
+    Thread.sleep(600)
+    VersionLog.manifestAt(spark, vdir, 0)
+      .write.mode("overwrite").parquet(s"$vdir/v1")
+    val r = Await.result(waiter, 5.minutes)
+    assert(r == Success(2), s"waiter should rebase onto the landed v1 and commit v2, got $r")
+    assert(VersionLog.head(spark, vdir) == 2)
+  }
+
+  test("orphaned claim: a claim whose snapshot never lands fails loudly after maxSpins") {
+    val (_, vdir) = freshTable("orphan")
+    new java.io.File(s"$vdir/.claim-v1").createNewFile()
+    val added = insertsDf(3000000L, 5, "ORPH")
+      .groupBy(lit(s"$vdir/fake2.parquet").as("file"))
+      .agg(min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        count(lit(1)).as("n_rows"), count(col("k")).as("n_keys"))
+    val e = intercept[IllegalStateException] {
+      VersionLog.commitRebase(spark, vdir, 0, Seq.empty, added, spinMs = 20L, maxSpins = 3)
+    }
+    assert(e.getMessage.contains("orphaned claim"), e.getMessage)
+    // the orphaned claim is NOT ours to release — remediation is manual,
+    // as documented; head unchanged
+    assert(VersionLog.head(spark, vdir) == 0)
+  }
+
+  test("racing writers with disjoint bands: both land, union exact under either commit order") {
+    val (data, vdir) = freshTable("disjoint")
+    // updates confined to opposite ends of the keyspace: file-disjoint
+    // AND band-disjoint, so neither abort class may fire
+    val updA = spark.range(10, 40).select(col("id").as("k"), lit("D-A").as("tag"), lit(1.0).as("v"))
+    val updB = spark.range(7900, 7950).select(col("id").as("k"), lit("D-B").as("tag"), lit(2.0).as("v"))
+    val pinA = VersionLog.begin(spark, vdir)
+    val pinB = VersionLog.begin(spark, vdir)
+    val fA = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updA, "DA", Some(pinA))))
+    val fB = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updB, "DB", Some(pinB))))
+    val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
+    assert(rA.isSuccess && rB.isSuccess, s"disjoint writers must both land: A=$rA B=$rB")
+    assert(Set(rA.get, rB.get) == Set(1, 2), s"expected versions {1,2}, got {$rA,$rB}")
+    noOrphanedClaims(vdir)
+    val expected = spark.range(8000)
+      .filter(!col("id").between(10, 39) && !col("id").between(7900, 7949))
+      .select(col("id").as("k"),
+        concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+      .unionByName(updA).unionByName(updB)
+    val got = VersionLog.readVersion(spark, vdir, 2)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "concurrent disjoint merges diverged from the serial union")
+  }
+}
