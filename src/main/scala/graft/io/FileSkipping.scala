@@ -464,6 +464,55 @@ object FileSkipping {
     (small.length, fresh.length)
   }
 
+  /** OCC transactional small-file compaction — the multi-writer variant
+    * of [[compactSmall]], and the canonical concurrent partner of
+    * [[mergeKeyedOcc]]: in production the daily compactor races live
+    * MERGE writers, and under plain band validation it would abort on
+    * every overlap even though it changes no content. This commits with
+    * `rewriteOnly = true` ([[VersionLog.commitRebase]]): compaction's
+    * key band — which by construction spans the table — participates in
+    * NO band check in either direction; only a file conflict (a merge
+    * rewrote one of the files being compacted, or vice versa) aborts.
+    *
+    *   - the bin plan derives from the PINNED snapshot's file list
+    *     (sizes from the filesystem — immutable files, so the size of a
+    *     pinned file never changes under MVCC);
+    *   - replacements land in a private `dataDir/txn-<txnId>` slot,
+    *     range-clustered through one exchange exactly like the
+    *     single-writer path (compaction IMPROVES pruning);
+    *   - nothing is physically deleted ([[VersionLog.vacuum]] reclaims).
+    *
+    * Returns (committed version, files compacted, files written); when
+    * fewer than 2 pinned files are under the threshold nothing commits
+    * and the pinned version is returned unchanged. */
+  def compactSmallOcc(spark: SparkSession, dataDir: String, versionsDir: String,
+                      keyCol: String, smallBytes: Long, targetBytes: Long,
+                      txnId: String,
+                      pinned: Option[(Int, DataFrame)] = None): (Int, Int, Int) = {
+    val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val small = snap.select("file").collect().map(_.getString(0))
+      .filter { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        fs.exists(p) && fs.getFileStatus(p).getLen < smallBytes
+      }.sorted
+    if (small.length < 2) return (rv, 0, 0)
+    val totalBytes = small.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val slot = s"$dataDir/txn-$txnId"
+    spark.read.parquet(small.toIndexedSeq: _*)
+      .repartitionByRange(nOut, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(slot)
+    val slotPath = new org.apache.hadoop.fs.Path(slot)
+    val fresh = listParquet(fs, slotPath).toSeq.sorted
+    val v = VersionLog.commitRebase(spark, versionsDir, rv,
+      small.toIndexedSeq, statsFor(spark, fresh, keyCol), rewriteOnly = true)
+    (v, small.length, fresh.length)
+  }
+
   /** Per-file BLOOM manifest — point-lookup skipping on a column the
     * layout is NOT sorted by. Range stats prune nothing there (every
     * file's [min,max] spans the domain); a per-file bloom answers "could

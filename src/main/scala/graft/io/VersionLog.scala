@@ -155,10 +155,26 @@ object VersionLog {
     * slot; an abandoned slot is deleted manually (the same orphan-file
     * garbage Delta's VACUUM sweeps). Aborts throw
     * `java.util.ConcurrentModificationException` with the conflict class
-    * in the message. Returns the committed version. */
+    * in the message. Returns the committed version.
+    *
+    * `rewriteOnly` classifies the commit (Delta's WriteSerializable
+    * refinement, where compaction is a `rewrite`-action-only commit):
+    * a rewrite-only transaction preserves logical content — same rows,
+    * new files — so the key-band check exists for an anomaly it cannot
+    * cause or suffer. Rewrite-only commits therefore conflict on FILES
+    * only, in both directions: a rewrite-only committer skips band
+    * validation, and later validators skip the band check against a
+    * committed rewrite-only version (its `_REWRITE_ONLY` marker is in
+    * the snapshot dir). File conflicts still abort both ways — a
+    * compaction whose input was rewritten under it is stale, and a merge
+    * whose touched file was compacted away is stale. This is what lets
+    * the canonical production pair — compaction racing a MERGE on
+    * disjoint files — BOTH land even though compaction's key band spans
+    * the table. */
   def commitRebase(spark: SparkSession, versionsDir: String, readVersion: Int,
                    removed: Seq[String], addedStats: DataFrame,
-                   spinMs: Long = 100L, maxSpins: Int = 50): Int = {
+                   spinMs: Long = 100L, maxSpins: Int = 50,
+                   rewriteOnly: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, broadcast}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
@@ -185,7 +201,7 @@ object VersionLog {
               "confirming no writer is active")
           Thread.sleep(spinMs)
         } else {
-          try validateNoConflict(spark, versionsDir, readVersion, h, removed, added)
+          try validateNoConflict(spark, versionsDir, readVersion, h, removed, added, rewriteOnly)
           catch { case e: Throwable => fs.delete(claim, false); throw e }
           val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
             org.apache.spark.sql.Encoders.STRING).toDF("file"))
@@ -193,6 +209,14 @@ object VersionLog {
             .join(removedDf, Seq("file"), "left_anti")
             .unionByName(added)
             .write.mode("overwrite").parquet(s"$versionsDir/v$v")
+          // classification marker AFTER the snapshot write (overwrite mode
+          // clears the dir first). The marker-less window between _SUCCESS
+          // and this create can only make a concurrent validator treat
+          // this commit as content-changing — a spurious abort, never a
+          // missed conflict (conservative by construction).
+          if (rewriteOnly)
+            fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_REWRITE_ONLY"),
+              /* overwrite = */ true).close()
           return v
         }
       }
@@ -208,9 +232,16 @@ object VersionLog {
     (r.get(0), r.get(1))
   }
 
+  /** True when version `v`'s snapshot carries the rewrite-only
+    * classification marker. */
+  def isRewriteOnly(spark: SparkSession, versionsDir: String, v: Int): Boolean = {
+    val (fs, _) = fsFor(spark, versionsDir)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_REWRITE_ONLY"))
+  }
+
   private def validateNoConflict(spark: SparkSession, versionsDir: String,
                                  readVersion: Int, h: Int, removed: Seq[String],
-                                 added: DataFrame): Unit = {
+                                 added: DataFrame, rewriteOnly: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col, broadcast, lit, coalesce}
     if (h == readVersion) return
     val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
@@ -223,21 +254,29 @@ object VersionLog {
       val prev = manifestAt(spark, versionsDir, i - 1)
       val cur = manifestAt(spark, versionsDir, i)
       val removedRows = prev.join(cur.select("file"), Seq("file"), "left_anti")
+      // FILE conflicts abort regardless of either side's class: a rewrite
+      // based on a file an intermediate commit removed is stale content
       val fileClash = removedRows.join(removedDf, Seq("file"), "left_semi").count()
       if (fileClash > 0) throw new java.util.ConcurrentModificationException(
         s"OCC conflict: version $i of $versionsDir removed $fileClash file(s) this " +
           s"transaction (read at v$readVersion) also rewrote — re-run against the new head")
-      val addedRows = cur.join(prev.select("file"), Seq("file"), "left_anti")
-      val (thLo, thHi) = bandOf(removedRows.unionByName(addedRows))
-      val overlaps =
-        if (myLo == null || myHi == null || thLo == null || thHi == null) false
-        else spark.range(1).select(
-          coalesce(lit(myLo) <= lit(thHi) && lit(myHi) >= lit(thLo), lit(false)).as("c")
-        ).head().getBoolean(0)
-      if (overlaps) throw new java.util.ConcurrentModificationException(
-        s"OCC conflict: version $i of $versionsDir wrote into key band [$thLo, $thHi], " +
-          s"intersecting this transaction's band [$myLo, $myHi] " +
-          s"(read at v$readVersion) — re-run against the new head")
+      // KEY-BAND conflicts exist for the blind-insert write-write anomaly,
+      // which a content-preserving commit can neither cause nor suffer:
+      // skip when THIS transaction is rewrite-only, or when the
+      // intermediate commit carries the rewrite-only marker
+      if (!rewriteOnly && !isRewriteOnly(spark, versionsDir, i)) {
+        val addedRows = cur.join(prev.select("file"), Seq("file"), "left_anti")
+        val (thLo, thHi) = bandOf(removedRows.unionByName(addedRows))
+        val overlaps =
+          if (myLo == null || myHi == null || thLo == null || thHi == null) false
+          else spark.range(1).select(
+            coalesce(lit(myLo) <= lit(thHi) && lit(myHi) >= lit(thLo), lit(false)).as("c")
+          ).head().getBoolean(0)
+        if (overlaps) throw new java.util.ConcurrentModificationException(
+          s"OCC conflict: version $i of $versionsDir wrote into key band [$thLo, $thHi], " +
+            s"intersecting this transaction's band [$myLo, $myHi] " +
+            s"(read at v$readVersion) — re-run against the new head")
+      }
     }
   }
 

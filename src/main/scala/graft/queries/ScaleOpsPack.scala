@@ -675,6 +675,60 @@ object ScaleOpsPack extends QueryPack {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"),
           min(lit(vB.toLong)).as("head_version"))
+    },
+
+    // ── q193: rewrite-only OCC — compaction racing a MERGE, both land ──
+    // The canonical production conflict pair (round-9 verdict #3): the
+    // daily compactor races a live MERGE writer. The compaction's key
+    // band spans the table by construction, so plain band validation
+    // would abort it on EVERY overlap — but it changes no content.
+    // commitRebase's commit classification (Delta's WriteSerializable
+    // refinement) lets it commit `rewriteOnly`: band checks are skipped
+    // in both directions, file conflicts still abort (ConcurrencySpec
+    // pins the abort + both orders). Here: a 1-big + 12-small-file
+    // layout; a MERGE pinned at v0 updates keys inside the big file and
+    // inserts beyond every range (its band spans the smalls'), lands as
+    // v1; the compaction — ALSO pinned at v0, file-disjoint — rebases
+    // over it as v2. head_version = 2 proves the rewrite-only rebase
+    // path ran; the oracle recomputes the merge set-theoretically —
+    // compaction must be invisible to the penny.
+    "q193_occ_compaction_merge" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      val base = "/root/repo/target/scratch/q193_occ_compact"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val split = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+      orders.filter(col("o_orderkey") <= split).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/data")
+      orders.filter(col("o_orderkey") > split)
+        .repartitionByRange(12, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.mode("append").parquet(s"$base/data")
+      FileSkipping.buildManifest(s, s"$base/data", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val vdir = s"$base/versions"
+      VersionLog.commit(s, vdir, s"$base/manifest") // v0
+      val delta = orders
+        .filter(col("o_orderkey") <= split && col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-OCC-M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(mergeInserts(orders))
+      val pinM = VersionLog.begin(s, vdir)
+      val pinC = VersionLog.begin(s, vdir)
+      FileSkipping.mergeKeyedOcc(s, s"$base/data", vdir, "o_orderkey",
+        delta, "M", pinned = Some(pinM)) // v1
+      val dp = new org.apache.hadoop.fs.Path(s"$base/data")
+      val fs = dp.getFileSystem(s.sessionState.newHadoopConf())
+      val bigLen = fs.listStatus(dp)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).max
+      val (vC, _, _) = FileSkipping.compactSmallOcc(s, s"$base/data", vdir,
+        "o_orderkey", smallBytes = bigLen, targetBytes = Long.MaxValue,
+        "C", pinned = Some(pinC)) // v2, rewrite-only rebase over the merge
+      VersionLog.syncLive(s, vdir, s"$base/manifest")
+      VersionLog.readVersion(s, vdir, vC)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"),
+          min(lit(vC.toLong)).as("head_version"))
     }
   )
 
@@ -837,6 +891,28 @@ object ScaleOpsPack extends QueryPack {
                  ${Sql.dsum("o_totalprice")} AS sum_price,
                  CAST(2 AS BIGINT) AS head_version
           FROM m GROUP BY 1""",
+
+    // q193: the merge recomputed set-theoretically (updates confined to
+    // the low half + shifted inserts); the racing rewrite-only compaction
+    // must be INVISIBLE — head_version = 2 proves it rebased over v1
+    "q193_occ_compaction_merge" ->
+      s"""WITH k AS (SELECT MAX(o_orderkey) // 2 AS split FROM orders),
+          up AS (SELECT o_orderkey, '9-OCC-M' AS o_orderpriority,
+                   o_totalprice * 2 AS o_totalprice
+                 FROM orders, k WHERE o_orderkey <= k.split AND o_orderkey % 97 = 0),
+          ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                    '9-MERGED' AS o_orderpriority,
+                    o_totalprice + 5 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 601 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders, k
+                   WHERE NOT (o_orderkey <= k.split AND o_orderkey % 97 = 0)),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up
+                     UNION ALL SELECT * FROM ins)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 CAST(2 AS BIGINT) AS head_version
+          FROM merged GROUP BY 1""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

@@ -169,6 +169,106 @@ class ConcurrencySpec extends SparkSpec {
     assert(VersionLog.head(spark, vdir) == 0)
   }
 
+  /** 1 big file (keys 0..3999) + 8 small files (keys 4000..7999) — the
+    * post-streaming-ingest layout a compactor maintains. */
+  private def freshSkewedTable(name: String): (String, String) = {
+    val base = s"/root/repo/target/scratch/conc_$name"
+    graft.util.Staging.deleteRecursive(base)
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id").as("k"),
+      concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+      (col("id") % 997 / 7.0).as("v"))
+    rows(0, 4000).coalesce(1).write.mode("overwrite").parquet(s"$base/data")
+    rows(4000, 8000).repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("append").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    (s"$base/data", s"$base/versions")
+  }
+
+  private def bigFileLen(data: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(data)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).max
+  }
+
+  test("rewrite-only class: OCC compaction rebases over a file-disjoint merge despite full band overlap") {
+    val (data, vdir) = freshSkewedTable("compact_after")
+    // merge confined to the BIG file + a beyond-range insert: its key
+    // band [0, beyond] SPANS the small files' band, so plain band
+    // validation would abort the compaction — only the rewrite-only
+    // class lets the canonical compaction-racing-merge pair both land
+    val delta = spark.range(100, 141).select(col("id").as("k"), lit("RW-M").as("tag"), lit(3.3).as("v"))
+      .unionByName(insertsDf(1000000L, 10, "RW-I"))
+    val pinM = VersionLog.begin(spark, vdir)
+    val pinC = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "RWM", Some(pinM)) == 1)
+    val (vC, compacted, written) = FileSkipping.compactSmallOcc(
+      spark, data, vdir, "k", smallBytes = bigFileLen(data), targetBytes = Long.MaxValue,
+      "RWC", pinned = Some(pinC))
+    assert(vC == 2, s"compaction must rebase onto the merge's v1 and land as v2, got $vC")
+    assert(compacted == 8 && written == 1, s"expected 8 smalls -> 1 file, got $compacted -> $written")
+    assert(VersionLog.isRewriteOnly(spark, vdir, 2) && !VersionLog.isRewriteOnly(spark, vdir, 1))
+    // content at the head == the merge alone (compaction invisible), and
+    // the head references fewer files
+    val expected = spark.range(8000).filter(!col("id").between(100, 140))
+      .select(col("id").as("k"), concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+      .unionByName(delta)
+    val got = VersionLog.readVersion(spark, vdir, vC)
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "compaction racing a merge changed table content")
+    assert(VersionLog.manifestAt(spark, vdir, 2).count() <
+      VersionLog.manifestAt(spark, vdir, 1).count())
+  }
+
+  test("rewrite-only class: a merge rebases over an intermediate rewrite-only compaction") {
+    val (data, vdir) = freshSkewedTable("merge_after")
+    val pinC = VersionLog.begin(spark, vdir)
+    val pinM = VersionLog.begin(spark, vdir)
+    val (vC, compacted, _) = FileSkipping.compactSmallOcc(
+      spark, data, vdir, "k", smallBytes = bigFileLen(data), targetBytes = Long.MaxValue,
+      "RWC2", pinned = Some(pinC))
+    assert(vC == 1 && compacted == 8)
+    // the merge's band spans the compaction's; without the intermediate
+    // commit's _REWRITE_ONLY marker the band check would abort it. Its
+    // FILES (the big one) are disjoint from the compacted smalls.
+    val delta = spark.range(200, 241).select(col("id").as("k"), lit("RW-M2").as("tag"), lit(4.4).as("v"))
+      .unionByName(insertsDf(2000000L, 10, "RW-I2"))
+    val vM = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "RWM2", Some(pinM))
+    assert(vM == 2, s"merge must rebase over the rewrite-only compaction, got $vM")
+    val expected = spark.range(8000).filter(!col("id").between(200, 240))
+      .select(col("id").as("k"), concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+      .unionByName(delta)
+    val got = VersionLog.readVersion(spark, vdir, vM)
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+  }
+
+  test("rewrite-only class does NOT waive file conflicts: merge into a compacted file aborts, retry converges") {
+    val (data, vdir) = freshSkewedTable("filewins")
+    val pinC = VersionLog.begin(spark, vdir)
+    val pinM = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.compactSmallOcc(spark, data, vdir, "k",
+      smallBytes = bigFileLen(data), targetBytes = Long.MaxValue,
+      "RWC3", pinned = Some(pinC))._1 == 1)
+    // this merge UPDATES keys inside a small file the compaction just
+    // retired — its rewrite is stale content and must abort even though
+    // the intermediate commit is rewrite-only
+    val delta = spark.range(4100, 4141).select(col("id").as("k"), lit("RW-M3").as("tag"), lit(5.5).as("v"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "RWM3", Some(pinM))
+    }
+    assert(e.getMessage.contains("removed"), e.getMessage)
+    noOrphanedClaims(vdir)
+    val vM = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "RWM3-retry",
+      pinned = Some(VersionLog.begin(spark, vdir)))
+    assert(vM == 2)
+    val got = VersionLog.readVersion(spark, vdir, vM)
+    assert(got.filter(col("tag") === "RW-M3").count() == 41)
+    assert(got.count() == 8000)
+  }
+
   test("racing writers with disjoint bands: both land, union exact under either commit order") {
     val (data, vdir) = freshTable("disjoint")
     // updates confined to opposite ends of the keyspace: file-disjoint
