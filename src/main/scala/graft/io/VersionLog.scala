@@ -54,15 +54,68 @@ object VersionLog {
     * counts only once its snapshot write COMMITTED (`_SUCCESS` present):
     * under OCC a concurrent committer's claimed-but-still-writing
     * snapshot dir must not be observed as head — [[commitRebase]]'s spin
-    * loop waits for exactly this edge. */
+    * loop waits for exactly this edge.
+    *
+    * Cost is FLAT in log length (round-9 verdict #4 — the original
+    * listed every version dir, O(V) RPCs per call, and every commit
+    * calls head, so commit cost grew linearly with table history): each
+    * successful commit drops a `_head` pointer file, and head() probes
+    * FORWARD from it — O(1 + commits since the pointer), the same move
+    * as Delta's `_last_checkpoint`. The pointer is a HINT, never truth:
+    * it is written after `_SUCCESS` (so it can lag, never lead), a stale
+    * or torn pointer only lengthens the forward probe or falls back to
+    * the full listing, and version numbers are contiguous by
+    * construction (every commit claims head+1), so the probe cannot
+    * stop early at a hole. */
   def head(spark: SparkSession, versionsDir: String): Int = {
     val (fs, p) = fsFor(spark, versionsDir)
-    if (!fs.exists(p)) -1
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/$n/_SUCCESS")))
-      .map(_.drop(1).toInt).foldLeft(-1)(math.max)
+    if (!fs.exists(p)) return -1
+    def landed(v: Int): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS"))
+    readHeadHint(fs, versionsDir).filter(landed) match {
+      case Some(h0) =>
+        var h = h0
+        while (landed(h + 1)) h += 1
+        h
+      case None => // no/invalid pointer: the O(V) bootstrap listing
+        fs.listStatus(p).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .filter(n => landed(n.drop(1).toInt))
+          .map(_.drop(1).toInt).foldLeft(-1)(math.max)
+    }
   }
+
+  private def readHeadHint(fs: org.apache.hadoop.fs.FileSystem,
+                           versionsDir: String): Option[Int] =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(s"$versionsDir/_head")
+      if (!fs.exists(hp)) None
+      else {
+        val in = fs.open(hp)
+        try Option(new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine())
+          .map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toInt)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None } // hint only
+
+  /** Advance the `_head` pointer to `v` — best-effort (any failure
+    * degrades head() to a longer probe or the listing, never to a wrong
+    * answer). Per-version tmp name + rename keeps racing committers from
+    * tearing each other's writes; an older committer overwriting a newer
+    * pointer only lengthens the forward probe (monotonic-safe). */
+  private def writeHeadHint(fs: org.apache.hadoop.fs.FileSystem,
+                            versionsDir: String, v: Int): Unit =
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(s"$versionsDir/_head.tmp-v$v")
+      val out = fs.create(tmp, /* overwrite = */ true)
+      out.write(v.toString.getBytes("UTF-8"))
+      out.close()
+      val hp = new org.apache.hadoop.fs.Path(s"$versionsDir/_head")
+      fs.delete(hp, false)
+      fs.rename(tmp, hp)
+      ()
+    } catch { case _: java.io.IOException => () }
 
   /** Snapshot the live manifest as version head+1, CLAIMING the version
     * number first with an atomic exclusive create (`FileSystem.create
@@ -96,6 +149,7 @@ object VersionLog {
     }
     spark.read.parquet(manifestDir)
       .write.mode("overwrite").parquet(s"$versionsDir/v$v")
+    writeHeadHint(fs, versionsDir, v)
     v
   }
 
@@ -217,6 +271,7 @@ object VersionLog {
           if (rewriteOnly)
             fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_REWRITE_ONLY"),
               /* overwrite = */ true).close()
+          writeHeadHint(fs, versionsDir, v)
           return v
         }
       }

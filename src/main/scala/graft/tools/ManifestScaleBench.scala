@@ -182,6 +182,45 @@ object ManifestScaleBench {
       println(s"""MANIFEST_SCALE: {"op":"versioned_delete","files":$nFiles,"rows":$rows,"wall_sec":$vDelSec}""")
       println(s"""MANIFEST_SCALE: {"op":"vacuum","files":$nFiles,"rows":$rows,"wall_sec":$vacSec,"files_deleted":$deadFiles,"versions_dropped":$droppedVersions,"data_bytes_base":$bytes0,"data_bytes_retained":$bytesRetained,"data_bytes_after_vacuum":$bytesAfter}""")
     }
+
+    // ── log-LENGTH sweep (round-10): commit/begin cost vs table history.
+    // head() used to list every version dir (O(V) RPCs) and every commit
+    // calls head(), so per-commit wall grew linearly with history — the
+    // `_head` pointer makes it flat. The sweep commits N versions of a
+    // tiny manifest and reports per-commit wall in windows (early / mid
+    // / late — flat slope IS the claim), begin() at full depth, and the
+    // measured cost of the pre-pointer LISTING head as the contrast.
+    {
+      import graft.io.{FileSkipping, VersionLog}
+      val nCommits = sys.env.getOrElse("SPARK_GRAFT_MSB_COMMITS", "120").toInt
+      val base = s"$scratch/loglen"
+      graft.util.Staging.deleteRecursive(base)
+      spark.range(1000).select(col("id").as("key"), lit(1.0).as("v"))
+        .repartitionByRange(4, col("key"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(spark, s"$base/data", "key")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val vdir = s"$base/versions"
+      val walls = (0 until nCommits).map { _ =>
+        time(VersionLog.commit(spark, vdir, s"$base/manifest"))._2
+      }
+      def avg(xs: Seq[Double]) = xs.sum / xs.length
+      val (first, mid, last) =
+        (avg(walls.take(10)), avg(walls.slice(nCommits / 2 - 5, nCommits / 2 + 5)),
+          avg(walls.takeRight(10)))
+      val (_, beginSec) = time(VersionLog.begin(spark, vdir))
+      // the pre-pointer head(): list every version dir + one exists() each
+      val (_, listHeadSec) = time {
+        val p = new org.apache.hadoop.fs.Path(vdir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$n/_SUCCESS")))
+          .map(_.drop(1).toInt).foldLeft(-1)(math.max)
+      }
+      val (_, ptrHeadSec) = time(VersionLog.head(spark, vdir))
+      println(s"""MANIFEST_SCALE: {"op":"log_length","commits":$nCommits,"commit_sec_first10":$first,"commit_sec_mid10":$mid,"commit_sec_last10":$last,"begin_sec_at_depth":$beginSec,"head_listing_sec":$listHeadSec,"head_pointer_sec":$ptrHeadSec}""")
+    }
     spark.stop()
   }
 }

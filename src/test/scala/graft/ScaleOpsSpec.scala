@@ -670,6 +670,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$vdir/v1").exists())
   }
 
+  test("head pointer is a hint: stale, torn, or missing pointers never change the answer") {
+    import graft.io.{FileSkipping, VersionLog}
+    val localBase = "/root/repo/target/scratch/fskip_headptr"
+    graft.util.Staging.deleteRecursive(localBase)
+    spark.range(100).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "k")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val vdir = s"$localBase/versions"
+    (0 to 2).foreach(_ => VersionLog.commit(spark, vdir, s"$localBase/manifest"))
+    assert(VersionLog.head(spark, vdir) == 2)
+    val hp = new java.io.File(s"$vdir/_head")
+    assert(hp.exists(), "commit must advance the _head pointer")
+    // stale pointer (an older committer's overwrite): probe forward finds 2
+    java.nio.file.Files.write(hp.toPath, "0".getBytes)
+    assert(VersionLog.head(spark, vdir) == 2)
+    // torn/garbage pointer: fall back to the listing
+    java.nio.file.Files.write(hp.toPath, "garbage".getBytes)
+    assert(VersionLog.head(spark, vdir) == 2)
+    // missing pointer (pre-pointer logs): the listing bootstrap
+    hp.delete()
+    assert(VersionLog.head(spark, vdir) == 2)
+    // and the next commit restores it
+    assert(VersionLog.commit(spark, vdir, s"$localBase/manifest") == 3)
+    assert(new String(java.nio.file.Files.readAllBytes(hp.toPath)).trim == "3")
+  }
+
   test("merge CDC feed pairs pre/post images and isolates inserts") {
     import graft.io.FileSkipping
     val localBase = "/root/repo/target/scratch/fskip_cdc"
