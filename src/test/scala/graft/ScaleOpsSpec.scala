@@ -670,6 +670,66 @@ class ScaleOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$vdir/v1").exists())
   }
 
+  test("multi-column manifest survives MERGE, delete, and compaction: folded == rebuild, 2D pruning stays exact") {
+    import graft.io.FileSkipping
+    val localBase = "/root/repo/target/scratch/fskip_multifold"
+    graft.util.Staging.deleteRecursive(localBase)
+    // k range-sorted into 10 files; x = k/1000 rides along (tight per-file
+    // extents, so a 2D manifest has real pruning power on BOTH columns)
+    val src = spark.range(10000).select(col("id").as("k"),
+      (col("id") / 1000).cast("long").as("x"), (col("id") % 997).cast("double").as("v"))
+    src.repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "k")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    FileSkipping.buildManifestMulti(spark, s"$localBase/data", Seq("k", "x"))
+      .write.mode("overwrite").parquet(s"$localBase/multi")
+    def assertMultiFresh(): Unit = {
+      val folded = spark.read.parquet(s"$localBase/multi")
+      val rebuilt = FileSkipping.buildManifestMulti(spark, s"$localBase/data", Seq("k", "x"))
+      assert(folded.exceptAll(rebuilt).count() == 0 && rebuilt.exceptAll(folded).count() == 0,
+        "multi-column manifest diverged from a full rebuild")
+    }
+    // MERGE (the round-9 staleness case): updates in one band + an insert
+    // carrying a brand-new x extent the stale manifest could never admit
+    val delta = src.filter(col("k").between(1500, 1540))
+      .withColumn("v", col("v") * 2)
+      .unionByName(spark.range(1).select(lit(1000000L).as("k"), lit(999L).as("x"),
+        lit(3.5).as("v")))
+    FileSkipping.mergeKeyed(spark, s"$localBase/data", s"$localBase/manifest", "k",
+      delta, multiManifest = Some(s"$localBase/multi"))
+    assertMultiFresh()
+    // 2D pruning stays exact AND still prunes after the fold
+    val pruned = FileSkipping.prunedReadMulti(spark, s"$localBase/data", s"$localBase/multi",
+        Seq(("x", lit(2L), lit(3L)), ("k", lit(2000L), lit(3500L))))
+      .filter(col("x").between(2L, 3L) && col("k").between(2000L, 3500L))
+    val full = spark.read.parquet(s"$localBase/data")
+      .filter(col("x").between(2L, 3L) && col("k").between(2000L, 3500L))
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    val opened = FileSkipping.prunedReadMulti(spark, s"$localBase/data", s"$localBase/multi",
+      Seq(("x", lit(2L), lit(3L)))).inputFiles.length
+    val total = spark.read.parquet(s"$localBase/multi").count()
+    assert(opened < total, s"fold destroyed pruning power: opened $opened of $total")
+    // the merged insert's new extent is findable through the folded manifest
+    val ins = FileSkipping.prunedReadMulti(spark, s"$localBase/data", s"$localBase/multi",
+        Seq(("x", lit(999L), lit(999L))))
+      .filter(col("x") === 999L)
+    assert(ins.count() == 1)
+    // range delete and compaction fold it too
+    FileSkipping.deleteRange(spark, s"$localBase/data", s"$localBase/manifest", "k",
+      lit(4200L), lit(5300L), multiManifest = Some(s"$localBase/multi"))
+    assertMultiFresh()
+    FileSkipping.compactSmall(spark, s"$localBase/data", s"$localBase/manifest", "k",
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue,
+      multiManifest = Some(s"$localBase/multi"))
+    assertMultiFresh()
+    // content is never touched by the manifest machinery
+    val expected = src.filter(!col("k").between(1500, 1540)).unionByName(delta)
+      .filter(!col("k").between(4200L, 5300L))
+    val now = spark.read.parquet(s"$localBase/data")
+    assert(now.exceptAll(expected).count() == 0 && expected.exceptAll(now).count() == 0)
+  }
+
   test("head pointer is a hint: stale, torn, or missing pointers never change the answer") {
     import graft.io.{FileSkipping, VersionLog}
     val localBase = "/root/repo/target/scratch/fskip_headptr"
