@@ -135,7 +135,19 @@ object VersionLog {
     * protocol has — delete `.claim-v<N>` after confirming no writer is
     * active (a `v<N>` dir present means the snapshot landed and the
     * claim is merely spent). Returns the new version. */
-  def commit(spark: SparkSession, versionsDir: String, manifestDir: String): Int = {
+  def commit(spark: SparkSession, versionsDir: String, manifestDir: String): Int =
+    commitSnapshot(spark, versionsDir, spark.read.parquet(manifestDir))
+
+  /** [[commit]]'s engine with an EXPLICIT manifest frame — for writers
+    * that compose the next snapshot themselves instead of mirroring the
+    * flat manifest dir (the versioned streaming ingest builds head ∪
+    * batch-slot stats). Same atomic slot claim, same loud
+    * `ConcurrentModificationException` on a lost race. `markers` are
+    * empty files dropped into the snapshot dir after the write —
+    * metadata later validators/readers can key on (the rewrite-only
+    * class and the per-batch ingest idempotence token both ride this). */
+  def commitSnapshot(spark: SparkSession, versionsDir: String, manifest: DataFrame,
+                     markers: Seq[String] = Nil): Int = {
     val (fs, p) = fsFor(spark, versionsDir)
     if (!fs.exists(p)) fs.mkdirs(p)
     val v = head(spark, versionsDir) + 1
@@ -147,10 +159,18 @@ object VersionLog {
           s"version $v of $versionsDir already claimed by another writer — " +
             "re-run the mutation against the new head")
     }
-    spark.read.parquet(manifestDir)
-      .write.mode("overwrite").parquet(s"$versionsDir/v$v")
+    manifest.write.mode("overwrite").parquet(s"$versionsDir/v$v")
+    markers.foreach(m =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$m"),
+        /* overwrite = */ true).close())
     writeHeadHint(fs, versionsDir, v)
     v
+  }
+
+  /** True when version `v`'s snapshot dir carries marker file `marker`. */
+  def hasMarker(spark: SparkSession, versionsDir: String, v: Int, marker: String): Boolean = {
+    val (fs, _) = fsFor(spark, versionsDir)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$marker"))
   }
 
   /** The manifest as of version `v` — feed to
@@ -289,10 +309,8 @@ object VersionLog {
 
   /** True when version `v`'s snapshot carries the rewrite-only
     * classification marker. */
-  def isRewriteOnly(spark: SparkSession, versionsDir: String, v: Int): Boolean = {
-    val (fs, _) = fsFor(spark, versionsDir)
-    fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_REWRITE_ONLY"))
-  }
+  def isRewriteOnly(spark: SparkSession, versionsDir: String, v: Int): Boolean =
+    hasMarker(spark, versionsDir, v, "_REWRITE_ONLY")
 
   private def validateNoConflict(spark: SparkSession, versionsDir: String,
                                  readVersion: Int, h: Int, removed: Seq[String],

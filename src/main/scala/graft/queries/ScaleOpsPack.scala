@@ -729,6 +729,38 @@ object ScaleOpsPack extends QueryPack {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"),
           min(lit(vC.toLong)).as("head_version"))
+    },
+
+    // ── q194: VERSIONED streaming ingest — time travel across an active
+    // ingest (round-9 verdict #7). q184 proved exactly-once slot ingest
+    // but required a quiesced handoff before any reader guarantee; here
+    // every micro-batch commits one log version (head ∪ slot stats) with
+    // a _BATCH_<id> idempotence token, so a reader pinned after batch 0
+    // replays EXACTLY batch 0 even though two more batches (and a
+    // mid-batch-1 crash + replay, which the token short-circuits without
+    // a duplicate version) land after it. The query returns the pinned
+    // b0 aggregate beside the head aggregate; the oracle recomputes both
+    // from the source — the pinned snapshot is file 1's rows by the
+    // staged replay's construction (pre-cutoff, event_id % 10 != 0),
+    // the head is everything.
+    "q194_versioned_stream_ingest" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      import graft.streaming.Streams
+      val base = "/root/repo/target/scratch/q194_vingest"
+      graft.util.Staging.deleteRecursive(base)
+      val src = Streams.prepareLateArrivalFiles(s, d)
+      val vdir = s"$base/versions"
+      Streams.drainWithCrashRecoveryInto(
+        () => Streams.lateArrivalStream(s, src), "q194_vingest", "append", 1) {
+        (b, id) => FileSkipping.ingestBatchVersioned(b, id, s"$base/data", "ts", vdir); ()
+      }
+      val head = VersionLog.head(s, vdir)
+      require(head == 2, s"3 batches must commit exactly 3 versions, head=$head")
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.groupBy(lit(snap).as("snap"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+      agg(VersionLog.readVersion(s, vdir, 0), "b0")
+        .unionByName(agg(VersionLog.readVersion(s, vdir, head), "head"))
     }
   )
 
@@ -913,6 +945,24 @@ object ScaleOpsPack extends QueryPack {
                  ${Sql.dsum("o_totalprice")} AS sum_price,
                  CAST(2 AS BIGINT) AS head_version
           FROM merged GROUP BY 1""",
+
+    // q194: the pinned b0 snapshot == staged file 1 (pre-cutoff rows with
+    // event_id % 10 != 0 — the late-arrival replay's construction); the
+    // head == all events. Crash/replay and later batches must be
+    // invisible to the pinned reader.
+    "q194_versioned_stream_ingest" ->
+      s"""WITH e AS (SELECT event_id, event_type, value,
+                       CAST(ts AS TIMESTAMP) AS t FROM events),
+          b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 7 DAY AS t1,
+                       date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e)
+          SELECT 'b0' AS snap, event_type, COUNT(*) AS n,
+                 ${Sql.dsum("value")} AS sum_value
+          FROM e, b WHERE t < b.t1 AND event_id % 10 <> 0
+          GROUP BY 1, 2
+          UNION ALL
+          SELECT 'head' AS snap, event_type, COUNT(*) AS n,
+                 ${Sql.dsum("value")} AS sum_value
+          FROM e, b WHERE t < b.t2 GROUP BY 1, 2""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

@@ -862,6 +862,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(after.exceptAll(staged).count() == 0 && staged.exceptAll(after).count() == 0)
   }
 
+  test("versioned ingest: pinned snapshots survive later batches; the batch token makes replay a no-op") {
+    import graft.io.{FileSkipping, VersionLog}
+    val localBase = "/root/repo/target/scratch/fskip_vingest"
+    graft.util.Staging.deleteRecursive(localBase)
+    val vdir = s"$localBase/versions"
+    def batchDf(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    // three serial batches, one version each
+    assert(FileSkipping.ingestBatchVersioned(batchDf(0, 100), 0, s"$localBase/data", "k", vdir) == 0)
+    assert(FileSkipping.ingestBatchVersioned(batchDf(100, 250), 1, s"$localBase/data", "k", vdir) == 1)
+    // a reader pins v1 mid-ingest…
+    val pinned = VersionLog.readVersion(spark, vdir, 1)
+    val pinnedCount = pinned.count()
+    assert(pinnedCount == 250)
+    // …the crashed batch 1 REPLAYS (its version already landed): the
+    // token short-circuits — no new version, slot untouched
+    def slotFiles(): Set[String] =
+      new java.io.File(s"$localBase/data/b1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).map(_.toString).toSet
+    val before = slotFiles()
+    assert(FileSkipping.ingestBatchVersioned(batchDf(100, 250), 1, s"$localBase/data", "k", vdir) == 1)
+    assert(VersionLog.head(spark, vdir) == 1, "replay must not commit a duplicate version")
+    assert(slotFiles() == before, "replay must not rewrite an already-committed slot")
+    // …and batches keep landing
+    assert(FileSkipping.ingestBatchVersioned(batchDf(250, 400), 2, s"$localBase/data", "k", vdir) == 2)
+    // the pinned snapshot replays EXACTLY batches 0..1 after batch 2 landed
+    val replay = VersionLog.readVersion(spark, vdir, 1)
+    assert(replay.count() == pinnedCount)
+    val expected = batchDf(0, 250)
+    assert(replay.exceptAll(expected).count() == 0 && expected.exceptAll(replay).count() == 0,
+      "pinned mid-ingest snapshot diverged after later batches landed")
+    assert(VersionLog.readVersion(spark, vdir, 2).count() == 400)
+    // each version carries its batch token
+    (0 to 2).foreach(i =>
+      assert(VersionLog.hasMarker(spark, vdir, i, s"_BATCH_$i"), s"missing token on v$i"))
+  }
+
   test("bloom manifest admits few files on a point lookup yet misses no row") {
     val d = sf("sf0.01")
     SparkEntry.stage(spark, d)
