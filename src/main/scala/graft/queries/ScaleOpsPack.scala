@@ -761,6 +761,93 @@ object ScaleOpsPack extends QueryPack {
           .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
       agg(VersionLog.readVersion(s, vdir, 0), "b0")
         .unionByName(agg(VersionLog.readVersion(s, vdir, head), "head"))
+    },
+
+    // ── q195–q197: SQL-STRING frontend for the table ops (round-9
+    // verdict #5 stretch). q58 proved the QUERY frontend; these route
+    // the MUTATIONS and time travel through MERGE INTO / DELETE WHERE /
+    // VACUUM / VERSION AS OF strings (graft.io.TableSql) — each
+    // statement maps 1:1 onto the FileSkipping/VersionLog call its
+    // Scala twin (q181/q179/q185) makes, and each oracle is the twin's
+    // oracle, so the SQL path must be observationally identical.
+
+    // q195: q181's MERGE through a MERGE INTO string; the read-back also
+    // goes through the SQL frontend (manifest-decided head view).
+    "q195_sql_merge" -> { (s, d) =>
+      import graft.io.TableSql
+      val base = "/root/repo/target/scratch/q195_sqlmerge"
+      val orders = stagedOrdersCopy(s, d, base)
+      val reg = Map("otable" -> TableSql.TableRef(
+        s"$base/data", s"$base/manifest", "o_orderkey"))
+      mergeUpdates(orders).unionByName(mergeInserts(orders))
+        .createOrReplaceTempView("q195_delta")
+      TableSql(s, reg,
+        """MERGE INTO otable USING q195_delta
+           ON otable.o_orderkey = q195_delta.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      TableSql(s, reg,
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM otable GROUP BY o_orderpriority""")
+    },
+
+    // q196: q179's range delete through a DELETE string — in VERSIONED
+    // mode, then VACUUM RETAIN 1 VERSIONS through its string (the
+    // physical delete), then the survivor read through the head view.
+    "q196_sql_delete_vacuum" -> { (s, d) =>
+      import graft.io.TableSql
+      val base = "/root/repo/target/scratch/q196_sqldel"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/data")
+      graft.io.FileSkipping.buildManifest(s, s"$base/data", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      graft.io.VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val reg = Map("dtable" -> TableSql.TableRef(
+        s"$base/data", s"$base/manifest", "o_orderdate",
+        versionsDir = Some(s"$base/versions")))
+      TableSql(s, reg,
+        """DELETE FROM dtable WHERE o_orderdate
+           BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'""").collect()
+      TableSql(s, reg, "VACUUM dtable RETAIN 1 VERSIONS").collect()
+      TableSql(s, reg,
+        s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM dtable GROUP BY year(o_orderdate)""")
+    },
+
+    // q197: q185's snapshot isolation through the SQL surface — a
+    // MERGE INTO and a DELETE (both versioned), then ONE statement reads
+    // `VERSION AS OF 0` beside the head and must see the original table
+    // bit-exactly on the v0 side.
+    "q197_sql_time_travel" -> { (s, d) =>
+      import graft.io.TableSql
+      val base = "/root/repo/target/scratch/q197_sqltravel"
+      val orders = stagedOrdersCopy(s, d, base)
+      graft.io.VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val reg = Map("ttable" -> TableSql.TableRef(
+        s"$base/data", s"$base/manifest", "o_orderkey",
+        versionsDir = Some(s"$base/versions")))
+      mergeUpdates(orders).createOrReplaceTempView("q197_delta")
+      TableSql(s, reg,
+        """MERGE INTO ttable USING q197_delta
+           ON ttable.o_orderkey = q197_delta.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect() // v1
+      TableSql(s, reg,
+        "DELETE FROM ttable WHERE o_orderkey BETWEEN 1 AND 3000").collect() // v2
+      TableSql(s, reg,
+        s"""SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM ttable VERSION AS OF 0 GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM ttable GROUP BY o_orderpriority""")
     }
   )
 
@@ -963,6 +1050,49 @@ object ScaleOpsPack extends QueryPack {
           SELECT 'head' AS snap, event_type, COUNT(*) AS n,
                  ${Sql.dsum("value")} AS sum_value
           FROM e, b WHERE t < b.t2 GROUP BY 1, 2""",
+
+    // q195/q196/q197: the SQL-string path must be observationally
+    // identical to its Scala twin — same oracles as q181/q179/q185
+    "q195_sql_merge" ->
+      s"""WITH up AS (SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+                        o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 97 = 0),
+          ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                    '9-MERGED' AS o_orderpriority,
+                    o_totalprice + 5 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 601 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up
+                     UNION ALL SELECT * FROM ins)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM merged GROUP BY 1""",
+
+    "q196_sql_delete_vacuum" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE NOT (o_orderdate >= TIMESTAMP '1995-01-01'
+                     AND o_orderdate <= TIMESTAMP '1995-12-31')
+          GROUP BY 1""",
+
+    "q197_sql_time_travel" ->
+      s"""WITH up AS (SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+                        o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 97 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up),
+          headt AS (SELECT * FROM merged
+                    WHERE o_orderkey NOT BETWEEN 1 AND 3000)
+          SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1, 2
+          UNION ALL
+          SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM headt GROUP BY 1, 2""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL table-op frontend's GUARD RAILS — the statements themselves
+  * are oracle-gated end-to-end by q195/q196/q197; what a spec must pin
+  * is that a malformed or mis-targeted statement fails loudly instead of
+  * silently running as a different mutation. */
+class TableSqlSpec extends SparkSpec {
+  import graft.io.{FileSkipping, TableSql, VersionLog}
+
+  private lazy val reg: Map[String, TableSql.TableRef] = {
+    val base = "/root/repo/target/scratch/tablesql_fixture"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(1000).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    Map("tbl" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k"))
+  }
+
+  test("unknown table and unsupported statements fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "DELETE FROM nope WHERE k BETWEEN 1 AND 2")
+    }
+    assert(e1.getMessage.contains("unknown table"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "TRUNCATE TABLE tbl")
+    }
+    assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+    // a DELETE missing its range must not parse as anything else
+    val e3 = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "DELETE FROM tbl")
+    }
+    assert(e3.getMessage.contains("unsupported"), e3.getMessage)
+  }
+
+  test("mutations on the wrong key column are rejected before touching the table") {
+    val before = spark.read.parquet(reg("tbl").dataDir).count()
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "DELETE FROM tbl WHERE v BETWEEN 1 AND 2")
+    }
+    assert(e.getMessage.contains("clustering key"), e.getMessage)
+    spark.range(1).select(lit(5L).as("k"), lit(9.9).as("v"))
+      .createOrReplaceTempView("tsql_delta")
+    val e2 = intercept[IllegalArgumentException] {
+      TableSql(spark, reg,
+        """MERGE INTO tbl USING tsql_delta ON tbl.v = tsql_delta.v
+           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e2.getMessage.contains("clustering key"), e2.getMessage)
+    assert(spark.read.parquet(reg("tbl").dataDir).count() == before)
+  }
+
+  test("VACUUM and VERSION AS OF on an unversioned table are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "VACUUM tbl RETAIN 1 VERSIONS")
+    }
+    assert(e.getMessage.contains("no version log"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "SELECT COUNT(*) FROM tbl VERSION AS OF 0")
+    }
+    assert(e2.getMessage.contains("no version log"), e2.getMessage)
+  }
+
+  test("the head view reads the manifest's files, never the directory listing") {
+    // plant an orphan file (a crashed txn slot) beside the table: a
+    // directory listing would read it, the manifest-decided head must not
+    val ref = reg("tbl")
+    spark.range(1).select(lit(999999L).as("k"), lit(-1.0).as("v"))
+      .write.mode("overwrite").parquet(s"${ref.dataDir}/txn-orphan")
+    val n = TableSql(spark, reg, "SELECT COUNT(*) AS n FROM tbl").head().getLong(0)
+    assert(n == 1000, s"head view read an orphan txn slot: $n rows")
+  }
+}
