@@ -37,9 +37,23 @@ object QuantScaleBench {
     * the probe is memory-bandwidth-bound and the int8 scan's 8× fewer
     * bytes per row show up as wall-clock, not just residency. */
   val Dim = sys.env.getOrElse("SPARK_GRAFT_QANN_DIM", "32").toInt
-  val NCells = 64
-  val NProbe = 8
+  val NCells = sys.env.getOrElse("SPARK_GRAFT_QANN_CELLS", "64").toInt
+  val NProbe = sys.env.getOrElse("SPARK_GRAFT_QANN_NPROBE", "8").toInt
   val K = 10
+
+  /** Corpus geometry — SPARK_GRAFT_QANN_CORPUS (round-9 verdict #5):
+    * `uniform` (default) is the original quadratic-hash cloud, whose
+    * points at dim 256 are near-orthogonal — BASELINE attributes the
+    * 0.72–0.77 recall ceiling to exactly that geometry; `clustered`
+    * TESTS the attribution with a seeded mixture: SPARK_GRAFT_QANN_GROUPS
+    * (default 64) hash-derived centers, each point = its seed's center +
+    * 0.1-amplitude hash noise (inter-center distance ~√(2·Dim/3) ≈ 13 at
+    * dim 256 vs ~1.3 within-cluster, so real neighbor structure exists
+    * for the index to exploit). Same hash family, fully replayable. If
+    * trained-centroid recall@10 reaches ≥0.9 here at equal nprobe, the
+    * ceiling was the corpus; if it stays low, the engine has a gap. */
+  val CorpusMode = sys.env.getOrElse("SPARK_GRAFT_QANN_CORPUS", "uniform")
+  val NGroups = sys.env.getOrElse("SPARK_GRAFT_QANN_GROUPS", "64").toInt
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,6 +70,13 @@ object QuantScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.storage.StorageLevel
 
+    // the replayable unit-interval hash both corpus modes draw from
+    def u(arg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val mixed = pmod(arg * arg + arg * lit(2654435761L), lit(1000000007L))
+      pmod(mixed * lit(1103515245L) + lit(12345L),
+        lit(998244353L)).cast("double") / lit(998244353.0) * 2.0 - 1.0
+    }
+
     for (n <- ns) {
       val corpus = spark.range(n.toLong).select(
           col("id").as("vec_id"),
@@ -64,11 +85,15 @@ object QuantScaleBench {
           (pmod(col("id"), lit(40)) === 0 && col("id") > 0).as("__dup"))
         .select(col("vec_id"),
           transform(sequence(lit(0), lit(Dim - 1)), i => {
-            val arg = col("__seed") * Dim + i.cast("long")
-            val mixed = pmod(arg * arg + arg * lit(2654435761L), lit(1000000007L))
-            (pmod(mixed * lit(1103515245L) + lit(12345L),
-              lit(998244353L)).cast("double") / lit(998244353.0) * 2.0 - 1.0) +
-              when(i === lit(0) && col("__dup"), lit(0.01)).otherwise(lit(0.0))
+            val base =
+              if (CorpusMode == "clustered") {
+                // seeded mixture: the SEED's group decides the center, so a
+                // planted near-dup still lands beside its seed's vector
+                val g = pmod(col("__seed"), lit(NGroups.toLong))
+                u(g * Dim + i.cast("long")) +
+                  lit(0.1) * u((col("__seed") + lit(1000003L)) * Dim + i.cast("long"))
+              } else u(col("__seed") * Dim + i.cast("long"))
+            base + when(i === lit(0) && col("__dup"), lit(0.01)).otherwise(lit(0.0))
           }).as("v"))
         .repartition(cpus.toInt)
 
@@ -238,7 +263,7 @@ object QuantScaleBench {
       val (r10CT, r10IT) = (recallAt10(composedT), recallAt10(ivfT))
       Seq(composedT, ivfT, indexedT, segmentT).foreach(_.unpersist(true))
 
-      println(f"""QUANTSCALE: {"n":$n,"dim":$Dim,"queries":$nQ,"full_bytes":$fullBytes,"quant_bytes":$quantBytes,"ratio":${fullBytes.toDouble / quantBytes}%.2f,"probe_composed_sec":$tComposed%.2f,"probe_ivf_full_sec":$tIvf%.2f,"probe_fullscan_quant_sec":$tFullScan%.2f,"probe_composed_disk_sec":$tComposedDisk%.2f,"probe_ivf_full_disk_sec":$tIvfDisk%.2f,"recall_planted_composed":$rpC%.4f,"recall_planted_ivf":$rpI%.4f,"recall_planted_fullscan":$rpF%.4f,"brute_mode":"$bruteMode","brute_queries":$bqN,"brute_sec":$tBrute%.2f,"recall_at10_composed":$r10C%.4f,"recall_at10_ivf":$r10I%.4f,"recall_at10_fullscan":$r10F%.4f,"train_sec":$trainSec%.2f,"train_sample":${(n.toLong + tStride - 1) / tStride},"probe_composed_trained_sec":$tComposedT%.2f,"probe_ivf_trained_sec":$tIvfT%.2f,"recall_planted_composed_trained":$rpCT%.4f,"recall_planted_ivf_trained":$rpIT%.4f,"recall_at10_composed_trained":$r10CT%.4f,"recall_at10_ivf_trained":$r10IT%.4f}""")
+      println(f"""QUANTSCALE: {"n":$n,"dim":$Dim,"corpus":"$CorpusMode","cells":$NCells,"nprobe":$NProbe,"queries":$nQ,"full_bytes":$fullBytes,"quant_bytes":$quantBytes,"ratio":${fullBytes.toDouble / quantBytes}%.2f,"probe_composed_sec":$tComposed%.2f,"probe_ivf_full_sec":$tIvf%.2f,"probe_fullscan_quant_sec":$tFullScan%.2f,"probe_composed_disk_sec":$tComposedDisk%.2f,"probe_ivf_full_disk_sec":$tIvfDisk%.2f,"recall_planted_composed":$rpC%.4f,"recall_planted_ivf":$rpI%.4f,"recall_planted_fullscan":$rpF%.4f,"brute_mode":"$bruteMode","brute_queries":$bqN,"brute_sec":$tBrute%.2f,"recall_at10_composed":$r10C%.4f,"recall_at10_ivf":$r10I%.4f,"recall_at10_fullscan":$r10F%.4f,"train_sec":$trainSec%.2f,"train_sample":${(n.toLong + tStride - 1) / tStride},"probe_composed_trained_sec":$tComposedT%.2f,"probe_ivf_trained_sec":$tIvfT%.2f,"recall_planted_composed_trained":$rpCT%.4f,"recall_planted_ivf_trained":$rpIT%.4f,"recall_at10_composed_trained":$r10CT%.4f,"recall_at10_ivf_trained":$r10IT%.4f}""")
       Seq(brute, queries, indexed, segment).foreach(_.unpersist())
     }
     spark.stop()
