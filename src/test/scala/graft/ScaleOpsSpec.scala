@@ -46,7 +46,12 @@ class ScaleOpsSpec extends SparkSpec {
     val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "src/main/scala/graft/queries/ScaleOpsPack.scala")), "UTF-8")
     val start = src.indexOf("q126_bloom_decontam")
-    val end = src.indexOf("override def oracles")
+    // q126's OWN block: up to the next registered query (the original
+    // scan ran to `override def oracles`, which silently widened the
+    // locked region to every query added after q126)
+    val endCandidates = Seq("\"q164_", "override def oracles")
+      .map(src.indexOf(_, start + 1)).filter(_ > start)
+    val end = endCandidates.min
     assert(start > 0 && end > start, "q126 region not found")
     val region = src.substring(start, end)
     assert(!region.contains(".collect()"),
