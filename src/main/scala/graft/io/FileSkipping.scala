@@ -427,6 +427,58 @@ object FileSkipping {
     } finally { delta.unpersist(); () }
   }
 
+  /** OCC transactional range delete — the multi-writer variant of
+    * [[deleteRange]], completing the OCC mutator family
+    * ([[mergeKeyedOcc]], [[compactSmallOcc]]): the tag math (covered
+    * null-free files retired unread, boundary files rewritten minus the
+    * range) derives from the PINNED snapshot, boundary rewrites land in
+    * a private `dataDir/txn-<txnId>` slot, and the commit rebases as a
+    * CONTENT-CHANGING transaction — its key band is the deleted range's
+    * file footprint, so a delete racing a merge that inserted into the
+    * same band aborts (correct: the delete's answer would silently miss
+    * the merge's rows), while band-disjoint deletes/merges compose.
+    * Nothing is physically deleted ([[VersionLog.vacuum]] reclaims).
+    * Returns (committed version, files retired unread, files rewritten). */
+  def deleteRangeOcc(spark: SparkSession, dataDir: String, versionsDir: String,
+                     keyCol: String, lo: Column, hi: Column, txnId: String,
+                     pinned: Option[(Int, DataFrame)] = None): (Int, Int, Int) = {
+    val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    val nullFree =
+      if (snap.columns.contains("n_keys")) col("n_keys") === col("n_rows")
+      else lit(false)
+    val tagged = snap
+      .withColumn("__covered",
+        coalesce(col("min_key") >= lo && col("max_key") <= hi && nullFree, lit(false)))
+      .withColumn("__overlap",
+        coalesce(col("max_key") >= lo && col("min_key") <= hi, lit(false)))
+      .collect()
+    val full = tagged.filter(r => r.getBoolean(r.fieldIndex("__covered")))
+      .map(_.getString(0))
+    val partial = tagged.filter(r =>
+        r.getBoolean(r.fieldIndex("__overlap")) && !r.getBoolean(r.fieldIndex("__covered")))
+      .map(_.getString(0))
+    if (full.isEmpty && partial.isEmpty) return (rv, 0, 0) // range hit nothing
+    val slot = s"$dataDir/txn-$txnId"
+    val slotPath = new org.apache.hadoop.fs.Path(slot)
+    val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh =
+      if (partial.isEmpty) { fs.delete(slotPath, true); Seq.empty[String] }
+      else {
+        spark.read.parquet(partial.toIndexedSeq: _*)
+          .filter(col(keyCol).isNull || !(col(keyCol) >= lo && col(keyCol) <= hi))
+          .write.mode("overwrite").parquet(slot)
+        listParquet(fs, slotPath).toSeq.sorted
+      }
+    val added =
+      if (fresh.isEmpty)
+        // schema-aligned empty stats frame: a pure retire adds no files
+        statsFor(spark, Seq(snap.select("file").head().getString(0)), keyCol).limit(0)
+      else statsFor(spark, fresh, keyCol)
+    val v = VersionLog.commitRebase(spark, versionsDir, rv,
+      (full ++ partial).toIndexedSeq, added)
+    (v, full.length, partial.length)
+  }
+
   /** Small-file compaction with manifest fold — the daily maintenance job
     * of any streaming-ingested table (each micro-batch appends a file;
     * after a week the listing, footer reads, and task scheduling are

@@ -763,6 +763,35 @@ object ScaleOpsPack extends QueryPack {
         .unionByName(agg(VersionLog.readVersion(s, vdir, head), "head"))
     },
 
+    // ── q198: OCC range delete — two band-disjoint deletes, rebase ────
+    // Completes the OCC mutator family (merge q192, compaction q193):
+    // both transactions pin v0, delete disjoint key ranges (their
+    // write footprints — retired-file bands — are disjoint on the
+    // 16-file range-sorted layout), writer A lands as v1, writer B
+    // REBASES onto v1 as v2. ConcurrencySpec pins the genuinely-racing
+    // version of this plus the same-band delete-vs-merge abort; the
+    // oracle removes both ranges from the source — under OCC that
+    // equals any commit order.
+    "q198_occ_range_delete" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      val base = "/root/repo/target/scratch/q198_occdel"
+      val orders = stagedOrdersCopy(s, d, base)
+      val vdir = s"$base/versions"
+      VersionLog.commit(s, vdir, s"$base/manifest") // v0
+      val kmax = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val pinA = VersionLog.begin(s, vdir)
+      val pinB = VersionLog.begin(s, vdir)
+      FileSkipping.deleteRangeOcc(s, s"$base/data", vdir, "o_orderkey",
+        lit(kmax / 10), lit(2 * (kmax / 10)), "A", pinned = Some(pinA)) // v1
+      val (vB, _, _) = FileSkipping.deleteRangeOcc(s, s"$base/data", vdir, "o_orderkey",
+        lit(7 * (kmax / 10)), lit(8 * (kmax / 10)), "B", pinned = Some(pinB)) // v2
+      VersionLog.syncLive(s, vdir, s"$base/manifest")
+      VersionLog.readVersion(s, vdir, vB)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"),
+          min(lit(vB.toLong)).as("head_version"))
+    },
+
     // ── q195–q197: SQL-STRING frontend for the table ops (round-9
     // verdict #5 stretch). q58 proved the QUERY frontend; these route
     // the MUTATIONS and time travel through MERGE INTO / DELETE WHERE /
@@ -1050,6 +1079,19 @@ object ScaleOpsPack extends QueryPack {
           SELECT 'head' AS snap, event_type, COUNT(*) AS n,
                  ${Sql.dsum("value")} AS sum_value
           FROM e, b WHERE t < b.t2 GROUP BY 1, 2""",
+
+    // q198: both band-disjoint OCC deletes applied to the source — under
+    // snapshot-pinned rebase that equals any commit order; head_version
+    // = 2 proves B rebased
+    "q198_occ_range_delete" ->
+      s"""WITH k AS (SELECT MAX(o_orderkey) AS m FROM orders)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 CAST(2 AS BIGINT) AS head_version
+          FROM orders, k
+          WHERE NOT (o_orderkey >= k.m // 10 AND o_orderkey <= 2 * (k.m // 10))
+            AND NOT (o_orderkey >= 7 * (k.m // 10) AND o_orderkey <= 8 * (k.m // 10))
+          GROUP BY 1""",
 
     // q195/q196/q197: the SQL-string path must be observationally
     // identical to its Scala twin — same oracles as q181/q179/q185

@@ -269,6 +269,48 @@ class ConcurrencySpec extends SparkSpec {
     assert(got.count() == 8000)
   }
 
+  test("OCC delete: band-disjoint racing deletes both land; a delete racing a same-band merge aborts") {
+    val (data, vdir) = freshTable("occdel")
+    // two racing deletes at opposite ends of the keyspace — file- and
+    // band-disjoint, both pinned at v0, both must land
+    val pinA = VersionLog.begin(spark, vdir)
+    val pinB = VersionLog.begin(spark, vdir)
+    val fA = Future(Try(FileSkipping.deleteRangeOcc(spark, data, vdir, "k",
+      lit(100L), lit(300L), "DELA", Some(pinA))))
+    val fB = Future(Try(FileSkipping.deleteRangeOcc(spark, data, vdir, "k",
+      lit(7500L), lit(7700L), "DELB", Some(pinB))))
+    val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
+    assert(rA.isSuccess && rB.isSuccess, s"disjoint deletes must both land: A=$rA B=$rB")
+    assert(Set(rA.get._1, rB.get._1) == Set(1, 2))
+    noOrphanedClaims(vdir)
+    val expected = spark.range(8000)
+      .filter(!col("id").between(100, 300) && !col("id").between(7500, 7700))
+      .select(col("id").as("k"), concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+    val got = VersionLog.readVersion(spark, vdir, 2)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    // a delete pinned BEFORE a same-band merge lands must abort — its
+    // answer would silently miss the merge's rows in the range
+    val pinDel = VersionLog.begin(spark, vdir)
+    val pinMrg = VersionLog.begin(spark, vdir)
+    val mrg = spark.range(4000, 4011).select(col("id").as("k"), lit("OD-M").as("tag"), lit(1.0).as("v"))
+    assert(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", mrg, "ODM", Some(pinMrg)) == 3)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.deleteRangeOcc(spark, data, vdir, "k", lit(3900L), lit(4100L),
+        "ODD", Some(pinDel))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    noOrphanedClaims(vdir)
+    // the retry against the new head deletes the merge's rows too
+    val (v4, _, _) = FileSkipping.deleteRangeOcc(spark, data, vdir, "k",
+      lit(3900L), lit(4100L), "ODD-retry", pinned = Some(VersionLog.begin(spark, vdir)))
+    assert(v4 == 4)
+    val head = VersionLog.readVersion(spark, vdir, v4)
+    assert(head.filter(col("k").between(3900L, 4100L)).count() == 0,
+      "retried delete missed rows (the merge's included)")
+  }
+
   test("racing writers with disjoint bands: both land, union exact under either commit order") {
     val (data, vdir) = freshTable("disjoint")
     // updates confined to opposite ends of the keyspace: file-disjoint
