@@ -395,10 +395,30 @@ object FileSkipping {
     * (concurrent readers + older snapshots keep them; [[VersionLog.vacuum]]
     * reclaims), and the flat manifest is refreshed with
     * [[VersionLog.syncLive]] once writers quiesce. Returns the committed
-    * version. */
+    * version.
+    *
+    * `cdcDir`: the same change feed as [[mergeKeyed]] (update_preimage /
+    * update_postimage / insert rows), written to a PRIVATE
+    * `cdcDir/txn-<txnId>` slot — concurrent committers must never append
+    * into one directory (their `_temporary` staging dirs collide), and
+    * the per-txn slot also keeps an ABORTED transaction's feed out of
+    * consumers' reads by construction only if the caller deletes it on
+    * abort; the safe consumption rule (documented here, spec-asserted)
+    * is to read the feed slots of COMMITTED transactions. The feed is
+    * computed against the PINNED snapshot; on rebase the pre-images are
+    * still correct because a band/file conflict with any intermediate
+    * commit would have ABORTED the transaction — what survives rebase is
+    * provably untouched by the commits rebased over.
+    *
+    * Multi-column manifests: the OCC world versions only the single-key
+    * stats (the snapshot schema); a 2D manifest over an OCC table is a
+    * derived cache — rebuild it from a pinned snapshot
+    * ([[buildManifestMulti]]) when the layout settles, as mutating it
+    * transactionally would need its own versioned log. */
   def mergeKeyedOcc(spark: SparkSession, dataDir: String, versionsDir: String,
                     keyCol: String, delta0: DataFrame, txnId: String,
-                    pinned: Option[(Int, DataFrame)] = None): Int = {
+                    pinned: Option[(Int, DataFrame)] = None,
+                    cdcDir: Option[String] = None): Int = {
     val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
     val delta = delta0.cache()
     try {
@@ -414,6 +434,15 @@ object FileSkipping {
         val out = touched.join(broadcast(deltaKeys), Seq(keyCol), "left_anti")
           .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi"))
           .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti"))
+        cdcDir.foreach { dir =>
+          touched.join(broadcast(deltaKeys), Seq(keyCol), "left_semi")
+            .select(lit("update_preimage").as("op") +: touched.columns.map(col): _*)
+            .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi")
+              .select(lit("update_postimage").as("op") +: delta.columns.map(col): _*))
+            .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
+              .select(lit("insert").as("op") +: delta.columns.map(col): _*))
+            .write.mode("overwrite").parquet(s"$dir/txn-$txnId")
+        }
         val slot = s"$dataDir/txn-$txnId"
         out.repartitionByRange(math.max(1, hit.length), col(keyCol))
           .sortWithinPartitions(keyCol)

@@ -317,10 +317,13 @@ class ConcurrencySpec extends SparkSpec {
     // AND band-disjoint, so neither abort class may fire
     val updA = spark.range(10, 40).select(col("id").as("k"), lit("D-A").as("tag"), lit(1.0).as("v"))
     val updB = spark.range(7900, 7950).select(col("id").as("k"), lit("D-B").as("tag"), lit(2.0).as("v"))
+    val cdc = s"${data.stripSuffix("/data")}/cdc"
     val pinA = VersionLog.begin(spark, vdir)
     val pinB = VersionLog.begin(spark, vdir)
-    val fA = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updA, "DA", Some(pinA))))
-    val fB = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updB, "DB", Some(pinB))))
+    val fA = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updA, "DA",
+      Some(pinA), cdcDir = Some(cdc))))
+    val fB = Future(Try(FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", updB, "DB",
+      Some(pinB), cdcDir = Some(cdc))))
     val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
     assert(rA.isSuccess && rB.isSuccess, s"disjoint writers must both land: A=$rA B=$rB")
     assert(Set(rA.get, rB.get) == Set(1, 2), s"expected versions {1,2}, got {$rA,$rB}")
@@ -335,5 +338,17 @@ class ConcurrencySpec extends SparkSpec {
     assert(got.count() == expected.count())
     assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
       "concurrent disjoint merges diverged from the serial union")
+    // each committed transaction's PRIVATE feed slot exists (concurrent
+    // appends into one dir would collide in _temporary staging), and the
+    // combined committed feeds replay base -> head exactly:
+    // base + postimages + inserts - preimages == head
+    val feed = spark.read.option("recursiveFileLookup", "true").parquet(cdc)
+    assert(new java.io.File(s"$cdc/txn-DA").isDirectory && new java.io.File(s"$cdc/txn-DB").isDirectory)
+    val base = VersionLog.readVersion(spark, vdir, 0)
+    val replayed = base
+      .unionByName(feed.filter(col("op") =!= "update_preimage").drop("op"))
+      .exceptAll(feed.filter(col("op") === "update_preimage").drop("op"))
+    assert(replayed.exceptAll(got).count() == 0 && got.exceptAll(replayed).count() == 0,
+      "committed OCC feeds do not replay base -> head")
   }
 }
