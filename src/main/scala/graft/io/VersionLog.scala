@@ -187,6 +187,27 @@ object VersionLog {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Time travel COMPOSED with file skipping: open only the files of
+    * version `v` whose [min_key, max_key] intersects [lo, hi] — a pinned
+    * reader of a range-clustered table should not pay O(snapshot files)
+    * for a narrow range any more than a head reader does
+    * ([[FileSkipping.prunedRead]]'s math over the version's own
+    * manifest). Superset semantics as always: the caller's residual
+    * predicate makes the answer exact. */
+  def prunedReadVersion(spark: SparkSession, versionsDir: String, v: Int,
+                        lo: org.apache.spark.sql.Column,
+                        hi: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val man = manifestAt(spark, versionsDir, v)
+    val files = man
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("file").collect().map(_.getString(0)).sorted
+    if (files.isEmpty)
+      // schema from any file of the snapshot (footer-only read)
+      spark.read.parquet(man.select("file").head().getString(0)).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Pin an OCC transaction's read snapshot: (head version, that
     * version's manifest). Everything the transaction reads and rewrites
     * derives from THIS frame — never the live manifest, which a

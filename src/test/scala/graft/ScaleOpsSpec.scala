@@ -735,6 +735,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(now.exceptAll(expected).count() == 0 && expected.exceptAll(now).count() == 0)
   }
 
+  test("time travel composes with file skipping: a pinned pruned read opens few files and stays exact") {
+    import graft.io.{FileSkipping, VersionLog}
+    val localBase = "/root/repo/target/scratch/fskip_prunedversion"
+    graft.util.Staging.deleteRecursive(localBase)
+    val src = spark.range(16000).select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+    src.repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$localBase/data")
+    FileSkipping.buildManifest(spark, s"$localBase/data", "k")
+      .write.mode("overwrite").parquet(s"$localBase/manifest")
+    val vdir = s"$localBase/versions"
+    VersionLog.commit(spark, vdir, s"$localBase/manifest") // v0
+    // a later delete retires files from the head; the pinned pruned read
+    // must still see v0's rows AND still prune v0's file set
+    FileSkipping.deleteRange(spark, s"$localBase/data", s"$localBase/manifest", "k",
+      lit(2000L), lit(6000L), versionLog = Some(vdir)) // v1
+    val pruned = VersionLog.prunedReadVersion(spark, vdir, 0, lit(3000L), lit(3499L))
+    assert(pruned.inputFiles.length < 16,
+      s"pinned pruned read opened ${pruned.inputFiles.length} of 16 files")
+    val got = pruned.filter(col("k").between(3000L, 3499L))
+    val expected = src.filter(col("k").between(3000L, 3499L))
+    assert(got.count() == 500)
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "pinned pruned read diverged from the snapshot (deleted rows must still be visible at v0)")
+    // empty admit keeps the snapshot's schema
+    val none = VersionLog.prunedReadVersion(spark, vdir, 0, lit(900000L), lit(900001L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
   test("head pointer is a hint: stale, torn, or missing pointers never change the answer") {
     import graft.io.{FileSkipping, VersionLog}
     val localBase = "/root/repo/target/scratch/fskip_headptr"
