@@ -470,7 +470,8 @@ object FileSkipping {
     * Returns (committed version, files retired unread, files rewritten). */
   def deleteRangeOcc(spark: SparkSession, dataDir: String, versionsDir: String,
                      keyCol: String, lo: Column, hi: Column, txnId: String,
-                     pinned: Option[(Int, DataFrame)] = None): (Int, Int, Int) = {
+                     pinned: Option[(Int, DataFrame)] = None,
+                     cdcDir: Option[String] = None): (Int, Int, Int) = {
     val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
     val nullFree =
       if (snap.columns.contains("n_keys")) col("n_keys") === col("n_rows")
@@ -487,6 +488,16 @@ object FileSkipping {
         r.getBoolean(r.fieldIndex("__overlap")) && !r.getBoolean(r.fieldIndex("__covered")))
       .map(_.getString(0))
     if (full.isEmpty && partial.isEmpty) return (rv, 0, 0) // range hit nothing
+    // change feed from the PINNED snapshot's victim files (still on disk
+    // under MVCC), to a private txn slot — same consumption rule as the
+    // OCC merge's feed: read committed transactions' slots only
+    cdcDir.foreach { dir =>
+      val victims = (full ++ partial).toIndexedSeq
+      val vdf = spark.read.parquet(victims: _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+      vdf.select(lit("delete").as("op") +: vdf.columns.map(col): _*)
+        .write.mode("overwrite").parquet(s"$dir/txn-$txnId")
+    }
     val slot = s"$dataDir/txn-$txnId"
     val slotPath = new org.apache.hadoop.fs.Path(slot)
     val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -554,6 +565,31 @@ object FileSkipping {
     if (versionLog.isEmpty)
       small.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     (small.length, fresh.length)
+  }
+
+  /** OCC transactional APPEND — the multi-writer variant of
+    * [[appendWithManifest]], closing the listing-diff race that method
+    * documents ("a concurrent writer's files would be mis-attributed"):
+    * new rows land in a private `dataDir/txn-<txnId>` slot (no listing
+    * diff to race), and the commit rebases with removed = ∅. The append
+    * still participates in the key-band check — two writers
+    * blind-appending overlapping key ranges is exactly the write-write
+    * anomaly the band check exists for (the conservative choice this log
+    * makes everywhere; Delta's WriteSerializable would let both land and
+    * accept the duplicate-key risk). Band-disjoint appends compose.
+    * Returns the committed version. */
+  def appendOcc(df: DataFrame, dataDir: String, versionsDir: String,
+                keyCol: String, txnId: String,
+                pinned: Option[(Int, DataFrame)] = None): Int = {
+    val spark = df.sparkSession
+    val (rv, _) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    val slot = s"$dataDir/txn-$txnId"
+    df.write.mode("overwrite").parquet(slot)
+    val slotPath = new org.apache.hadoop.fs.Path(slot)
+    val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = listParquet(fs, slotPath).toSeq.sorted
+    VersionLog.commitRebase(spark, versionsDir, rv,
+      Seq.empty, statsFor(spark, fresh, keyCol))
   }
 
   /** OCC transactional small-file compaction — the multi-writer variant

@@ -275,10 +275,11 @@ class ConcurrencySpec extends SparkSpec {
     // band-disjoint, both pinned at v0, both must land
     val pinA = VersionLog.begin(spark, vdir)
     val pinB = VersionLog.begin(spark, vdir)
+    val cdc = s"${data.stripSuffix("/data")}/delcdc"
     val fA = Future(Try(FileSkipping.deleteRangeOcc(spark, data, vdir, "k",
-      lit(100L), lit(300L), "DELA", Some(pinA))))
+      lit(100L), lit(300L), "DELA", Some(pinA), cdcDir = Some(cdc))))
     val fB = Future(Try(FileSkipping.deleteRangeOcc(spark, data, vdir, "k",
-      lit(7500L), lit(7700L), "DELB", Some(pinB))))
+      lit(7500L), lit(7700L), "DELB", Some(pinB), cdcDir = Some(cdc))))
     val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
     assert(rA.isSuccess && rB.isSuccess, s"disjoint deletes must both land: A=$rA B=$rB")
     assert(Set(rA.get._1, rB.get._1) == Set(1, 2))
@@ -290,6 +291,13 @@ class ConcurrencySpec extends SparkSpec {
     val got = VersionLog.readVersion(spark, vdir, 2)
     assert(got.count() == expected.count())
     assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    // the committed delete feeds reconstitute the snapshot: head ∪ feeds == v0
+    val feed = spark.read.option("recursiveFileLookup", "true").parquet(cdc)
+    assert(feed.select("op").distinct().collect().map(_.getString(0)).toSeq == Seq("delete"))
+    val rebuilt = got.unionByName(feed.drop("op"))
+    val v0 = VersionLog.readVersion(spark, vdir, 0)
+    assert(rebuilt.exceptAll(v0).count() == 0 && v0.exceptAll(rebuilt).count() == 0,
+      "committed OCC delete feeds do not reconstitute the pinned snapshot")
     // a delete pinned BEFORE a same-band merge lands must abort — its
     // answer would silently miss the merge's rows in the range
     val pinDel = VersionLog.begin(spark, vdir)
@@ -309,6 +317,37 @@ class ConcurrencySpec extends SparkSpec {
     val head = VersionLog.readVersion(spark, vdir, v4)
     assert(head.filter(col("k").between(3900L, 4100L)).count() == 0,
       "retried delete missed rows (the merge's included)")
+  }
+
+  test("OCC append: private slots kill the listing-diff race; overlapping blind appends abort") {
+    val (data, vdir) = freshTable("occappend")
+    // two racing appends into DISJOINT key ranges: both land, no
+    // mis-attribution possible (each writer's files live in its own slot)
+    val pinA = VersionLog.begin(spark, vdir)
+    val pinB = VersionLog.begin(spark, vdir)
+    val fA = Future(Try(FileSkipping.appendOcc(insertsDf(5000000L, 40, "AP-A"),
+      data, vdir, "k", "APA", Some(pinA))))
+    val fB = Future(Try(FileSkipping.appendOcc(insertsDf(6000000L, 40, "AP-B"),
+      data, vdir, "k", "APB", Some(pinB))))
+    val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
+    assert(rA.isSuccess && rB.isSuccess, s"disjoint appends must both land: A=$rA B=$rB")
+    assert(Set(rA.get, rB.get) == Set(1, 2))
+    noOrphanedClaims(vdir)
+    val head = VersionLog.readVersion(spark, vdir, 2)
+    assert(head.count() == 8080)
+    assert(head.filter(col("tag") === "AP-A").count() == 40)
+    assert(head.filter(col("tag") === "AP-B").count() == 40)
+    // overlapping blind appends are the write-write anomaly: one aborts
+    val pinC = VersionLog.begin(spark, vdir)
+    val pinD = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.appendOcc(insertsDf(7000000L, 40, "AP-C"),
+      data, vdir, "k", "APC", Some(pinC)) == 3)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.appendOcc(insertsDf(7000020L, 40, "AP-D"),
+        data, vdir, "k", "APD", Some(pinD))
+    }
+    assert(e.getMessage.contains("key band"), e.getMessage)
+    noOrphanedClaims(vdir)
   }
 
   test("racing writers with disjoint bands: both land, union exact under either commit order") {
