@@ -34,10 +34,14 @@ object TableSql {
 
   /** Physical layout of a registered table: where the data files, the
     * range manifest, and (for versioned tables) the version log live,
-    * plus the clustering key every mutation is costed by. */
+    * plus the clustering key every mutation is costed by. `cdcDir` and
+    * `multiManifest` ride along to every mutation statement, so a table
+    * registered once keeps its change feed and its 2D stats maintained
+    * no matter which SQL string mutates it. */
   case class TableRef(dataDir: String, manifestDir: String, keyCol: String,
                       versionsDir: Option[String] = None,
-                      cdcDir: Option[String] = None)
+                      cdcDir: Option[String] = None,
+                      multiManifest: Option[String] = None)
 
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+""" +
@@ -61,7 +65,8 @@ object TableSql {
         s"MERGE ON must equate the table's clustering key '${ref.keyCol}', got $tKey = $srcKey")
       val (rewritten, appended) = FileSkipping.mergeKeyed(
         spark, ref.dataDir, ref.manifestDir, ref.keyCol, spark.table(src),
-        versionLog = ref.versionsDir, cdcDir = ref.cdcDir)
+        versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
+        multiManifest = ref.multiManifest)
       spark.createDataFrame(Seq((rewritten.toLong, appended.toLong)))
         .toDF("files_rewritten", "files_appended")
 
@@ -71,7 +76,8 @@ object TableSql {
         s"DELETE range must be on the table's clustering key '${ref.keyCol}', got '$key'")
       val (retired, rewritten) = FileSkipping.deleteRange(
         spark, ref.dataDir, ref.manifestDir, ref.keyCol, expr(loLit), expr(hiLit),
-        versionLog = ref.versionsDir, cdcDir = ref.cdcDir)
+        versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
+        multiManifest = ref.multiManifest)
       spark.createDataFrame(Seq((retired.toLong, rewritten.toLong)))
         .toDF("files_retired", "files_rewritten")
 

@@ -64,6 +64,26 @@ class TableSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("no version log"), e2.getMessage)
   }
 
+  test("a registered multi-column manifest stays fresh through SQL mutations") {
+    val base = "/root/repo/target/scratch/tablesql_multi"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(2000).select(col("id").as("k"), (col("id") / 200).cast("long").as("x"),
+        (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    FileSkipping.buildManifestMulti(spark, s"$base/data", Seq("k", "x"))
+      .write.mode("overwrite").parquet(s"$base/multi")
+    val mreg = Map("mtbl" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k",
+      multiManifest = Some(s"$base/multi")))
+    TableSql(spark, mreg, "DELETE FROM mtbl WHERE k BETWEEN 300 AND 700").collect()
+    val folded = spark.read.parquet(s"$base/multi")
+    val rebuilt = FileSkipping.buildManifestMulti(spark, s"$base/data", Seq("k", "x"))
+    assert(folded.exceptAll(rebuilt).count() == 0 && rebuilt.exceptAll(folded).count() == 0,
+      "SQL DELETE left the registered 2D manifest stale")
+  }
+
   test("the head view reads the manifest's files, never the directory listing") {
     // plant an orphan file (a crashed txn slot) beside the table: a
     // directory listing would read it, the manifest-decided head must not
