@@ -792,6 +792,68 @@ object ScaleOpsPack extends QueryPack {
           min(lit(vB.toLong)).as("head_version"))
     },
 
+    // ── q199: STREAMING CDC view maintenance ──────────────────────────
+    // q190 consumed the change feed as a batch; this is how a live
+    // replica actually consumes it — `readStream` over the feed
+    // directory, one file per micro-batch, each batch folded into the
+    // maintained view with signed weights and exact-decimal sums. Two
+    // sequential MERGEs emit the feed (the second overwrites some of the
+    // first's rows — replacement semantics, so the oracle's CASE
+    // arithmetic is order-free); the per-batch folds are additive and
+    // commutative, so ANY micro-batch split converges to the same view,
+    // which must equal a full rebuild of the twice-merged table to the
+    // penny. The base table is never rescanned after the view is built.
+    "q199_stream_cdc_view" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val base = "/root/repo/target/scratch/q199_streamcdc"
+      val orders = stagedOrdersCopy(s, d, base)
+      orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(28, 4))).as("sum_dec"))
+        .write.mode("overwrite").parquet(s"$base/view_v0")
+      graft.io.FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest",
+        "o_orderkey", mergeUpdates(orders).unionByName(mergeInserts(orders)),
+        cdcDir = Some(s"$base/cdc"))
+      graft.io.FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest",
+        "o_orderkey", orders.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderpriority", lit("8-M2"))
+          .withColumn("o_totalprice", col("o_totalprice") * 3),
+        cdcDir = Some(s"$base/cdc"))
+      val schema = s.read.parquet(s"$base/cdc").schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/cdc")
+      @volatile var cur = 0L // maintained-view version counter
+      val ckpt = graft.streaming.Streams.checkpointFor("q199_streamcdc")
+      graft.util.Staging.deleteRecursive(ckpt)
+      val q = feed.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val delta = b
+            .withColumn("w",
+              when(col("op") === "update_preimage", lit(-1L)).otherwise(lit(1L)))
+            .groupBy("o_orderpriority")
+            .agg(sum(col("w")).as("dn"),
+              sum(col("o_totalprice").cast(DecimalType(28, 4)) * col("w")).as("dsum_dec"))
+          s.read.parquet(s"$base/view_v$cur")
+            .join(delta, Seq("o_orderpriority"), "full_outer")
+            .select(col("o_orderpriority"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+              (coalesce(col("sum_dec").cast(DecimalType(38, 8)),
+                  lit(0).cast(DecimalType(38, 8))) +
+                coalesce(col("dsum_dec").cast(DecimalType(38, 8)),
+                  lit(0).cast(DecimalType(38, 8))))
+                .cast(DecimalType(28, 4)).as("sum_dec"))
+            .write.mode("overwrite").parquet(s"$base/view_v${cur + 1}")
+          cur += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/view_v$cur")
+        .filter(col("n") > 0)
+        .select(col("o_orderpriority"), col("n"),
+          col("sum_dec").cast("double").as("sum_price"))
+    },
+
     // ── q195–q197: SQL-STRING frontend for the table ops (round-9
     // verdict #5 stretch). q58 proved the QUERY frontend; these route
     // the MUTATIONS and time travel through MERGE INTO / DELETE WHERE /
@@ -1092,6 +1154,27 @@ object ScaleOpsPack extends QueryPack {
           WHERE NOT (o_orderkey >= k.m // 10 AND o_orderkey <= 2 * (k.m // 10))
             AND NOT (o_orderkey >= 7 * (k.m // 10) AND o_orderkey <= 8 * (k.m // 10))
           GROUP BY 1""",
+
+    // q199: the maintained view must equal a full rebuild of the
+    // TWICE-merged table — replacement semantics make the CASE
+    // arithmetic order-free (%89 rows end at p*3/'8-M2' regardless of
+    // whether %97 doubled them first)
+    "q199_stream_cdc_view" ->
+      s"""WITH m AS (
+            SELECT CASE WHEN o_orderkey % 89 = 0 THEN '8-M2'
+                        WHEN o_orderkey % 97 = 0 THEN '9-MERGED'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 3
+                        WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT '9-MERGED' AS o_orderpriority,
+                   o_totalprice + 5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 601 = 0)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM m GROUP BY 1""",
 
     // q195/q196/q197: the SQL-string path must be observationally
     // identical to its Scala twin — same oracles as q181/q179/q185
