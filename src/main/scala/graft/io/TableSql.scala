@@ -19,16 +19,34 @@ import org.apache.spark.sql.functions._
   *
   *   MERGE INTO t USING src ON t.k = src.k
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-  *   DELETE FROM t WHERE k BETWEEN <sql-literal> AND <sql-literal>
+  *   DELETE FROM t WHERE k BETWEEN <sql-expr> AND <sql-expr>
   *   VACUUM t RETAIN <n> VERSIONS
-  *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL; every
-  *     registered table name — optionally VERSION-qualified — is bound
-  *     to a snapshot view and the statement is delegated to spark.sql)
+  *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL)
   *
-  * `src` is any registered temp view (the delta frame); range literals
-  * go through Spark's own `expr` parser, so `TIMESTAMP '…'`, dates,
-  * strings and numerics all work. Mutations return a one-row metrics
-  * frame (the Delta convention); SELECTs return the query result.
+  * SELECTs BIND, they do not rewrite (round-10 review: the old textual
+  * `\btable\b` replacement would rewrite a string literal containing a
+  * registered name): every registered table is registered as a temp view
+  * UNDER ITS OWN NAME (its manifest/log-decided head files), and the
+  * UNMODIFIED statement goes to `spark.sql` — a literal `'otable'`
+  * survives verbatim, spec-asserted. The one remaining textual rewrite
+  * is the `t VERSION AS OF <v>` qualifier (Spark's parser has no time
+  * travel for temp views); its pattern — name + keywords + digits — is
+  * documented as the narrow exception.
+  *
+  * DELETE range bounds go through Spark's OWN expression parser on the
+  * full `BETWEEN lo AND hi` clause (round-10 review: the old non-greedy
+  * regex split mis-parsed a lower bound containing " AND "), so
+  * `TIMESTAMP '…'`, dates, strings, numerics and nested expressions all
+  * work. Mutations return a one-row metrics frame (the Delta
+  * convention); SELECTs return the query result.
+  *
+  * Tables registered `occ = true` route mutations through the
+  * MULTI-WRITER transactional path ([[FileSkipping.mergeKeyedOcc]] /
+  * [[FileSkipping.deleteRangeOcc]]) — each statement is one OCC
+  * transaction (fresh pin, private slot, rebase commit, loud
+  * `ConcurrentModificationException` on conflict), its CDC slot tied to
+  * the commit's fate, and SELECTs bind the LOG head (under OCC the log
+  * is the source of truth; the flat manifest dir is a cache).
   */
 object TableSql {
 
@@ -37,11 +55,14 @@ object TableSql {
     * plus the clustering key every mutation is costed by. `cdcDir` and
     * `multiManifest` ride along to every mutation statement, so a table
     * registered once keeps its change feed and its 2D stats maintained
-    * no matter which SQL string mutates it. */
+    * no matter which SQL string mutates it. `occ = true` (requires
+    * `versionsDir`) makes every mutation statement a multi-writer OCC
+    * transaction. */
   case class TableRef(dataDir: String, manifestDir: String, keyCol: String,
                       versionsDir: Option[String] = None,
                       cdcDir: Option[String] = None,
-                      multiManifest: Option[String] = None)
+                      multiManifest: Option[String] = None,
+                      occ: Boolean = false)
 
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+""" +
@@ -49,10 +70,17 @@ object TableSql {
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
   private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+BETWEEN\s+(.+?)\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*$""".r
   private val SelectRe = """(?is)^\s*SELECT\b.*""".r
+
+  /** Per-statement OCC transaction ids: unique per JVM AND across JVM
+    * restarts (a reused id would overwrite a committed transaction's
+    * slot dir, corrupting the versions that reference its files). The id
+    * names directories only — never query results. */
+  private def freshTxnId(): String =
+    s"sql-${java.util.UUID.randomUUID().toString.take(13)}"
 
   def apply(spark: SparkSession, registry: Map[String, TableRef],
             sql: String): DataFrame = sql match {
@@ -63,23 +91,38 @@ object TableSql {
         s"MERGE ON must qualify with the table/source names: got $tAlias.$tKey = $srcAlias.$srcKey")
       require(tKey.equalsIgnoreCase(ref.keyCol) && srcKey.equalsIgnoreCase(ref.keyCol),
         s"MERGE ON must equate the table's clustering key '${ref.keyCol}', got $tKey = $srcKey")
-      val (rewritten, appended) = FileSkipping.mergeKeyed(
-        spark, ref.dataDir, ref.manifestDir, ref.keyCol, spark.table(src),
-        versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
-        multiManifest = ref.multiManifest)
-      spark.createDataFrame(Seq((rewritten.toLong, appended.toLong)))
-        .toDF("files_rewritten", "files_appended")
+      if (ref.occ) {
+        val v = FileSkipping.mergeKeyedOcc(spark, ref.dataDir, occLog(t, ref),
+          ref.keyCol, spark.table(src), freshTxnId(), cdcDir = ref.cdcDir)
+        spark.createDataFrame(Seq(Tuple1(v.toLong))).toDF("committed_version")
+      } else {
+        val (rewritten, appended) = FileSkipping.mergeKeyed(
+          spark, ref.dataDir, ref.manifestDir, ref.keyCol, spark.table(src),
+          versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
+          multiManifest = ref.multiManifest)
+        spark.createDataFrame(Seq((rewritten.toLong, appended.toLong)))
+          .toDF("files_rewritten", "files_appended")
+      }
 
-    case DeleteRe(t, key, loLit, hiLit) =>
+    case DeleteRe(t, key, betweenClause) =>
       val ref = lookup(registry, t)
       require(key.equalsIgnoreCase(ref.keyCol),
         s"DELETE range must be on the table's clustering key '${ref.keyCol}', got '$key'")
-      val (retired, rewritten) = FileSkipping.deleteRange(
-        spark, ref.dataDir, ref.manifestDir, ref.keyCol, expr(loLit), expr(hiLit),
-        versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
-        multiManifest = ref.multiManifest)
-      spark.createDataFrame(Seq((retired.toLong, rewritten.toLong)))
-        .toDF("files_retired", "files_rewritten")
+      val (lo, hi) = parseBetween(spark, key, betweenClause)
+      if (ref.occ) {
+        val (v, retired, rewritten) = FileSkipping.deleteRangeOcc(spark,
+          ref.dataDir, occLog(t, ref), ref.keyCol, lo, hi, freshTxnId(),
+          cdcDir = ref.cdcDir)
+        spark.createDataFrame(Seq((v.toLong, retired.toLong, rewritten.toLong)))
+          .toDF("committed_version", "files_retired", "files_rewritten")
+      } else {
+        val (retired, rewritten) = FileSkipping.deleteRange(
+          spark, ref.dataDir, ref.manifestDir, ref.keyCol, lo, hi,
+          versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
+          multiManifest = ref.multiManifest)
+        spark.createDataFrame(Seq((retired.toLong, rewritten.toLong)))
+          .toDF("files_retired", "files_rewritten")
+      }
 
     case VacuumRe(t, n) =>
       val ref = lookup(registry, t)
@@ -90,25 +133,22 @@ object TableSql {
         .toDF("files_deleted", "versions_dropped")
 
     case SelectRe() =>
-      // bind every (optionally VERSION-qualified) registered table name
-      // to a snapshot view, then hand the statement to Spark's parser —
-      // the read path needs no grammar of its own
+      // time-travel qualifiers are the one narrow rewrite (see object
+      // scaladoc); plain table names are BOUND as temp views under their
+      // own names and the statement text is otherwise untouched
       var text = sql
       registry.foreach { case (name, ref) =>
-        val verRe = s"""(?i)\\b$name\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
-        text = verRe.replaceAllIn(text, m => {
-          val v = m.group(1).toInt
-          val vdir = ref.versionsDir.getOrElse(throw new IllegalArgumentException(
-            s"table '$name' has no version log — VERSION AS OF unsupported"))
-          val view = s"${name}__v$v"
-          VersionLog.readVersion(spark, vdir, v).createOrReplaceTempView(view)
-          view
-        })
-        val plainRe = s"""(?i)\\b$name\\b""".r
-        if (plainRe.findFirstIn(text).isDefined) {
-          val view = s"${name}__head"
-          headRead(spark, ref).createOrReplaceTempView(view)
-          text = plainRe.replaceAllIn(text, view)
+        if (text.toLowerCase.contains(name.toLowerCase)) {
+          val verRe = s"""(?i)\\b$name\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+          text = verRe.replaceAllIn(text, m => {
+            val v = m.group(1).toInt
+            val vdir = ref.versionsDir.getOrElse(throw new IllegalArgumentException(
+              s"table '$name' has no version log — VERSION AS OF unsupported"))
+            val view = s"${name}__v$v"
+            VersionLog.readVersion(spark, vdir, v).createOrReplaceTempView(view)
+            view
+          })
+          headRead(spark, name, ref).createOrReplaceTempView(name)
         }
       }
       spark.sql(text)
@@ -121,12 +161,50 @@ object TableSql {
     registry.getOrElse(t, throw new IllegalArgumentException(
       s"unknown table '$t' — registered: ${registry.keys.toSeq.sorted.mkString(", ")}"))
 
-  /** The table's CURRENT files, as the manifest decides them — never a
-    * directory listing, which under MVCC would resurrect retired files
-    * awaiting vacuum and read in-flight txn slots. */
-  private def headRead(spark: SparkSession, ref: TableRef): DataFrame = {
-    val files = spark.read.parquet(ref.manifestDir)
-      .select("file").collect().map(_.getString(0)).sorted
-    spark.read.parquet(files.toIndexedSeq: _*)
+  private def occLog(t: String, ref: TableRef): String =
+    ref.versionsDir.getOrElse(throw new IllegalArgumentException(
+      s"table '$t' is registered occ = true but has no versionsDir — " +
+        "OCC transactions need a version log to pin and rebase against"))
+
+  /** Split `BETWEEN lo AND hi` at the AND the SQL GRAMMAR assigns to the
+    * BETWEEN — Spark's own parser lowers the clause to
+    * `key >= lo AND key <= hi`, so bounds containing " AND " inside
+    * literals, CASE arms or function args parse correctly, and a
+    * malformed clause (extra trailing conjuncts, missing bound) rejects
+    * loudly. The bounds round-trip through `Expression.sql` back into
+    * public `expr` Columns. */
+  private def parseBetween(spark: SparkSession, key: String,
+                           betweenClause: String): (org.apache.spark.sql.Column,
+                                                    org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    spark.sessionState.sqlParser.parseExpression(s"`$key` BETWEEN $betweenClause") match {
+      // Spark ≤3 lowers BETWEEN in the parser; Spark 4 keeps it as the
+      // `between(value, lo, hi)` function until the analyzer — accept both
+      case And(GreaterThanOrEqual(_, lo), LessThanOrEqual(_, hi)) =>
+        (expr(lo.sql), expr(hi.sql))
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("between") && f.arguments.length == 3 =>
+        (expr(f.arguments(1).sql), expr(f.arguments(2).sql))
+      case other => throw new IllegalArgumentException(
+        s"DELETE range must be exactly 'BETWEEN <lo> AND <hi>', got: " +
+          s"$betweenClause (parsed as ${other.getClass.getSimpleName})")
+    }
   }
+
+  /** The table's CURRENT files: for OCC tables the LOG head decides them
+    * (the flat manifest dir is a cache a racing writer may not have
+    * synced); otherwise the manifest — never a directory listing, which
+    * under MVCC would resurrect retired files awaiting vacuum and read
+    * in-flight txn slots. */
+  private def headRead(spark: SparkSession, name: String, ref: TableRef): DataFrame =
+    if (ref.occ) {
+      val h = VersionLog.head(spark, occLog(name, ref))
+      require(h >= 0, s"occ table '$name' has no committed version")
+      VersionLog.readVersion(spark, occLog(name, ref), h)
+    } else {
+      val files = spark.read.parquet(ref.manifestDir)
+        .select("file").collect().map(_.getString(0)).sorted
+      spark.read.parquet(files.toIndexedSeq: _*)
+    }
 }

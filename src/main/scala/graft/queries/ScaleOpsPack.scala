@@ -792,17 +792,28 @@ object ScaleOpsPack extends QueryPack {
           min(lit(vB.toLong)).as("head_version"))
     },
 
-    // ── q199: STREAMING CDC view maintenance ──────────────────────────
+    // ── q199: STREAMING CDC view maintenance, crash-idempotent ────────
     // q190 consumed the change feed as a batch; this is how a live
     // replica actually consumes it — `readStream` over the feed
-    // directory, one file per micro-batch, each batch folded into the
-    // maintained view with signed weights and exact-decimal sums. Two
-    // sequential MERGEs emit the feed (the second overwrites some of the
-    // first's rows — replacement semantics, so the oracle's CASE
-    // arithmetic is order-free); the per-batch folds are additive and
-    // commutative, so ANY micro-batch split converges to the same view,
-    // which must equal a full rebuild of the twice-merged table to the
-    // penny. The base table is never rescanned after the view is built.
+    // directory, each micro-batch folded into the maintained view with
+    // signed weights and exact-decimal sums. Two sequential MERGEs emit
+    // the feed (the second overwrites some of the first's rows —
+    // replacement semantics, so the oracle's CASE arithmetic is
+    // order-free); the per-batch folds are additive and commutative, so
+    // ANY micro-batch split converges to the same view, which must equal
+    // a full rebuild of the twice-merged table to the penny. The base
+    // table is never rescanned after the view is built.
+    //
+    // Crash idempotence (round-10 verdict #2 — the original kept the
+    // view-version counter in driver memory and ignored foreachBatch's
+    // batchId, so a crash-replayed batch folded into the wrong view):
+    // view slots are keyed BY BATCH ID — batch b reads view_b(b-1) (or
+    // the seed) and OVERWRITES view_b(b), so a replay of b re-derives
+    // the same slot from inputs the crash could not have touched:
+    // exactly-once by construction, the engine's q184/q194 bar. Proven
+    // live: the stream is driven through drainWithCrashRecoveryInto with
+    // a mid-stream crash at batch 1 (the harness asserts the crash fired
+    // and the batch was re-fed), and the oracle is still hash-exact.
     "q199_stream_cdc_view" -> { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val base = "/root/repo/target/scratch/q199_streamcdc"
@@ -810,7 +821,7 @@ object ScaleOpsPack extends QueryPack {
       orders.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(28, 4))).as("sum_dec"))
-        .write.mode("overwrite").parquet(s"$base/view_v0")
+        .write.mode("overwrite").parquet(s"$base/view_seed")
       graft.io.FileSkipping.mergeKeyed(s, s"$base/data", s"$base/manifest",
         "o_orderkey", mergeUpdates(orders).unionByName(mergeInserts(orders)),
         cdcDir = Some(s"$base/cdc"))
@@ -825,21 +836,19 @@ object ScaleOpsPack extends QueryPack {
       // costs for a 5-row view update (1-file triggers measured 16.7 s;
       // the folds are additive, so ANY batching gives the same view)
       val schema = s.read.parquet(s"$base/cdc").schema
-      val feed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8).parquet(s"$base/cdc")
-      @volatile var cur = 0L // maintained-view version counter
-      val ckpt = graft.streaming.Streams.checkpointFor("q199_streamcdc")
-      graft.util.Staging.deleteRecursive(ckpt)
-      val q = feed.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      @volatile var lastBatch = -1L
+      graft.streaming.Streams.drainWithCrashRecoveryInto(
+        () => s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$base/cdc"),
+        "q199_streamcdc", "append", crashAtBatch = 1) { (b, id) =>
           val delta = b
             .withColumn("w",
               when(col("op") === "update_preimage", lit(-1L)).otherwise(lit(1L)))
             .groupBy("o_orderpriority")
             .agg(sum(col("w")).as("dn"),
               sum(col("o_totalprice").cast(DecimalType(28, 4)) * col("w")).as("dsum_dec"))
-          s.read.parquet(s"$base/view_v$cur")
+          val prev = if (id == 0) s"$base/view_seed" else s"$base/view_b${id - 1}"
+          s.read.parquet(prev)
             .join(delta, Seq("o_orderpriority"), "full_outer")
             .select(col("o_orderpriority"),
               (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
@@ -848,12 +857,10 @@ object ScaleOpsPack extends QueryPack {
                 coalesce(col("dsum_dec").cast(DecimalType(38, 8)),
                   lit(0).cast(DecimalType(38, 8))))
                 .cast(DecimalType(28, 4)).as("sum_dec"))
-            .write.mode("overwrite").parquet(s"$base/view_v${cur + 1}")
-          cur += 1
+            .write.mode("overwrite").parquet(s"$base/view_b$id")
+          lastBatch = math.max(lastBatch, id)
         }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/view_v$cur")
+      s.read.parquet(s"$base/view_b$lastBatch")
         .filter(col("n") > 0)
         .select(col("o_orderpriority"), col("n"),
           col("sum_dec").cast("double").as("sum_price"))
@@ -944,6 +951,113 @@ object ScaleOpsPack extends QueryPack {
             SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
                    ${Sql.dsum("o_totalprice")} AS sum_price
             FROM ttable GROUP BY o_orderpriority""")
+    },
+
+    // ── q200/q201: the SQL frontend's OCC path (round-10 verdict #6:
+    // "a versioned table's SQL users cannot reach multi-writer
+    // semantics"). Same statements as q195/q196, tables registered
+    // `occ = true`: each statement is ONE OCC transaction — fresh pin,
+    // private txn slot, rebase commit, CDC slot tied to the commit's
+    // fate — and SELECTs bind the LOG head (under OCC the log is truth,
+    // the flat manifest a cache). Oracles are the Scala twins' oracles
+    // plus the committed version the metrics frame returned, so the
+    // result proves BOTH observational identity and that the
+    // transactional path (v0 bootstrap + one commit = v1) actually ran.
+
+    "q200_sql_occ_merge" -> { (s, d) =>
+      import graft.io.{TableSql, VersionLog}
+      val base = "/root/repo/target/scratch/q200_sqloccmerge"
+      val orders = stagedOrdersCopy(s, d, base)
+      VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val reg = Map("omtable" -> TableSql.TableRef(
+        s"$base/data", s"$base/manifest", "o_orderkey",
+        versionsDir = Some(s"$base/versions"), cdcDir = Some(s"$base/cdc"),
+        occ = true))
+      mergeUpdates(orders).unionByName(mergeInserts(orders))
+        .createOrReplaceTempView("q200_delta")
+      val v = TableSql(s, reg,
+        """MERGE INTO omtable USING q200_delta
+           ON omtable.o_orderkey = q200_delta.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+      TableSql(s, reg,
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM omtable GROUP BY o_orderpriority""")
+        .withColumn("head_version", lit(v))
+    },
+
+    // q201: OCC DELETE through its string, then VACUUM RETAIN 1 (drops
+    // v0 and physically reclaims the files only it referenced), then the
+    // survivor read through the log-head binding.
+    "q201_sql_occ_delete" -> { (s, d) =>
+      import graft.io.TableSql
+      val base = "/root/repo/target/scratch/q201_sqloccdel"
+      graft.util.Staging.deleteRecursive(base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      orders.repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/data")
+      graft.io.FileSkipping.buildManifest(s, s"$base/data", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      graft.io.VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val reg = Map("odtable" -> TableSql.TableRef(
+        s"$base/data", s"$base/manifest", "o_orderdate",
+        versionsDir = Some(s"$base/versions"), occ = true))
+      val v = TableSql(s, reg,
+        """DELETE FROM odtable WHERE o_orderdate
+           BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'""")
+        .head().getLong(0)
+      TableSql(s, reg, "VACUUM odtable RETAIN 1 VERSIONS").collect()
+      TableSql(s, reg,
+        s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM odtable GROUP BY year(o_orderdate)""")
+        .withColumn("head_version", lit(v))
+    },
+
+    // ── q202: 2D manifest THROUGH OCC mutation + time travel (round-10
+    // stretch: "carry the multi-stats columns through the snapshot
+    // schema"). The table is z-ordered on hash-derived (x, y) and keyed
+    // by zk = zvalue·2³³ + o_orderkey (injective, z-clustered); its
+    // snapshots carry min/max for x AND y beside the key stats
+    // (buildManifestStats bootstrap, statCols on the merge), so after an
+    // OCC merge BOTH the pinned v0 and the new head serve 2D box-pruned
+    // reads from their own snapshot's stats — no derived cache to go
+    // stale (the q187 layout, composed with q192's transaction and
+    // q185's time travel). Pruning is superset + residual filter, so the
+    // oracle recomputes both boxes set-theoretically; the spec asserts
+    // the probe actually opened a strict subset of the snapshot's files.
+    "q202_occ_2d_travel" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      val base = "/root/repo/target/scratch/q202_occ2d"
+      graft.util.Staging.deleteRecursive(base)
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(Parity.keyHash(col("o_orderkey")), lit(256L)).as("x"),
+        pmod(Parity.keyHash(col("o_custkey") * 131), lit(256L)).as("y"),
+        col("o_totalprice"))
+      def withZk(df: DataFrame) = df.select(
+        (ZOrder.zValue(col("x"), col("y"), 8) * lit(1L << 33) + col("o_orderkey")).as("zk"),
+        col("x"), col("y"), col("o_totalprice"))
+      withZk(src)
+        .repartitionByRange(16, col("zk")).sortWithinPartitions("zk")
+        .write.mode("overwrite").parquet(s"$base/data")
+      val vdir = s"$base/versions"
+      VersionLog.commitSnapshot(s, vdir,
+        FileSkipping.buildManifestStats(s, s"$base/data", "zk", Seq("x", "y"))) // v0
+      val delta = withZk(src.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val v1 = FileSkipping.mergeKeyedOcc(s, s"$base/data", vdir, "zk", delta,
+        "Q202", statCols = Seq("x", "y"))
+      def box(v: Int, snap: String) =
+        FileSkipping.prunedReadVersionMulti(s, vdir, v,
+          Seq(("x", lit(64L), lit(95L)), ("y", lit(160L), lit(191L))))
+          .filter(col("x").between(64, 95) && col("y").between(160, 191))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+          .select(lit(snap).as("snap"), col("n"), col("sum_price"))
+      box(0, "v0").unionByName(box(v1, "head"))
     }
   )
 
@@ -1223,6 +1337,56 @@ object ScaleOpsPack extends QueryPack {
           SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
                  ${Sql.dsum("o_totalprice")} AS sum_price
           FROM headt GROUP BY 1, 2""",
+
+    // q200/q201: the OCC SQL path must be observationally identical to
+    // its Scala twin (q181's / q179's oracles) AND prove the
+    // transactional path ran: head_version = 1 is v0 bootstrap + exactly
+    // one rebase commit
+    "q200_sql_occ_merge" ->
+      s"""WITH up AS (SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+                        o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 97 = 0),
+          ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                    '9-MERGED' AS o_orderpriority,
+                    o_totalprice + 5 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 601 = 0),
+          keep AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey % 97 <> 0),
+          merged AS (SELECT * FROM keep UNION ALL SELECT * FROM up
+                     UNION ALL SELECT * FROM ins)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 CAST(1 AS BIGINT) AS head_version
+          FROM merged GROUP BY 1""",
+
+    "q201_sql_occ_delete" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 CAST(1 AS BIGINT) AS head_version
+          FROM orders
+          WHERE NOT (o_orderdate >= TIMESTAMP '1995-01-01'
+                     AND o_orderdate <= TIMESTAMP '1995-12-31')
+          GROUP BY 1""",
+
+    // q202: both snapshots' box aggregates recomputed set-theoretically
+    // from the source — 2D pruning at either version must be invisible
+    "q202_occ_2d_travel" ->
+      s"""WITH pts AS (SELECT o_orderkey,
+                 (${Sql.keyHash("o_orderkey")} % 256) AS x,
+                 (${Sql.keyHash("(o_custkey * 131)")} % 256) AS y,
+                 o_totalprice
+               FROM orders),
+          inbox AS (SELECT * FROM pts
+                    WHERE x BETWEEN 64 AND 95 AND y BETWEEN 160 AND 191),
+          m AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS p
+                FROM inbox)
+          SELECT 'v0' AS snap, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM inbox
+          UNION ALL
+          SELECT 'head' AS snap, COUNT(*) AS n, ${Sql.dsum("p")} AS sum_price
+          FROM m""",
 
     "q121_incremental_view" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${Sql.dsum("o_totalprice")} AS sum_price

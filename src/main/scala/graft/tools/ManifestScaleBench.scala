@@ -221,6 +221,45 @@ object ManifestScaleBench {
       val (_, ptrHeadSec) = time(VersionLog.head(spark, vdir))
       println(s"""MANIFEST_SCALE: {"op":"log_length","commits":$nCommits,"commit_sec_first10":$first,"commit_sec_mid10":$mid,"commit_sec_last10":$last,"begin_sec_at_depth":$beginSec,"head_listing_sec":$listHeadSec,"head_pointer_sec":$ptrHeadSec}""")
     }
+
+    // ── deep-LAG validation sweep (round-11): commitRebase's conflict
+    // validation used to run ~3 Spark jobs PER intermediate version, so
+    // a deeply-lagged commit paid wall linear ×3 in writer lag. The
+    // one-unioned-read rewrite folds the whole window into one job +
+    // a driver-side scan — this arm pins a transaction, lands `lag`
+    // band-disjoint intermediate commits, then measures the pinned
+    // commit's wall at lag 1 / 25 / 50 (near-flat IS the claim; each
+    // intermediate append is validated against and rebased over).
+    {
+      import graft.io.{FileSkipping, VersionLog}
+      val base = s"$scratch/lagdepth"
+      graft.util.Staging.deleteRecursive(base)
+      spark.range(100000).select(col("id").as("key"), (col("id") % 997 / 7.0).as("v"))
+        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(spark, s"$base/data", "key")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val vdir = s"$base/versions"
+      VersionLog.commit(spark, vdir, s"$base/manifest")
+      var nextKey = 10000000L
+      Seq(1, 25, 50).foreach { lag =>
+        val pin = VersionLog.begin(spark, vdir)
+        (0 until lag).foreach { i =>
+          FileSkipping.appendOcc(
+            spark.range(nextKey, nextKey + 10).select(col("id").as("key"), lit(1.0).as("v")),
+            s"$base/data", vdir, "key", s"lag$lag-i$i")
+          nextKey += 1000000L
+        }
+        val delta = spark.range(nextKey, nextKey + 10)
+          .select(col("id").as("key"), lit(2.0).as("v"))
+        nextKey += 1000000L
+        val (_, commitSec) = time {
+          FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "key", delta,
+            s"lagtxn$lag", pinned = Some(pin))
+        }
+        println(s"""MANIFEST_SCALE: {"op":"validate_lag","lag":$lag,"commit_sec":$commitSec}""")
+      }
+    }
     spark.stop()
   }
 }

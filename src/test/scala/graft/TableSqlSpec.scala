@@ -84,6 +84,56 @@ class TableSqlSpec extends SparkSpec {
       "SQL DELETE left the registered 2D manifest stale")
   }
 
+  test("SELECT binds, never rewrites: a string literal containing a table name survives verbatim") {
+    // round-10 review: the old textual \btbl\b rewrite would mangle the
+    // literal into 'tbl__head' and change the comparison's result
+    val r = TableSql(spark, reg,
+      "SELECT 'tbl' AS lit_name, COUNT(*) AS n FROM tbl WHERE 'a tbl b' = 'a tbl b'")
+      .head()
+    assert(r.getString(0) == "tbl", s"literal was rewritten to ${r.getString(0)}")
+    assert(r.getLong(1) == 1000)
+  }
+
+  test("DELETE bounds parse through the SQL grammar: a lower bound containing AND splits correctly") {
+    val base = "/root/repo/target/scratch/tablesql_between"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(1000).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    val breg = Map("btbl" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k"))
+    // round-10 review: the old non-greedy regex split this clause at the
+    // FIRST ' AND ' — inside the CASE — and deleted the wrong range
+    TableSql(spark, breg,
+      """DELETE FROM btbl WHERE k BETWEEN
+         CASE WHEN 1 = 1 AND 2 = 2 THEN 100 ELSE 0 END AND 199""").collect()
+    val left = spark.read.parquet(s"$base/data")
+    assert(left.count() == 900, s"expected 900 survivors, got ${left.count()}")
+    assert(left.filter(col("k").between(100, 199)).count() == 0)
+    assert(left.filter(col("k") < 100).count() == 100,
+      "a mis-split bound deleted below the CASE's value")
+  }
+
+  test("occ registration without a version log is rejected before touching the table") {
+    val ref = reg("tbl")
+    val occReg = Map("otbl" -> ref.copy(occ = true)) // no versionsDir
+    val before = spark.read.parquet(ref.dataDir).count()
+    spark.range(1).select(lit(5L).as("k"), lit(9.9).as("v"))
+      .createOrReplaceTempView("tsql_occ_delta")
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, occReg,
+        """MERGE INTO otbl USING tsql_occ_delta ON otbl.k = tsql_occ_delta.k
+           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("no versionsDir"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableSql(spark, occReg, "DELETE FROM otbl WHERE k BETWEEN 1 AND 2")
+    }
+    assert(e2.getMessage.contains("no versionsDir"), e2.getMessage)
+    assert(spark.read.parquet(ref.dataDir).count() == before)
+  }
+
   test("the head view reads the manifest's files, never the directory listing") {
     // plant an orphan file (a crashed txn slot) beside the table: a
     // directory listing would read it, the manifest-decided head must not
