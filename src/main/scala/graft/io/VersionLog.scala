@@ -399,11 +399,18 @@ object VersionLog {
     // appears at i-1 with its next presence > i; a file added at i has no
     // presence at i-1), and a single aggregate returns ≤ lag rows
     // (version, my-file-clash count, write-footprint band) for a
-    // driver-side scan in version order.
-    val union = (readVersion to h).map(v =>
-        manifestAt(spark, versionsDir, v)
-          .select(col("file"), col("min_key"), col("max_key"), lit(v).as("__v")))
-      .reduce(_ unionByName _)
+    // driver-side scan in version order. The read is a single MULTI-PATH
+    // scan with the version recovered from each row's file path — one
+    // FileIndex, one footer inference, flat in lag (the first cut built
+    // lag+1 separate reads and re-paid per-read setup: measured ~0.07 s
+    // per version at lag 50); selecting only the three columns every
+    // snapshot schema shares keeps a stats-upgrade log readable without
+    // mergeSchema.
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    val union = spark.read
+      .parquet((readVersion to h).map(v => s"$versionsDir/v$v"): _*)
+      .select(col("file"), col("min_key"), col("max_key"),
+        regexp_extract(input_file_name(), "/v(\\d+)/[^/]*$", 1).cast("int").as("__v"))
     val w = Window.partitionBy("file").orderBy("__v")
     val marked = union
       .withColumn("__next", lead(col("__v"), 1).over(w))
