@@ -926,6 +926,32 @@ object FileSkipping {
     val h = VersionLog.head(spark, versionsDir)
     if (h >= 0 && VersionLog.hasMarker(spark, versionsDir, h, s"_BATCH_$batchId"))
       return h // crash-replayed batch: its version already landed
+    // marker-independent idempotence backstop: commitSnapshot stamps the
+    // _BATCH marker AFTER the snapshot's _SUCCESS, so a crash in that
+    // sliver leaves a landed version with no marker — a marker-only
+    // check would commit the replay AGAIN (duplicate version, duplicate
+    // rows). The head manifest referencing this batch's slot is the
+    // ground truth the marker merely caches; when it already does, the
+    // batch is committed and the replay just re-stamps the missing
+    // marker. Cost-gated on the slot dir existing (one RPC): a FRESH
+    // batch has no slot yet and skips the |files|-row manifest read.
+    val hconf = spark.sessionState.newHadoopConf()
+    val slotProbe = new org.apache.hadoop.fs.Path(s"$dataDir/b$batchId")
+    val slotFs = slotProbe.getFileSystem(hconf)
+    if (h >= 0 && slotFs.exists(slotProbe)) {
+      // qualified PATH compare, like vacuum's: manifest entries are
+      // absolute input_file_name URIs, the caller's dataDir may not be
+      val slotPrefix = slotFs.makeQualified(slotProbe).toUri.getPath + "/"
+      val committed = VersionLog.manifestAt(spark, versionsDir, h)
+        .select("file").collect()
+        .exists(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+          .startsWith(slotPrefix))
+      if (committed) {
+        val vp = new org.apache.hadoop.fs.Path(s"$versionsDir/v$h/_BATCH_$batchId")
+        vp.getFileSystem(hconf).create(vp, /* overwrite = */ true).close()
+        return h
+      }
+    }
     // a previous attempt may have crashed between claiming head+1 and
     // landing its snapshot — under this method's serial-writer contract
     // that claim can only be ours, so release it instead of aborting

@@ -102,6 +102,25 @@ class VersionLogEdgeSpec extends SparkSpec {
     assert(VersionLog.head(spark, vdir) == 1)
   }
 
+  test("versioned ingest replay after a landed-snapshot-no-marker crash commits nothing twice") {
+    val base = freshTable("markerwindow")
+    val vdir = s"$base/versions"
+    val b0 = rows(0, 100).withColumnRenamed("k", "ts")
+    val b1 = rows(100, 250).withColumnRenamed("k", "ts")
+    assert(FileSkipping.ingestBatchVersioned(b0, 0L, s"$base/ingest", "ts", vdir) == 0)
+    assert(FileSkipping.ingestBatchVersioned(b1, 1L, s"$base/ingest", "ts", vdir) == 1)
+    // simulate the crash sliver: v1 landed (_SUCCESS present) but its
+    // _BATCH_1 marker never got stamped
+    assert(new java.io.File(s"$vdir/v1/_BATCH_1").delete())
+    // the replay must recognize the slot already committed at the head —
+    // NOT land a duplicate v2 with batch 1's rows folded twice
+    assert(FileSkipping.ingestBatchVersioned(b1, 1L, s"$base/ingest", "ts", vdir) == 1)
+    assert(VersionLog.head(spark, vdir) == 1, "marker-window replay committed a duplicate version")
+    assert(VersionLog.readVersion(spark, vdir, 1).count() == 250)
+    // and the backstop re-stamped the marker, restoring the fast path
+    assert(VersionLog.hasMarker(spark, vdir, 1, "_BATCH_1"))
+  }
+
   test("legacy 4-column manifest: deleteRange demotes covered files to the rewrite path, content exact") {
     val base = freshLegacyTable("legacydel")
     // [1000, 1999] covers file 1 ENTIRELY — with n_keys the file would
