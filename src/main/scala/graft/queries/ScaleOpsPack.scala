@@ -1058,6 +1058,45 @@ object ScaleOpsPack extends QueryPack {
           .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
           .select(lit(snap).as("snap"), col("n"), col("sum_price"))
       box(0, "v0").unionByName(box(v1, "head"))
+    },
+
+    // ── q203: committed-feed REPLAY as the downstream consumer ────────
+    // The round-11 CDC lifecycle end-to-end through the oracle gate: two
+    // band-disjoint OCC merges (both pinned at v0, writer B rebases)
+    // emit their feeds into per-txn slots; the downstream consumer reads
+    // them via readCommittedFeeds (the marker-gated API — aborted and
+    // crashed-writer slots invisible by construction) and reconstructs
+    // the head WITHOUT ever reading the head: base + postimages −
+    // preimages. The aggregate of the rebuilt table must equal the
+    // merged table recomputed set-theoretically — any feed slot leaked
+    // from an abort, double-written by a retry, or dropped by the
+    // marker gate would break the multiset arithmetic to the penny.
+    "q203_occ_feed_replay" -> { (s, d) =>
+      import graft.io.{FileSkipping, VersionLog}
+      val base = "/root/repo/target/scratch/q203_occfeed"
+      val orders = stagedOrdersCopy(s, d, base)
+      val vdir = s"$base/versions"
+      VersionLog.commit(s, vdir, s"$base/manifest") // v0
+      val kmax = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo3, hi3) = (kmax / 3, 2L * (kmax / 3))
+      val deltaA = orders.filter(col("o_orderkey") <= lo3 && col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderpriority", lit("9-F-A"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val deltaB = orders.filter(col("o_orderkey") >= hi3 && col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderpriority", lit("9-F-B"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      val pinA = VersionLog.begin(s, vdir)
+      val pinB = VersionLog.begin(s, vdir) // stale by commit time — rebases
+      FileSkipping.mergeKeyedOcc(s, s"$base/data", vdir, "o_orderkey",
+        deltaA, "FA", pinned = Some(pinA), cdcDir = Some(s"$base/cdc"))
+      FileSkipping.mergeKeyedOcc(s, s"$base/data", vdir, "o_orderkey",
+        deltaB, "FB", pinned = Some(pinB), cdcDir = Some(s"$base/cdc"))
+      val feed = FileSkipping.readCommittedFeeds(s, s"$base/cdc")
+      VersionLog.readVersion(s, vdir, 0)
+        .unionByName(feed.filter(col("op") =!= "update_preimage").drop("op"))
+        .exceptAll(feed.filter(col("op") === "update_preimage").drop("op"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -1367,6 +1406,25 @@ object ScaleOpsPack extends QueryPack {
           WHERE NOT (o_orderdate >= TIMESTAMP '1995-01-01'
                      AND o_orderdate <= TIMESTAMP '1995-12-31')
           GROUP BY 1""",
+
+    // q203: the feed-rebuilt table must equal both band-disjoint merges
+    // applied to the source (q192's arithmetic, F-tagged) — under OCC
+    // rebase that equals any commit order
+    "q203_occ_feed_replay" ->
+      s"""WITH k AS (SELECT MAX(o_orderkey) // 3 AS lo3,
+                            2 * (MAX(o_orderkey) // 3) AS hi3 FROM orders),
+          m AS (SELECT CASE
+                    WHEN o_orderkey <= k.lo3 AND o_orderkey % 97 = 0 THEN '9-F-A'
+                    WHEN o_orderkey >= k.hi3 AND o_orderkey % 89 = 0 THEN '9-F-B'
+                    ELSE o_orderpriority END AS o_orderpriority,
+                  CASE
+                    WHEN o_orderkey <= k.lo3 AND o_orderkey % 97 = 0 THEN o_totalprice * 2
+                    WHEN o_orderkey >= k.hi3 AND o_orderkey % 89 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice
+                FROM orders, k)
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM m GROUP BY 1""",
 
     // q202: both snapshots' box aggregates recomputed set-theoretically
     // from the source — 2D pruning at either version must be invisible
