@@ -296,8 +296,17 @@ object FileSkipping {
       }
     cdcDir.foreach { dir =>
       val m = new org.apache.hadoop.fs.Path(s"$dir/txn-$txnId/_COMMITTED_v$v")
-      m.getFileSystem(spark.sessionState.newHadoopConf())
+      try m.getFileSystem(spark.sessionState.newHadoopConf())
         .create(m, /* overwrite = */ true).close()
+      catch {
+        // the VERSION is committed at this point — do not let a marker
+        // IO failure look like a retryable transaction abort (a retry
+        // would re-merge an already-applied delta); name the remediation
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"transaction $txnId committed as v$v but its change-feed slot could not " +
+            s"be marked — stamp $m manually so consumers see the feed; do NOT retry " +
+            "the transaction", e)
+      }
     }
     v
   }

@@ -403,6 +403,65 @@ class ConcurrencySpec extends SparkSpec {
       "committed OCC feeds do not replay base -> head exactly once")
   }
 
+  test("six writers with retry-until-commit loops converge: every delta lands exactly once") {
+    // the LIVENESS face of OCC: production writers do not stop at one
+    // abort — they re-pin and re-run. Six threads race six key-disjoint
+    // UPDATE deltas packed so several share a data file (real
+    // file-conflict aborts, not just claim races), each retrying with a
+    // fresh pin and per-attempt txn id until its commit lands. The log
+    // must reach v6 with every claim spent, and the head must equal all
+    // six deltas applied — any lost update, double-apply, or leaked
+    // abort slot breaks the multiset equality.
+    val (data, vdir) = freshTable("manywriters")
+    val cdc = s"${data.stripSuffix("/data")}/mwcdc"
+    val deltas = (0 until 6).map { w =>
+      // 450-key stride on a ~1000-keys-per-file layout: several writers
+      // UPDATE inside the same file, so racing commits hit REAL file
+      // conflicts (not just claim races) and must retry through them
+      val lo = w * 450L
+      w -> spark.range(lo, lo + 20).select(col("id").as("k"),
+        lit(s"MW-$w").as("tag"), lit(w.toDouble).as("v"))
+    }
+    val fs = deltas.map { case (w, delta) =>
+      Future {
+        var attempt = 0
+        var committed = -1
+        while (committed < 0) {
+          attempt += 1
+          assert(attempt <= 12, s"writer $w starved after $attempt attempts")
+          try committed = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta,
+            s"MW$w-a$attempt", pinned = Some(VersionLog.begin(spark, vdir)),
+            cdcDir = Some(cdc))
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+        committed
+      }
+    }
+    val versions = fs.map(Await.result(_, 10.minutes))
+    assert(versions.toSet == (1 to 6).toSet,
+      s"six commits must land as v1..v6, got $versions")
+    noOrphanedClaims(vdir)
+    val expected = spark.range(8000)
+      .filter((0 until 6).map(w => !col("id").between(w * 450L, w * 450L + 19))
+        .reduce(_ && _))
+      .select(col("id").as("k"),
+        concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+        (col("id") % 997 / 7.0).as("v"))
+      .unionByName(deltas.map(_._2).reduce(_ unionByName _))
+    val got = VersionLog.readVersion(spark, vdir, 6)
+    assert(got.count() == 8000)
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "six-writer convergence diverged from the serial union")
+    // and the committed feeds alone replay base -> head (aborted
+    // attempts' slots must all be gone)
+    val feed = FileSkipping.readCommittedFeeds(spark, cdc)
+    val replayed = VersionLog.readVersion(spark, vdir, 0)
+      .unionByName(feed.filter(col("op") =!= "update_preimage").drop("op"))
+      .exceptAll(feed.filter(col("op") === "update_preimage").drop("op"))
+    assert(replayed.exceptAll(got).count() == 0 && got.exceptAll(replayed).count() == 0,
+      "committed feeds of six retrying writers do not replay base -> head")
+  }
+
   test("racing writers with disjoint bands: both land, union exact under either commit order") {
     val (data, vdir) = freshTable("disjoint")
     // updates confined to opposite ends of the keyspace: file-disjoint
