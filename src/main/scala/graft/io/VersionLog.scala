@@ -164,7 +164,13 @@ object VersionLog {
           s"version $v of $versionsDir already claimed by another writer — " +
             "re-run the mutation against the new head")
     }
-    manifest.write.mode("overwrite").parquet(s"$versionsDir/v$v")
+    // ONE file per snapshot (the Delta-checkpoint shape): a manifest is
+    // ≤ ~10⁵ rows, and inheriting the parent frame's partitioning wrote
+    // 10-30 near-empty files per version — on an object store every
+    // reader then pays per-file open RTTs across the whole log window
+    // (ManifestScaleBench slowfs arm: the lag-25 validation read was
+    // dominated by tiny-file opens before this coalesce)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$versionsDir/v$v")
     markers.foreach(m =>
       fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$m"),
         /* overwrite = */ true).close())
@@ -337,6 +343,7 @@ object VersionLog {
           manifestAt(spark, versionsDir, h)
             .join(removedDf, Seq("file"), "left_anti")
             .unionByName(added, allowMissingColumns = true)
+            .coalesce(1) // one file per snapshot — see commitSnapshot
             .write.mode("overwrite").parquet(s"$versionsDir/v$v")
           // classification marker AFTER the snapshot write (overwrite mode
           // clears the dir first). The marker-less window between _SUCCESS

@@ -260,6 +260,106 @@ object ManifestScaleBench {
         println(s"""MANIFEST_SCALE: {"op":"validate_lag","lag":$lag,"commit_sec":$commitSec}""")
       }
     }
+
+    // ── OCC write-CONTENTION sweep (round-11): N writers race the same
+    // log with retry-until-commit loops (file-disjoint updates, so the
+    // cost under test is claim contention + rebase-chain validation, not
+    // conflict work). commits_per_sec is the table's multi-writer
+    // throughput ceiling; aborts counts real conflict retries (expected
+    // ~0 here — disjoint writers spin on claims, they don't conflict).
+    {
+      import graft.io.{FileSkipping, VersionLog}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Seq(1, 2, 4, 8).foreach { writers =>
+        val base = s"$scratch/contention_w$writers"
+        graft.util.Staging.deleteRecursive(base)
+        spark.range(1000000).select(col("id").as("key"), (col("id") % 997 / 7.0).as("v"))
+          .repartitionByRange(16, col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$base/data")
+        FileSkipping.buildManifest(spark, s"$base/data", "key")
+          .write.mode("overwrite").parquet(s"$base/manifest")
+        val vdir = s"$base/versions"
+        VersionLog.commit(spark, vdir, s"$base/manifest")
+        val aborts = new java.util.concurrent.atomic.AtomicInteger()
+        val (_, wall) = time {
+          val futs = (0 until writers).map { w =>
+            Future {
+              val lo = w * 62500L + 100 // each writer inside its own file's band
+              val delta = spark.range(lo, lo + 64)
+                .select(col("id").as("key"), lit(9.9).as("v"))
+              var committed = -1
+              var attempt = 0
+              while (committed < 0) {
+                attempt += 1
+                try committed = FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir,
+                  "key", delta, s"c$w-a$attempt",
+                  pinned = Some(VersionLog.begin(spark, vdir)))
+                catch {
+                  case _: java.util.ConcurrentModificationException =>
+                    aborts.incrementAndGet()
+                }
+              }
+              committed
+            }
+          }
+          futs.foreach(Await.result(_, 10.minutes))
+        }
+        println(f"""MANIFEST_SCALE: {"op":"occ_contention","writers":$writers,"wall_sec":$wall%.3f,"aborts":${aborts.get()},"commits_per_sec":${writers / wall}%.3f}""")
+      }
+    }
+
+    // ── object-store-SHAPED version log (round-11): the head-pointer and
+    // one-job-validation claims re-measured where every FS metadata call
+    // costs a 25 ms round-trip (graft.util.SlowFs — the S3/GCS shape).
+    // Data files stay on the local scheme; only the LOG pays latency,
+    // which is exactly the 100 TB deployment split. head() via the
+    // pointer is O(1+lag) RPCs vs the listing's O(V); the lag-25 commit
+    // validates the whole window through ONE multi-path read.
+    {
+      import graft.io.{FileSkipping, VersionLog}
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.slowfs.impl", "graft.util.SlowFs")
+      hc.setBoolean("fs.slowfs.impl.disable.cache", true)
+      hc.setLong("graft.slowfs.latency.ms", 25L)
+      val localBase = s"$scratch/slowlog"
+      graft.util.Staging.deleteRecursive(localBase)
+      spark.range(100000).select(col("id").as("key"), (col("id") % 997 / 7.0).as("v"))
+        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+        .write.mode("overwrite").parquet(s"$localBase/data")
+      FileSkipping.buildManifest(spark, s"$localBase/data", "key")
+        .write.mode("overwrite").parquet(s"$localBase/manifest")
+      val vdir = s"slowfs:$localBase/versions"
+      VersionLog.commit(spark, vdir, s"$localBase/manifest")
+      val pin = VersionLog.begin(spark, vdir)
+      var nextKey = 10000000L
+      val (_, appendsSec) = time {
+        (0 until 25).foreach { i =>
+          FileSkipping.appendOcc(
+            spark.range(nextKey, nextKey + 10).select(col("id").as("key"), lit(1.0).as("v")),
+            s"$localBase/data", vdir, "key", s"slow-i$i")
+          nextKey += 1000000L
+        }
+      }
+      val delta = spark.range(nextKey, nextKey + 10)
+        .select(col("id").as("key"), lit(2.0).as("v"))
+      val (_, lagSec) = time {
+        FileSkipping.mergeKeyedOcc(spark, s"$localBase/data", vdir, "key", delta,
+          "slowlag", pinned = Some(pin))
+      }
+      val (_, ptrSec) = time(VersionLog.head(spark, vdir))
+      val (_, listSec) = time { // the pre-pointer contrast
+        val p = new org.apache.hadoop.fs.Path(vdir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$n/_SUCCESS")))
+          .map(_.drop(1).toInt).foldLeft(-1)(math.max)
+      }
+      hc.setLong("graft.slowfs.latency.ms", 0L) // don't tax later sessions
+      println(f"""MANIFEST_SCALE: {"op":"slowfs_log","latency_ms":25,"depth":27,"per_commit_sec":${appendsSec / 25}%.3f,"lag25_commit_sec":$lagSec%.3f,"head_pointer_sec":$ptrSec%.3f,"head_listing_sec":$listSec%.3f}""")
+    }
     spark.stop()
   }
 }
