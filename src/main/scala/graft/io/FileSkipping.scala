@@ -58,7 +58,8 @@ object FileSkipping {
     df.write.mode("append").parquet(dataDir)
     val fresh = (listParquet(fs, path) -- before).toSeq.sorted
     if (fresh.nonEmpty)
-      statsFor(spark, fresh, keyCol).write.mode("append").parquet(manifestDir)
+      statsFor(spark, fresh, keyCol).coalesce(1)
+        .write.mode("append").parquet(manifestDir)
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
   }
 
@@ -245,7 +246,10 @@ object FileSkipping {
     val live = new org.apache.hadoop.fs.Path(manifestDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(s"${manifestDir}__rewrite")
-    next.write.mode("overwrite").parquet(tmp.toString)
+    // one file per manifest (≤ ~10⁵ rows) — inherited partitioning wrote
+    // dozens of near-empty files, per-file open RTTs for every reader on
+    // an object store (the version log's slowfs lesson, applied here)
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val retired = new org.apache.hadoop.fs.Path(s"${manifestDir}__retiring")
     fs.delete(retired, true) // a previous failed swap's leftover
     require(fs.rename(live, retired),
@@ -901,7 +905,7 @@ object FileSkipping {
     batch.write.mode("overwrite").parquet(slot)
     val p = new org.apache.hadoop.fs.Path(slot)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    statsFor(spark, listParquet(fs, p).toSeq.sorted, keyCol)
+    statsFor(spark, listParquet(fs, p).toSeq.sorted, keyCol).coalesce(1)
       .write.mode("overwrite").parquet(s"$manifestDir/b$batchId")
   }
 
