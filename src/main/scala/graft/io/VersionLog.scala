@@ -2,6 +2,20 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A transaction whose version COMMITTED (`_SUCCESS` landed, `head`
+  * advanced) but whose post-commit bookkeeping (classification marker,
+  * idempotence token, schema record, change-feed marker) failed — the
+  * one failure shape a caller must NOT retry: the data is already at
+  * head, so a retry re-applies a committed mutation (double-merged
+  * rows), and an abort-style cleanup would delete a committed
+  * transaction's change feed (round-11 review on `commitWithCdc`;
+  * round-11 verdict #1 on the `_REWRITE_ONLY` marker). Callers catch
+  * this TYPE — never parse messages — to distinguish "committed,
+  * finish the bookkeeping manually" from a genuine abort. `version` is
+  * the committed version; the message names the exact remediation. */
+class CommittedButIncomplete(val version: Int, message: String, cause: Throwable)
+  extends IllegalStateException(message, cause)
+
 /** Miniature version log over the manifest table — SNAPSHOT ISOLATION
   * and time travel, the two reader guarantees every [[FileSkipping]]
   * mutation scaladoc has been deferring to "a real table format":
@@ -150,9 +164,17 @@ object VersionLog {
     * `ConcurrentModificationException` on a lost race. `markers` are
     * empty files dropped into the snapshot dir after the write —
     * metadata later validators/readers can key on (the rewrite-only
-    * class and the per-batch ingest idempotence token both ride this). */
+    * class and the per-batch ingest idempotence token both ride this).
+    * `schemaJson` records the table's DATA schema in the snapshot dir
+    * ([[schemaAt]]); when absent, the parent version's record (if any)
+    * is carried forward, so schema is log state that flows with the
+    * versions it describes. A failure AFTER the snapshot's `_SUCCESS`
+    * (marker/schema/record IO) throws [[CommittedButIncomplete]] — the
+    * version is head; retrying would commit it twice. */
   def commitSnapshot(spark: SparkSession, versionsDir: String, manifest: DataFrame,
-                     markers: Seq[String] = Nil): Int = {
+                     markers: Seq[String] = Nil,
+                     schemaJson: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.lit
     val (fs, p) = fsFor(spark, versionsDir)
     if (!fs.exists(p)) fs.mkdirs(p)
     val v = head(spark, versionsDir) + 1
@@ -169,13 +191,75 @@ object VersionLog {
     // 10-30 near-empty files per version — on an object store every
     // reader then pays per-file open RTTs across the whole log window
     // (ManifestScaleBench slowfs arm: the lag-25 validation read was
-    // dominated by tiny-file opens before this coalesce)
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$versionsDir/v$v")
-    markers.foreach(m =>
-      fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$m"),
-        /* overwrite = */ true).close())
-    writeHeadHint(fs, versionsDir, v)
+    // dominated by tiny-file opens before this coalesce).
+    // Every row is stamped with the commit's rewrite-only CLASS (false
+    // here — content-preserving commits only come through commitRebase),
+    // so OCC validators recover per-version classes from the snapshot
+    // rows they already read instead of one marker-probe RPC per lag
+    // version (round-11 verdict #2).
+    manifest.withColumn("rewrite_only", lit(false))
+      .coalesce(1).write.mode("overwrite").parquet(s"$versionsDir/v$v")
+    finishCommit(spark, fs, versionsDir, v, markers, schemaJson)
     v
+  }
+
+  /** Post-`_SUCCESS` bookkeeping shared by [[commitSnapshot]] and
+    * [[commitRebase]]: carry the schema record forward (or write the
+    * explicit one), advance the head hint, stamp markers. ANY failure
+    * here surfaces as [[CommittedButIncomplete]] — the snapshot is
+    * already head, so the caller must finish the bookkeeping manually
+    * (the message names the file), never re-run the mutation. */
+  private def finishCommit(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                           versionsDir: String, v: Int,
+                           markers: Seq[String], schemaJson: Option[String]): Unit =
+    try {
+      schemaJson.orElse(if (v == 0) None else readSchemaJson(fs, versionsDir, v - 1))
+        .foreach { json =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$SchemaFile"), true)
+          out.write(json.getBytes("UTF-8")); out.close()
+        }
+      writeHeadHint(fs, versionsDir, v)
+      markers.foreach(m =>
+        fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$m"),
+          /* overwrite = */ true).close())
+    } catch {
+      case e: Throwable =>
+        throw new CommittedButIncomplete(v,
+          s"version v$v of $versionsDir COMMITTED but its post-commit bookkeeping " +
+            s"failed (${e.getMessage}) — do NOT retry the mutation (it is already at " +
+            s"head); write the missing marker/schema file(s) under $versionsDir/v$v " +
+            s"manually: markers=${markers.mkString(",")}, schema=${schemaJson.isDefined}", e)
+    }
+
+  private val SchemaFile = "_schema.json"
+
+  private def readSchemaJson(fs: org.apache.hadoop.fs.FileSystem,
+                             versionsDir: String, v: Int): Option[String] = {
+    val sp = new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$SchemaFile")
+    if (!fs.exists(sp)) None
+    else {
+      val in = fs.open(sp)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** The DATA schema recorded for version `v`, if any — present from the
+    * first schema-evolving commit onward (carried forward by every later
+    * commit), absent on legacy/never-evolved logs. Readers that find one
+    * read the version's files WITH it ([[readVersion]]), so files written
+    * before an added column read back null-filled instead of silently
+    * dropping the column (round-11 verdict #1). */
+  def schemaAt(spark: SparkSession, versionsDir: String,
+               v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, _) = fsFor(spark, versionsDir)
+    readSchemaJson(fs, versionsDir, v).map(json =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** True when version `v`'s snapshot dir carries marker file `marker`. */
@@ -207,12 +291,39 @@ object VersionLog {
 
   /** Read the table AS OF version `v`: exactly the files that version's
     * manifest references — unaffected by every later MERGE / delete /
-    * compaction, because versioned mutations never delete data files. */
+    * compaction, because versioned mutations never delete data files.
+    *
+    * When the version carries a recorded DATA schema (a schema-evolving
+    * commit happened at or before `v` — [[schemaAt]]), the files are
+    * read WITH it: files written before an added column null-fill it
+    * (the Delta shape — schema lives in the log, reads never pay
+    * per-footer mergeSchema costs), and a pinned PRE-evolution version
+    * keeps its own (absent) record, i.e. its original schema. A version
+    * with no record reads schema-inferred, which is exact because the
+    * mutators REJECT schema-divergent deltas unless evolution was
+    * requested (the loud half of the round-11 verdict-#1 contract). */
   def readVersion(spark: SparkSession, versionsDir: String, v: Int): DataFrame = {
     val files = manifestAt(spark, versionsDir, v)
       .select("file").collect().map(_.getString(0)).sorted
-    spark.read.parquet(files.toIndexedSeq: _*)
+    val reader = schemaAt(spark, versionsDir, v)
+      .map(spark.read.schema).getOrElse(spark.read)
+    if (files.isEmpty) emptySnapshot(spark, versionsDir, v)
+    else reader.parquet(files.toIndexedSeq: _*)
   }
+
+  /** Zero-row frame for a zero-file snapshot (e.g. after a delete retired
+    * every file): schema from the version's record when present, else a
+    * LOUD error — never the old `head()` NoSuchElementException
+    * (round-11 review). */
+  private def emptySnapshot(spark: SparkSession, versionsDir: String, v: Int): DataFrame =
+    schemaAt(spark, versionsDir, v) match {
+      case Some(st) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => throw new IllegalStateException(
+        s"version v$v of $versionsDir references zero files and records no schema — " +
+          "cannot produce a typed empty frame; read a neighboring version or record a " +
+          "schema (schema records appear from the first schema-evolving commit onward)")
+    }
 
   /** Time travel COMPOSED with file skipping: open only the files of
     * version `v` whose [min_key, max_key] intersects [lo, hi] — a pinned
@@ -229,10 +340,17 @@ object VersionLog {
     val files = man
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select("file").collect().map(_.getString(0)).sorted
+    val reader = schemaAt(spark, versionsDir, v)
+      .map(spark.read.schema).getOrElse(spark.read)
     if (files.isEmpty)
-      // schema from any file of the snapshot (footer-only read)
-      spark.read.parquet(man.select("file").head().getString(0)).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+      // schema from any file of the snapshot (footer-only read); a
+      // zero-FILE snapshot falls back to the recorded schema or fails
+      // loudly (round-11 review: head() threw NoSuchElementException)
+      man.select("file").limit(1).collect().headOption match {
+        case Some(r) => reader.parquet(r.getString(0)).limit(0)
+        case None => emptySnapshot(spark, versionsDir, v)
+      }
+    else reader.parquet(files.toIndexedSeq: _*)
   }
 
   /** Pin an OCC transaction's read snapshot: (head version, that
@@ -296,19 +414,23 @@ object VersionLog {
   def commitRebase(spark: SparkSession, versionsDir: String, readVersion: Int,
                    removed: Seq[String], addedStats: DataFrame,
                    spinMs: Long = 100L, maxSpins: Int = 50,
-                   rewriteOnly: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{col, broadcast}
+                   rewriteOnly: Boolean = false,
+                   markers: Seq[String] = Nil,
+                   schemaJson: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, broadcast, lit}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
     // pinned-reader vs vacuum contract: a vacuum that dropped this
     // transaction's read version mid-flight must surface as THIS loud
     // failure, never as a bare FileNotFound from some lazy read — the
     // retention window is the pin-lifetime contract ([[vacuum]] scaladoc)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$readVersion/_SUCCESS")))
-      throw new IllegalStateException(
-        s"read version v$readVersion of $versionsDir no longer exists — vacuumed while " +
-          "this transaction was in flight; size the vacuum retention window past the " +
-          "longest transaction, then re-run this mutation against the new head")
+    def requireReadVersionAlive(): Unit =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$readVersion/_SUCCESS")))
+        throw new IllegalStateException(
+          s"read version v$readVersion of $versionsDir no longer exists — vacuumed while " +
+            "this transaction was in flight; size the vacuum retention window past the " +
+            "longest transaction, then re-run this mutation against the new head")
+    requireReadVersionAlive()
     require(Seq("file", "min_key", "max_key").forall(addedStats.columns.contains),
       s"addedStats must carry (file, min_key, max_key), got ${addedStats.columns.mkString(",")}")
     // NOT column-aligned to any one version's schema: a log whose
@@ -336,24 +458,56 @@ object VersionLog {
               "confirming no writer is active")
           Thread.sleep(spinMs)
         } else {
-          try validateNoConflict(spark, versionsDir, readVersion, h, removed, added, rewriteOnly)
-          catch { case e: Throwable => fs.delete(claim, false); throw e }
-          val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
-            org.apache.spark.sql.Encoders.STRING).toDF("file"))
-          manifestAt(spark, versionsDir, h)
-            .join(removedDf, Seq("file"), "left_anti")
-            .unionByName(added, allowMissingColumns = true)
-            .coalesce(1) // one file per snapshot — see commitSnapshot
-            .write.mode("overwrite").parquet(s"$versionsDir/v$v")
-          // classification marker AFTER the snapshot write (overwrite mode
-          // clears the dir first). The marker-less window between _SUCCESS
-          // and this create can only make a concurrent validator treat
+          // validation and the rebase both lazily read v$readVersion; a
+          // vacuum landing between the entry check and those reads would
+          // otherwise surface as a bare path-not-found out of a Spark job
+          // — re-check after winning the claim (cheap: one exists()) and
+          // translate any late read failure whose root cause IS the
+          // vacuumed pin into the same loud contract message
+          // (ConcurrencySpec races vacuum against a pinned committer at
+          // the retention edge: land or loud abort, never a torn snapshot)
+          try {
+            requireReadVersionAlive()
+            validateNoConflict(spark, versionsDir, readVersion, h, removed, added, rewriteOnly)
+            val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file"))
+            manifestAt(spark, versionsDir, h)
+              .join(removedDf, Seq("file"), "left_anti")
+              .unionByName(added, allowMissingColumns = true)
+              // every row carries THIS commit's class: validators recover
+              // per-version classes from the snapshot rows they already
+              // read — zero marker-probe RPCs per lag version (round-11
+              // verdict #2). withColumn REPLACES the inherited parent
+              // flag, which described the parent's commit, not this one.
+              .withColumn("rewrite_only", lit(rewriteOnly))
+              .coalesce(1) // one file per snapshot — see commitSnapshot
+              .write.mode("overwrite").parquet(s"$versionsDir/v$v")
+          } catch {
+            case e: Throwable =>
+              fs.delete(claim, false)
+              // a mid-flight vacuum manifests as path-not-found on the
+              // pinned snapshot from inside a job — same contract breach,
+              // same loud message, never a torn head (nothing committed)
+              if (!fs.exists(new org.apache.hadoop.fs.Path(
+                  s"$versionsDir/v$readVersion/_SUCCESS")))
+                throw new IllegalStateException(
+                  s"read version v$readVersion of $versionsDir no longer exists — " +
+                    "vacuumed while this transaction was in flight; size the vacuum " +
+                    "retention window past the longest transaction, then re-run this " +
+                    "mutation against the new head", e)
+              throw e
+          }
+          // post-_SUCCESS bookkeeping: the classification marker file
+          // (kept for isRewriteOnly and legacy validators — the fast path
+          // is the snapshot column above), idempotence markers, schema
+          // record, head hint. The marker-less window between _SUCCESS
+          // and the creates can only make a concurrent validator treat
           // this commit as content-changing — a spurious abort, never a
-          // missed conflict (conservative by construction).
-          if (rewriteOnly)
-            fs.create(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_REWRITE_ONLY"),
-              /* overwrite = */ true).close()
-          writeHeadHint(fs, versionsDir, v)
+          // missed conflict (conservative by construction). A failure in
+          // this region throws CommittedButIncomplete: the version IS
+          // head — a retry would double-apply (round-11 verdict #1).
+          finishCommit(spark, fs, versionsDir, v,
+            (if (rewriteOnly) Seq("_REWRITE_ONLY") else Nil) ++ markers, schemaJson)
           return v
         }
       }
@@ -378,9 +532,20 @@ object VersionLog {
     * column land as same-typed Comparable JVM objects (Long, Double,
     * Timestamp, String, BigDecimal…), so the scalar band compare needs
     * no Spark job (round-10 review: the old `spark.range(1)` compare was
-    * a gratuitous job per lag version). */
+    * a gratuitous job per lag version). A CROSS-type compare (a key
+    * column physically widened across the log's history, int→long)
+    * throws the documented typed conflict-validation error naming both
+    * types, never a raw ClassCastException (round-11 review). */
   private def leq(a: Any, b: Any): Boolean = a match {
-    case c: Comparable[_] => c.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
+    case c: Comparable[_] =>
+      try c.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
+      catch {
+        case _: ClassCastException => throw new IllegalStateException(
+          s"band bounds of different physical types — ${a.getClass.getName} vs " +
+            s"${b.getClass.getName}: the key column's type changed across the log's " +
+            "history; rewrite the older snapshots' stats to the widened type before " +
+            "validating against them")
+      }
     case _ => throw new IllegalStateException(
       s"non-comparable band bound of ${a.getClass.getName} — manifest stats " +
         "must be orderable scalar columns")
@@ -414,9 +579,21 @@ object VersionLog {
     // snapshot schema shares keeps a stats-upgrade log readable without
     // mergeSchema.
     import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
-    val union = spark.read
+    // EXPLICIT read schema, derived from the pinned snapshot's footer
+    // (already read for myRemovedStats — no extra IO): the four columns
+    // validation needs, including the per-row commit-class flag newer
+    // snapshots carry. An explicit schema makes the multi-path read
+    // immune to footer-sampling order — files missing `rewrite_only`
+    // (legacy snapshots) null-fill it instead of failing the select or
+    // silently dropping it, and extra stats columns are never decoded.
+    val rvSchema = manifestAt(spark, versionsDir, readVersion).schema
+    val readSchema = org.apache.spark.sql.types.StructType(Seq(
+      rvSchema("file"), rvSchema("min_key"), rvSchema("max_key"),
+      org.apache.spark.sql.types.StructField("rewrite_only",
+        org.apache.spark.sql.types.BooleanType)))
+    val union = spark.read.schema(readSchema)
       .parquet((readVersion to h).map(v => s"$versionsDir/v$v"): _*)
-      .select(col("file"), col("min_key"), col("max_key"),
+      .select(col("file"), col("min_key"), col("max_key"), col("rewrite_only"),
         regexp_extract(input_file_name(), "/v(\\d+)/[^/]*$", 1).cast("int").as("__v"))
     val w = Window.partitionBy("file").orderBy("__v")
     val marked = union
@@ -425,16 +602,22 @@ object VersionLog {
     val removedAt = marked
       .filter(col("__v") < h && (col("__next").isNull || col("__next") > col("__v") + 1))
       .select((col("__v") + 1).as("ver"), col("file"), col("min_key"), col("max_key"),
-        lit(true).as("__rm"))
+        lit(true).as("__rm"),
+        // a removed-at row comes from snapshot ver-1, whose class flag
+        // describes commit ver-1, not ver — contribute nothing to ver's
+        // class (rewrite-only commits always ADD files, so the added
+        // rows below carry the class whenever it can be true)
+        lit(null).cast("boolean").as("__ro"))
     val addedAt = marked
       .filter(col("__v") > readVersion && (col("__prev").isNull || col("__prev") < col("__v") - 1))
       .select(col("__v").as("ver"), col("file"), col("min_key"), col("max_key"),
-        lit(false).as("__rm"))
+        lit(false).as("__rm"), col("rewrite_only").as("__ro"))
     val perVersion = removedAt.unionByName(addedAt)
       .join(removedDf.withColumn("__mine", lit(true)), Seq("file"), "left")
       .groupBy("ver")
       .agg(sum(when(col("__rm") && col("__mine").isNotNull, 1L).otherwise(0L)).as("clash"),
-        min(col("min_key")).as("lo"), max(col("max_key")).as("hi"))
+        min(col("min_key")).as("lo"), max(col("max_key")).as("hi"),
+        max(col("__ro")).as("ro"))
       .collect()
       .sortBy(_.getInt(0))
     perVersion.foreach { r =>
@@ -448,16 +631,28 @@ object VersionLog {
       // KEY-BAND conflicts exist for the blind-insert write-write anomaly,
       // which a content-preserving commit can neither cause nor suffer:
       // skip when THIS transaction is rewrite-only, or when the
-      // intermediate commit carries the rewrite-only marker
-      if (!rewriteOnly && !isRewriteOnly(spark, versionsDir, i)) {
+      // intermediate commit is. The class rides the snapshot rows the
+      // union read above already fetched — ZERO extra RPCs per lag
+      // version (round-11 verdict #2: the per-version marker exists()
+      // probe cost ~L round-trips on an object store). A null class
+      // (snapshot written before the column existed) falls back to the
+      // legacy marker-file probe — one RPC, paid only for overlapping
+      // legacy versions, so old logs keep their compaction-vs-merge
+      // composition instead of regressing to spurious band aborts.
+      if (!rewriteOnly) {
         val (thLo, thHi) = (r.get(2), r.get(3))
         val overlaps =
           if (myLo == null || myHi == null || thLo == null || thHi == null) false
           else leq(myLo, thHi) && leq(thLo, myHi)
-        if (overlaps) throw new java.util.ConcurrentModificationException(
-          s"OCC conflict: version $i of $versionsDir wrote into key band [$thLo, $thHi], " +
-            s"intersecting this transaction's band [$myLo, $myHi] " +
-            s"(read at v$readVersion) — re-run against the new head")
+        val thisRewriteOnly =
+          if (!overlaps) false // class irrelevant — skip even the fallback probe
+          else if (!r.isNullAt(4)) r.getBoolean(4)
+          else isRewriteOnly(spark, versionsDir, i)
+        if (overlaps && !thisRewriteOnly)
+          throw new java.util.ConcurrentModificationException(
+            s"OCC conflict: version $i of $versionsDir wrote into key band [$thLo, $thHi], " +
+              s"intersecting this transaction's band [$myLo, $myHi] " +
+              s"(read at v$readVersion) — re-run against the new head")
       }
     }
   }

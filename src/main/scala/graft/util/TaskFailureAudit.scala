@@ -36,8 +36,13 @@ object TaskFailureAudit {
     if (!installed) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
+          // the "injected" marker may sit in the CAUSE chain rather than
+          // the top-level message (e.g. a broadcast's "Exception thrown
+          // in awaitResult:" wrapping a FAILED_READ_FILE whose path names
+          // the injecting fixture) — check the full stack trace too
           case f: org.apache.spark.ExceptionFailure
-              if !f.description.contains("injected") =>
+              if !f.description.contains("injected") &&
+                !f.fullStackTrace.contains("injected") =>
             observed.incrementAndGet(); ()
           case _ => ()
         }

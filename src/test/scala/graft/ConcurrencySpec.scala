@@ -502,4 +502,98 @@ class ConcurrencySpec extends SparkSpec {
     assert(replayed.exceptAll(got).count() == 0 && got.exceptAll(replayed).count() == 0,
       "committed OCC feeds do not replay base -> head")
   }
+
+  test("vacuum racing a pinned committer at the retention edge: land or the loud 'vacuumed while in flight' abort, never a torn snapshot") {
+    // round-11 verdict #8. The scratch dirs carry "injected" in their
+    // name ON PURPOSE: when vacuum wins mid-validation, the committer's
+    // read of its vacuumed pin fails Spark tasks before commitRebase
+    // translates the failure into the loud contract abort — those task
+    // failures ARE the injected race, and TaskFailureAudit's convention
+    // exempts failures whose description (the file path) says so.
+    (0 until 4).foreach { round =>
+      val (data, vdir) = freshTable(s"vacrace_injected_$round")
+      // advance to v1; the pin sits exactly at the retention edge once
+      // v2 lands (retainLast = 1 keeps the head only)
+      FileSkipping.appendOcc(insertsDf(1000000L, 20, "ADV1"), data, vdir, "k", "ADV1") // v1
+      val pin = VersionLog.begin(spark, vdir) // pinned at v1
+      FileSkipping.appendOcc(insertsDf(2000000L, 20, "ADV2"), data, vdir, "k", "ADV2") // v2
+      val fCommit = Future {
+        Thread.sleep(round.toLong * 15) // vary the interleaving per round
+        Try(FileSkipping.appendOcc(insertsDf(3000000L, 20, "MINE"),
+          data, vdir, "k", "MINE", pinned = Some(pin)))
+      }
+      val fVacuum = Future {
+        Thread.sleep((3 - round).toLong * 15)
+        Try(VersionLog.vacuum(spark, data, vdir, retainLast = 1))
+      }
+      val (rc, rv) = (Await.result(fCommit, 5.minutes), Await.result(fVacuum, 5.minutes))
+      assert(rv.isSuccess, s"vacuum must never tear: $rv")
+      rc match {
+        case Success(v) =>
+          // landed before (or around) the vacuum: the committed snapshot
+          // must be whole and contain the delta exactly once
+          val got = VersionLog.readVersion(spark, vdir, v)
+          assert(got.filter(col("tag") === "MINE").count() == 20)
+        case Failure(e: IllegalStateException) =>
+          assert(e.getMessage.contains("vacuumed while"),
+            s"round $round: wrong abort shape: ${e.getMessage}")
+          // the documented remediation converges: re-pin, re-run
+          val v2 = FileSkipping.appendOcc(insertsDf(3000000L, 20, "MINE"),
+            data, vdir, "k", "MINE-retry", pinned = Some(VersionLog.begin(spark, vdir)))
+          assert(VersionLog.readVersion(spark, vdir, v2)
+            .filter(col("tag") === "MINE").count() == 20)
+        case Failure(other) => fail(s"round $round: torn outcome: $other")
+      }
+      // never torn: head readable, every surviving claim spent
+      assert(VersionLog.readVersion(spark, vdir, VersionLog.head(spark, vdir))
+        .filter(col("tag") === "ADV2").count() == 20)
+      noOrphanedClaims(vdir)
+    }
+  }
+
+  test("OCC streaming-shaped ingest racing a rewrite-only compactor: both land, every batch exactly once") {
+    // the q207 composition, genuinely threaded: a serial foreachBatch
+    // writer (ingestBatchOcc) races the nightly compactor. The ingest
+    // removes no files and the compactor is rewrite-only, so NEITHER
+    // abort class may fire in either direction — both must land without
+    // a single exception, interleaved any way the scheduler likes.
+    val (data, vdir) = freshTable("ingestcompact")
+    val batches = (0 until 4).map(b =>
+      b -> insertsDf(1000000L * (b + 1), 25, s"B$b"))
+    val fIngest = Future {
+      batches.map { case (id, df) =>
+        Try(FileSkipping.ingestBatchOcc(df, id.toLong, data, "k", vdir))
+      }
+    }
+    val fCompact = Future {
+      (0 until 3).map { i =>
+        Thread.sleep(40)
+        Try(FileSkipping.compactSmallOcc(spark, data, vdir, "k",
+          smallBytes = 64L * 1024 * 1024, targetBytes = 32L * 1024 * 1024, s"CPT$i"))
+      }
+    }
+    val (ri, rcomp) = (Await.result(fIngest, 10.minutes), Await.result(fCompact, 10.minutes))
+    assert(ri.forall(_.isSuccess), s"ingest batches must all land: $ri")
+    assert(rcomp.forall(_.isSuccess), s"rewrite-only compactions must all land: $rcomp")
+    noOrphanedClaims(vdir)
+    val head = VersionLog.head(spark, vdir)
+    val got = VersionLog.readVersion(spark, vdir, head)
+    // every batch exactly once, base intact, regardless of interleaving
+    assert(got.count() == 8000 + 4 * 25)
+    (0 until 4).foreach(b =>
+      assert(got.filter(col("tag") === s"B$b").count() == 25, s"batch $b lost or duplicated"))
+    // a crash-REPLAYED batch is a no-op: its token short-circuits
+    val v2 = FileSkipping.ingestBatchOcc(batches(2)._2, 2L, data, "k", vdir)
+    assert(VersionLog.head(spark, vdir) == head, "replayed batch committed twice")
+    assert(VersionLog.hasMarker(spark, vdir, v2, "_BATCH_2"))
+    // the marker-less sliver (_SUCCESS landed, token create crashed):
+    // delete the token, replay again — the manifest backstop re-stamps
+    // it on the SAME version instead of committing a duplicate
+    val tp = new org.apache.hadoop.fs.Path(s"$vdir/v$v2/_BATCH_2")
+    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, false)
+    val v3 = FileSkipping.ingestBatchOcc(batches(2)._2, 2L, data, "k", vdir)
+    assert(v3 == v2 && VersionLog.head(spark, vdir) == head,
+      "marker-less replay re-committed an already-committed batch")
+    assert(VersionLog.hasMarker(spark, vdir, v2, "_BATCH_2"), "backstop did not re-stamp the token")
+  }
 }

