@@ -653,7 +653,14 @@ object FileSkipping {
     * `min_<c>`/`max_<c>` beside the key stats, pass the same columns as
     * `statCols` so every commit's replacement-file stats carry them too,
     * and 2D pruning COMPOSES with time travel via
-    * [[prunedReadVersionMulti]] — no derived cache to go stale. */
+    * [[prunedReadVersionMulti]] — no derived cache to go stale.
+    *
+    * `evolveSchema` is the DATA-schema-evolution switch
+    * ([[schemaContract]], round-11 verdict #1): by default a delta whose
+    * column set diverges from the table's is rejected loudly here; with
+    * it, the commit records the evolved schema in its snapshot dir and
+    * reads at-or-after the evolution null-fill added columns for
+    * pre-evolution files. */
   def mergeKeyedOcc(spark: SparkSession, dataDir: String, versionsDir: String,
                     keyCol: String, delta0: DataFrame, txnId: String,
                     pinned: Option[(Int, DataFrame)] = None,

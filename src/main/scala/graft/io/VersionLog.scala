@@ -666,12 +666,16 @@ object VersionLog {
   def syncLive(spark: SparkSession, versionsDir: String, manifestDir: String): Unit = {
     val h = head(spark, versionsDir)
     require(h >= 0, s"nothing committed in $versionsDir")
+    // strip the per-commit classification column: it describes the HEAD
+    // COMMIT, not the files, and the flat single-writer manifest has no
+    // commits to classify
+    val manifest = manifestAt(spark, versionsDir, h).drop("rewrite_only")
     val live = new org.apache.hadoop.fs.Path(manifestDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(live))
-      FileSkipping.swapManifest(spark, manifestDir, manifestAt(spark, versionsDir, h))
+      FileSkipping.swapManifest(spark, manifestDir, manifest)
     else
-      manifestAt(spark, versionsDir, h).write.parquet(manifestDir)
+      manifest.write.parquet(manifestDir)
   }
 
   /** Physically delete what time travel no longer needs: drop all but
