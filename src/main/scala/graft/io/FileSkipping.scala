@@ -411,9 +411,24 @@ object FileSkipping {
     * commit onward), else the footer of one of the snapshot's files —
     * exact, because without a record every file shares the schema (the
     * mutators reject divergent deltas unless evolution is requested). */
+  /** Memo of each log's NO-RECORD bootstrap data schema: while no schema
+    * record exists, the schema is immutable by contract (any change would
+    * have created a record through [[schemaContract]]), so the footer
+    * probe below runs once per (log, JVM) instead of once per append —
+    * on a 25 ms object store the probe is ~4 RPCs + a Spark job, which
+    * the slowfs bench arm would otherwise pay 25×. A stale entry after a
+    * record appears is harmless: the record is checked FIRST. */
+  private val bootstrapSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def dataSchemaAt(spark: SparkSession, versionsDir: String, v: Int,
                            snap: DataFrame): org.apache.spark.sql.types.StructType =
     VersionLog.schemaAt(spark, versionsDir, v).getOrElse {
+      bootstrapSchemaMemo.computeIfAbsent(versionsDir, _ => inferBootstrapSchema(spark, versionsDir, v, snap))
+    }
+
+  private def inferBootstrapSchema(spark: SparkSession, versionsDir: String, v: Int,
+                                   snap: DataFrame): org.apache.spark.sql.types.StructType = {
       // this is often the transaction's FIRST read of its pinned
       // snapshot — a vacuum that dropped the pin mid-flight must surface
       // as the documented loud contract failure, not a bare

@@ -64,6 +64,31 @@ object VersionLog {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Atomically claim a slot file: true = this writer owns the slot,
+    * false = another writer does. `FileSystem.create(overwrite = false)`
+    * on the LOCAL scheme is check-then-act (RawLocalFileSystem tests
+    * exists() and then opens a plain FileOutputStream), so two writers
+    * bursting on the same slot could BOTH win and overwrite-wipe each
+    * other's in-flight snapshot (caught by the 8-writer contention arm:
+    * a `_temporary` task dir vanished mid-write) — on `file:` the claim
+    * goes through NIO `Files.createFile`, which is atomic-exclusive at
+    * the syscall (O_CREAT|O_EXCL). Other schemes keep `create(false)`:
+    * atomic on HDFS-like stores; plain S3 needs a conditional put or a
+    * lock service — the boundary every file-log table format has. */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                       claim: org.apache.hadoop.fs.Path): Boolean =
+    if ("file" == fs.getUri.getScheme)
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(
+          fs.makeQualified(claim).toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    else
+      try { fs.create(claim, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException if fs.exists(claim) => false }
+
   /** Highest committed version, or -1 if the log is empty. A version
     * counts only once its snapshot write COMMITTED (`_SUCCESS` present):
     * under OCC a concurrent committer's claimed-but-still-writing
@@ -179,13 +204,10 @@ object VersionLog {
     if (!fs.exists(p)) fs.mkdirs(p)
     val v = head(spark, versionsDir) + 1
     val claim = new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v")
-    try fs.create(claim, /* overwrite = */ false).close()
-    catch {
-      case _: java.io.IOException if fs.exists(claim) =>
-        throw new java.util.ConcurrentModificationException(
-          s"version $v of $versionsDir already claimed by another writer — " +
-            "re-run the mutation against the new head")
-    }
+    if (!tryClaim(fs, claim))
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $versionsDir already claimed by another writer — " +
+          "re-run the mutation against the new head")
     // ONE file per snapshot (the Delta-checkpoint shape): a manifest is
     // ≤ ~10⁵ rows, and inheriting the parent frame's partitioning wrote
     // 10-30 near-empty files per version — on an object store every
@@ -445,9 +467,7 @@ object VersionLog {
         val h = head(spark, versionsDir)
         val v = h + 1
         val claim = new org.apache.hadoop.fs.Path(s"$versionsDir/.claim-v$v")
-        val won =
-          try { fs.create(claim, /* overwrite = */ false).close(); true }
-          catch { case _: java.io.IOException if fs.exists(claim) => false }
+        val won = tryClaim(fs, claim)
         if (!won) {
           // an in-flight committer holds v's claim (or we raced head()):
           // wait for its snapshot to land, then rebase one version later
@@ -559,8 +579,11 @@ object VersionLog {
     if (h == readVersion) return
     val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
       org.apache.spark.sql.Encoders.STRING).toDF("file"))
-    val myRemovedStats = manifestAt(spark, versionsDir, readVersion)
-      .join(removedDf, Seq("file"), "left_semi")
+    // ONE relation over the pinned snapshot: its resolved schema also
+    // types the window read below — a second manifestAt() would re-pay
+    // the footer open, one more RTT on an object-store log
+    val rvMan = manifestAt(spark, versionsDir, readVersion)
+    val myRemovedStats = rvMan.join(removedDf, Seq("file"), "left_semi")
     val (myLo, myHi) = bandOf(myRemovedStats
       .unionByName(added, allowMissingColumns = true))
     // ONE unioned read of versions rv..h instead of ~3 Spark jobs per lag
@@ -586,7 +609,7 @@ object VersionLog {
     // immune to footer-sampling order — files missing `rewrite_only`
     // (legacy snapshots) null-fill it instead of failing the select or
     // silently dropping it, and extra stats columns are never decoded.
-    val rvSchema = manifestAt(spark, versionsDir, readVersion).schema
+    val rvSchema = rvMan.schema
     val readSchema = org.apache.spark.sql.types.StructType(Seq(
       rvSchema("file"), rvSchema("min_key"), rvSchema("max_key"),
       org.apache.spark.sql.types.StructField("rewrite_only",

@@ -53,7 +53,12 @@ object ManifestScaleBench {
     import graft.io.FileSkipping
 
     val scratch = "/root/repo/target/scratch/manifest_scale"
-    fileCounts.foreach { nFiles =>
+    // arm gating: SPARK_GRAFT_MSB_ARMS="slowfs,lag" re-measures one claim
+    // without re-paying the full sweep (default: all)
+    val arms = sys.env.getOrElse("SPARK_GRAFT_MSB_ARMS", "all")
+    def armOn(name: String): Boolean =
+      arms == "all" || arms.split(",").map(_.trim).contains(name)
+    if (armOn("size")) fileCounts.foreach { nFiles =>
       val rows = nFiles * rowsPerFile
       val base = s"$scratch/n$nFiles"
       graft.util.Staging.deleteRecursive(base)
@@ -138,7 +143,7 @@ object ManifestScaleBench {
     // wall DELTA vs in-place (expected ~0 — the physical delete moves,
     // nothing else changes) and the retained-bytes the log holds until
     // vacuum (the storage price of time travel).
-    {
+    if (armOn("versioned")) {
       import graft.io.{FileSkipping, VersionLog}
       val nFiles = 32
       val rows = nFiles * rowsPerFile
@@ -190,7 +195,7 @@ object ManifestScaleBench {
     // tiny manifest and reports per-commit wall in windows (early / mid
     // / late — flat slope IS the claim), begin() at full depth, and the
     // measured cost of the pre-pointer LISTING head as the contrast.
-    {
+    if (armOn("loglen")) {
       import graft.io.{FileSkipping, VersionLog}
       val nCommits = sys.env.getOrElse("SPARK_GRAFT_MSB_COMMITS", "120").toInt
       val base = s"$scratch/loglen"
@@ -230,7 +235,7 @@ object ManifestScaleBench {
     // band-disjoint intermediate commits, then measures the pinned
     // commit's wall at lag 1 / 25 / 50 (near-flat IS the claim; each
     // intermediate append is validated against and rebased over).
-    {
+    if (armOn("lag")) {
       import graft.io.{FileSkipping, VersionLog}
       val base = s"$scratch/lagdepth"
       graft.util.Staging.deleteRecursive(base)
@@ -267,7 +272,7 @@ object ManifestScaleBench {
     // conflict work). commits_per_sec is the table's multi-writer
     // throughput ceiling; aborts counts real conflict retries (expected
     // ~0 here — disjoint writers spin on claims, they don't conflict).
-    {
+    if (armOn("contention")) {
       import graft.io.{FileSkipping, VersionLog}
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
@@ -317,7 +322,7 @@ object ManifestScaleBench {
     // which is exactly the 100 TB deployment split. head() via the
     // pointer is O(1+lag) RPCs vs the listing's O(V); the lag-25 commit
     // validates the whole window through ONE multi-path read.
-    {
+    if (armOn("slowfs")) {
       import graft.io.{FileSkipping, VersionLog}
       val hc = spark.sparkContext.hadoopConfiguration
       hc.set("fs.slowfs.impl", "graft.util.SlowFs")
