@@ -75,6 +75,50 @@ class TableLifecycleSpec extends SparkSpec {
     assert(VersionLog.isRewriteOnly(spark, vdir, 1))
   }
 
+  test("post-commit failure on a CDC merge: the COMMITTED transaction's slot survives, marker stamped, typed rethrow") {
+    // the round-11 ADVICE low on commitWithCdc, end to end: a failure
+    // AFTER the snapshot's _SUCCESS (here: the schema record create,
+    // injected) must NOT delete the committed transaction's feed slot —
+    // the abort-looking cleanup would lose committed changes and the
+    // error would invite a double-applying retry. commitWithCdc catches
+    // the TYPED CommittedButIncomplete, stamps the feed marker with the
+    // committed version, and rethrows.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.faultfs.impl", classOf[graft.util.FaultFs].getName)
+    hc.setBoolean("fs.faultfs.impl.disable.cache", true)
+    val base = freshTable("cdc_fault")
+    val vdir = s"faultfs:$base/versions"
+    val cdc = s"$base/cdc"
+    VersionLog.commitSnapshot(spark, vdir,
+      FileSkipping.buildManifest(spark, s"$base/data", "k")) // v0
+    val delta = rows(100, 130).withColumn("tag", lit("CF"))
+      .withColumn("score", col("k") * 1.0)
+    graft.util.FaultFs.failCreatesContaining = Some("_schema.json")
+    val e =
+      try intercept[CommittedButIncomplete] {
+        FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k", delta, "CF",
+          cdcDir = Some(cdc), evolveSchema = true)
+      } finally graft.util.FaultFs.failCreatesContaining = None
+    assert(e.version == 1 && e.getMessage.contains("do NOT retry"), e.getMessage)
+    // the commit LANDED and the feed handoff completed despite the throw
+    assert(VersionLog.head(spark, vdir) == 1)
+    assert(new java.io.File(s"$cdc/txn-CF/_COMMITTED_v1").exists(),
+      "committed transaction's feed slot missing its marker after a post-commit failure")
+    val feed = FileSkipping.readCommittedFeeds(spark, cdc)
+    assert(feed.filter(col("op") === "update_postimage").count() == 30,
+      "committed feed rows lost after a post-commit failure")
+    // manual remediation: write the missing schema record, reads recover
+    val json = spark.read.parquet(s"$base/data").schema
+      .add(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)).json
+    val sp = new org.apache.hadoop.fs.Path(s"$vdir/v1/_schema.json")
+    val out = sp.getFileSystem(spark.sessionState.newHadoopConf()).create(sp, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    val head = VersionLog.readVersion(spark, vdir, 1)
+    assert(head.columns.contains("score") && head.count() == 8000)
+    assert(head.filter(col("score").isNotNull).count() == 30)
+  }
+
   test("feed cursor: incremental consumption reads only new slots; vacuumFeeds reclaims consumed ones; replay stays exact") {
     val base = freshTable("feedcur")
     val vdir = s"$base/versions"
