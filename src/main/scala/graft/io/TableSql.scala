@@ -61,12 +61,19 @@ object TableSql {
     * registered once keeps its change feed and its 2D stats maintained
     * no matter which SQL string mutates it. `occ = true` (requires
     * `versionsDir`) makes every mutation statement a multi-writer OCC
-    * transaction. */
+    * transaction. `evolveSchema = true` (OCC only — the schema record
+    * lives in the version log's snapshot dirs) opts the table's MERGE
+    * and INSERT statements into DATA-schema evolution
+    * ([[FileSkipping]]'s `schemaContract`): a statement whose source
+    * adds/misses columns evolves the table instead of rejecting —
+    * registration-time opt-in, because SQL strings have no place to
+    * carry the flag per statement. */
   case class TableRef(dataDir: String, manifestDir: String, keyCol: String,
                       versionsDir: Option[String] = None,
                       cdcDir: Option[String] = None,
                       multiManifest: Option[String] = None,
-                      occ: Boolean = false)
+                      occ: Boolean = false,
+                      evolveSchema: Boolean = false)
 
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+""" +
@@ -99,9 +106,13 @@ object TableSql {
         s"MERGE ON must equate the table's clustering key '${ref.keyCol}', got $tKey = $srcKey")
       if (ref.occ) {
         val v = FileSkipping.mergeKeyedOcc(spark, ref.dataDir, occLog(t, ref),
-          ref.keyCol, spark.table(src), freshTxnId(), cdcDir = ref.cdcDir)
+          ref.keyCol, spark.table(src), freshTxnId(), cdcDir = ref.cdcDir,
+          evolveSchema = ref.evolveSchema)
         spark.createDataFrame(Seq(Tuple1(v.toLong))).toDF("committed_version")
       } else {
+        require(!ref.evolveSchema,
+          s"table '$t' is registered evolveSchema = true but not occ — schema " +
+            "evolution needs the version log's snapshot dirs to carry the record")
         val (rewritten, appended) = FileSkipping.mergeKeyed(
           spark, ref.dataDir, ref.manifestDir, ref.keyCol, spark.table(src),
           versionLog = ref.versionsDir, cdcDir = ref.cdcDir,
@@ -144,19 +155,32 @@ object TableSql {
       // the source exactly as they would standalone
       val ref = lookup(registry, t)
       val src = apply(spark, registry, selectText)
-      val want = headRead(spark, t, ref).schema
-      require(src.columns.toSet == want.fieldNames.toSet,
-        s"INSERT INTO $t: SELECT's columns (${src.columns.sorted.mkString(",")}) must " +
-          s"match the table's (${want.fieldNames.sorted.mkString(",")}) — aliases in " +
-          "the SELECT decide the mapping; a positional insert would silently " +
-          "misassign columns")
-      val aligned = src.select(want.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+      // evolveSchema tables skip the strict set check: the divergence IS
+      // the evolution, and appendOcc's schemaContract records it (the
+      // key column must still be present — every mutation is costed by it)
+      val aligned =
+        if (ref.evolveSchema) {
+          require(src.columns.contains(ref.keyCol),
+            s"INSERT INTO $t: SELECT must produce the clustering key '${ref.keyCol}'")
+          src
+        } else {
+          val want = headRead(spark, t, ref).schema
+          require(src.columns.toSet == want.fieldNames.toSet,
+            s"INSERT INTO $t: SELECT's columns (${src.columns.sorted.mkString(",")}) must " +
+              s"match the table's (${want.fieldNames.sorted.mkString(",")}) — aliases in " +
+              "the SELECT decide the mapping; a positional insert would silently " +
+              "misassign columns")
+          src.select(want.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+        }
       if (ref.occ) {
         val v = FileSkipping.appendOcc(aligned, ref.dataDir, occLog(t, ref),
-          ref.keyCol, freshTxnId())
+          ref.keyCol, freshTxnId(), evolveSchema = ref.evolveSchema)
         spark.createDataFrame(Seq(Tuple1(v.toLong))).toDF("committed_version")
       } else {
+        require(!ref.evolveSchema,
+          s"table '$t' is registered evolveSchema = true but not occ — schema " +
+            "evolution needs the version log's snapshot dirs to carry the record")
         val appended = FileSkipping.appendWithManifest(aligned, ref.dataDir,
           ref.manifestDir, ref.keyCol, versionLog = ref.versionsDir)
         spark.createDataFrame(Seq(Tuple1(appended.toLong))).toDF("files_appended")

@@ -202,6 +202,46 @@ class TableSqlSpec extends SparkSpec {
     assert(TableSql(spark, ireg, "SELECT COUNT(*) AS n FROM ptbl").head().getLong(0) == 140)
   }
 
+  test("schema evolution through SQL: evolveSchema tables accept divergent MERGE/INSERT sources; plain tables reject the flag") {
+    val base = "/root/repo/target/scratch/tablesql_evolve"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(400).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    val ereg = Map("etbl" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k",
+      versionsDir = Some(s"$base/versions"), occ = true, evolveSchema = true))
+    // MERGE whose source ADDS a column: evolves instead of rejecting
+    spark.range(10, 30).select(col("id").as("k"), lit(9.9).as("v"),
+        (col("id") * 2.0).as("w"))
+      .createOrReplaceTempView("evo_delta")
+    val v1 = TableSql(spark, ereg,
+      """MERGE INTO etbl USING evo_delta ON etbl.k = evo_delta.k
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      .head().getLong(0)
+    assert(v1 == 1)
+    val head = TableSql(spark, ereg,
+      "SELECT COUNT(*) AS n, COUNT(w) AS n_w FROM etbl").head()
+    assert(head.getLong(0) == 400 && head.getLong(1) == 20,
+      s"evolved column wrong through SQL: ${head}")
+    // INSERT with the evolved set (and a missing column null-fills)
+    spark.range(1000, 1010).select(col("id").as("k"), lit(1.5).as("v"))
+      .createOrReplaceTempView("evo_ins")
+    TableSql(spark, ereg, "INSERT INTO etbl SELECT k, v FROM evo_ins").collect()
+    val after = TableSql(spark, ereg,
+      "SELECT COUNT(*) AS n, COUNT(w) AS n_w FROM etbl").head()
+    assert(after.getLong(0) == 410 && after.getLong(1) == 20)
+    // the flag without occ is rejected before touching the table
+    val preg = Map("ptbl2" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k",
+      evolveSchema = true))
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, preg, "INSERT INTO ptbl2 SELECT k, v FROM evo_ins")
+    }
+    assert(e.getMessage.contains("but not occ"), e.getMessage)
+  }
+
   test("the head view reads the manifest's files, never the directory listing") {
     // plant an orphan file (a crashed txn slot) beside the table: a
     // directory listing would read it, the manifest-decided head must not
