@@ -322,6 +322,61 @@ object ManifestScaleBench {
     // which is exactly the 100 TB deployment split. head() via the
     // pointer is O(1+lag) RPCs vs the listing's O(V); the lag-25 commit
     // validates the whole window through ONE multi-path read.
+    // ── schema-EVOLUTION read path (round-12): the evolution design
+    // claim is "the log carries the schema, reads never pay mergeSchema
+    // footer scans". Contrast, over a table whose files straddle an
+    // added column (the post-evolution steady state): (a) the engine's
+    // read — explicit log-recorded schema, pre-evolution files
+    // null-fill; (b) Spark's mergeSchema=true — a footer read of EVERY
+    // file before the scan can even plan; (c) the naive schema-inferred
+    // read, which is WRONG (footer-sampling order decides whether the
+    // evolved column exists) — its wall is reported only as the floor.
+    // Walls are the full aggregate over the evolved column.
+    if (armOn("evolution")) {
+      val nFiles = 128
+      val rowsPer = 50000L
+      val base = s"$scratch/evolution"
+      graft.util.Staging.deleteRecursive(base)
+      // 64 pre-evolution files (k, v) + 64 post-evolution files (k, v, w)
+      spark.range(64 * rowsPer).select(col("id").as("k"), (col("id") % 97 / 7.0).as("v"))
+        .repartitionByRange(64, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$base/data/old")
+      spark.range(64 * rowsPer, 128 * rowsPer).select(col("id").as("k"),
+          (col("id") % 97 / 7.0).as("v"), (col("id") % 13 * 1.0).as("w"))
+        .repartitionByRange(64, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$base/data/new")
+      val evolved = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType)))
+      def agg(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(col("w"))).head().getLong(0)
+      def rec(path: String) = spark.read.schema(evolved)
+        .option("recursiveFileLookup", "true").parquet(path)
+      def merge(path: String) = spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(path)
+      // local: min-of-2 (first read pays session warm-up) — footers are
+      // ~free on local disk, so this is the floor, not the claim
+      def min2(f: => Long): (Long, Double) = {
+        val (n1, s1) = time(f); val (_, s2) = time(f); (n1, math.min(s1, s2))
+      }
+      val (nRec, recSec) = min2(agg(rec(s"$base/data")))
+      val (nMerge, mergeSec) = min2(agg(merge(s"$base/data")))
+      require(nRec == 64 * rowsPer && nMerge == nRec,
+        s"evolution reads disagree: recorded=$nRec merged=$nMerge")
+      // object-store-shaped (every FS call +25 ms, same files through the
+      // slowfs scheme): mergeSchema must read EVERY footer before the
+      // scan can plan — the per-file RTT term the schema record removes
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.slowfs.impl", "graft.util.SlowFs")
+      hc.setBoolean("fs.slowfs.impl.disable.cache", true)
+      hc.setLong("graft.slowfs.latency.ms", 25L)
+      val (_, recSlowSec) = time(agg(rec(s"slowfs:$base/data")))
+      val (_, mergeSlowSec) = time(agg(merge(s"slowfs:$base/data")))
+      hc.setLong("graft.slowfs.latency.ms", 0L)
+      println(f"""MANIFEST_SCALE: {"op":"evolution_read","files":$nFiles,"recorded_schema_sec":$recSec%.3f,"merge_schema_sec":$mergeSec%.3f,"recorded_schema_slowfs_sec":$recSlowSec%.3f,"merge_schema_slowfs_sec":$mergeSlowSec%.3f}""")
+    }
+
     if (armOn("slowfs")) {
       import graft.io.{FileSkipping, VersionLog}
       val hc = spark.sparkContext.hadoopConfiguration
