@@ -79,6 +79,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(v0.filter(col("tag") === "EVO").count() == 0)
   }
 
+  test("feed slots straddling an evolution union schema-tolerantly: the evolved column survives every consumption shape") {
+    // pre-evolution slot (k,tag,v rows) + post-evolution slot (adds
+    // score): a single multi-path read would let footer-sampling order
+    // decide whether `score` exists — the consumer must see it with the
+    // old slot's rows null-filled, in BOTH the full read and the
+    // cursor read
+    val (data, vdir) = freshOcc("feedevo")
+    val cdc = s"${data.stripSuffix("/data")}/cdc"
+    FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(100, 120).withColumn("tag", lit("F1")), "F1",
+      pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc)) // v1
+    FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(2100, 2130).withColumn("tag", lit("F2"))
+        .withColumn("score", col("k") * 1.0), "F2",
+      pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc),
+      evolveSchema = true) // v2
+    val full = FileSkipping.readCommittedFeeds(spark, cdc)
+    assert(full.columns.contains("score"),
+      s"evolved column dropped from the combined feed: ${full.columns.mkString(",")}")
+    assert(full.filter(col("tag") === "F1" && col("op") === "update_postimage" &&
+      col("score").isNull).count() == 20)
+    assert(full.filter(col("tag") === "F2" && col("op") === "update_postimage" &&
+      col("score").isNotNull).count() == 30)
+    val (Some(inc), c) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0): @unchecked
+    assert(c == 2 && inc.columns.contains("score"))
+    assert(inc.filter(col("op") === "update_postimage").count() == 50)
+  }
+
   test("the record propagates: post-evolution compaction and deltas keep the column; missing-column deltas null-fill") {
     val (data, vdir) = freshOcc("prop")
     val v1 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
