@@ -433,7 +433,7 @@ object FileSkipping {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   private def dataSchemaAt(spark: SparkSession, versionsDir: String, v: Int,
-                           snap: DataFrame): org.apache.spark.sql.types.StructType =
+                           snap: => DataFrame): org.apache.spark.sql.types.StructType =
     VersionLog.schemaAt(spark, versionsDir, v).getOrElse {
       bootstrapSchemaMemo.computeIfAbsent(versionsDir, _ => inferBootstrapSchema(spark, versionsDir, v, snap))
     }
@@ -977,6 +977,21 @@ object FileSkipping {
           .create(tp, /* overwrite = */ true).close()
         return cv
       }
+    }
+    // the same DATA-schema contract as every other mutator, stream-shaped:
+    // a divergent micro-batch is rejected LOUDLY before anything lands
+    // (a stream is not where schemas silently evolve — mixed-schema slot
+    // files with no record would silently drop columns on read); the
+    // FIRST batch of an empty table defines the schema. Job-free on the
+    // hot path: the record probe is one RPC and the bootstrap schema is
+    // memoized per log ([[bootstrapSchemaMemo]] — `snap` is by-name, so
+    // a memo hit never even builds the manifest relation).
+    try
+      schemaContract(
+        dataSchemaAt(spark, versionsDir, h, VersionLog.manifestAt(spark, versionsDir, h)),
+        batch.schema, evolveSchema = false, s"ingest batch $batchId")
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("zero files") => () // empty table
     }
     batch.write.mode("overwrite").parquet(slot)
     val fresh = listParquet(fs, slotPath).toSeq.sorted

@@ -107,6 +107,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(inc.filter(col("op") === "update_postimage").count() == 50)
   }
 
+  test("OCC stream ingest rejects a divergent micro-batch loudly; the first batch of an empty table defines the schema") {
+    import org.apache.spark.sql.types._
+    val base = "/root/repo/target/scratch/schevo_ingest"
+    graft.util.Staging.deleteRecursive(base)
+    val vdir = s"$base/versions"
+    // empty bootstrap (the q207 shape): no files, no record
+    VersionLog.commitSnapshot(spark, vdir, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("file", StringType), StructField("min_key", LongType),
+        StructField("max_key", LongType), StructField("n_rows", LongType),
+        StructField("n_keys", LongType)))))
+    // batch 0 on the EMPTY table defines the schema
+    val v1 = FileSkipping.ingestBatchOcc(rows(0, 100), 0L, s"$base/data", "k", vdir)
+    assert(v1 == 1)
+    // a divergent batch 1 is rejected before anything lands
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.ingestBatchOcc(rows(100, 200).withColumn("extra", lit(1.0)),
+        1L, s"$base/data", "k", vdir)
+    }
+    assert(e.getMessage.contains("ingest batch 1") && e.getMessage.contains("extra"),
+      e.getMessage)
+    assert(VersionLog.head(spark, vdir) == 1, "rejected batch committed anyway")
+    assert(!new java.io.File(s"$base/data/b1").exists(), "rejected batch left slot files")
+    // a conforming batch 1 still lands
+    assert(FileSkipping.ingestBatchOcc(rows(100, 200), 1L, s"$base/data", "k", vdir) == 2)
+    assert(VersionLog.readVersion(spark, vdir, 2).count() == 200)
+  }
+
   test("the record propagates: post-evolution compaction and deltas keep the column; missing-column deltas null-fill") {
     val (data, vdir) = freshOcc("prop")
     val v1 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
