@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *   DELETE FROM t WHERE k BETWEEN <sql-expr> AND <sql-expr>
   *   VACUUM t RETAIN <n> VERSIONS
   *   INSERT INTO t SELECT …                  (append; schema-checked)
+  *   ALTER TABLE t ADD COLUMN c <type>       (schema-only commit; OCC)
   *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL)
   *
   * SELECTs BIND, they do not rewrite (round-10 review: the old textual
@@ -33,9 +34,12 @@ import org.apache.spark.sql.functions._
   * `t VERSION AS OF <v>` qualifier (Spark's parser has no time travel
   * for temp views), and BOTH the binding decision and that rewrite run
   * against a literal-MASKED copy of the statement (word-boundary name
-  * match, quoted spans blanked — round-11 review + verdict #7), so a
-  * literal containing a registered name binds nothing and a literal
-  * containing the full time-travel phrase survives verbatim.
+  * match; single- AND double-quoted spans blanked — both are string
+  * literals under Spark's default non-ANSI parser — while backtick
+  * IDENTIFIERS keep binding; round-11 review + verdict #7, round-12
+  * verdict #4), so a literal containing a registered name binds nothing
+  * and a literal containing the full time-travel phrase survives
+  * verbatim.
   *
   * DELETE range bounds go through Spark's OWN expression parser on the
   * full `BETWEEN lo AND hi` clause (round-10 review: the old non-greedy
@@ -86,6 +90,8 @@ object TableSql {
     """(?is)^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$""".r
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$""".r
   private val SelectRe = """(?is)^\s*SELECT\b.*""".r
 
   /** Per-statement OCC transaction ids: unique per JVM AND across JVM
@@ -186,6 +192,22 @@ object TableSql {
         spark.createDataFrame(Seq(Tuple1(appended.toLong))).toDF("files_appended")
       }
 
+    case AlterRe(t, colName, typeDdl) =>
+      // explicit DDL evolution (round-12 verdict stretch): a schema-only
+      // commit recording the evolved schema — operators evolve a table
+      // without a data mutation, and NON-evolveSchema tables get a
+      // controlled upgrade path (after the ALTER, inserts must carry the
+      // new column explicitly; nothing evolves implicitly)
+      val ref = lookup(registry, t)
+      require(ref.occ,
+        s"ALTER TABLE needs an OCC version log to record the schema in — " +
+          s"table '$t' is not registered occ = true")
+      val dt = org.apache.spark.sql.types.StructType
+        .fromDDL(s"`$colName` ${typeDdl.trim}").head.dataType
+      val v = FileSkipping.alterAddColumn(spark, occLog(t, ref), colName, dt)
+      spark.createDataFrame(Seq((v.toLong, colName)))
+        .toDF("committed_version", "column_added")
+
     case SelectRe() =>
       // time-travel qualifiers are the one narrow rewrite (see object
       // scaladoc); plain table names are BOUND as temp views under their
@@ -224,25 +246,33 @@ object TableSql {
       spark.sql(text)
 
     case other => throw new IllegalArgumentException(
-      s"unsupported table-op statement (MERGE INTO / DELETE … BETWEEN / VACUUM / SELECT): $other")
+      "unsupported table-op statement (MERGE INTO / DELETE … BETWEEN / VACUUM / " +
+        s"INSERT INTO / ALTER TABLE … ADD COLUMN / SELECT): $other")
   }
 
-  /** The statement with every single-quoted SQL literal's CONTENT
-    * blanked to spaces ('' escapes included) — same length, same
-    * offsets, so regex matches on the mask apply to the original. An
-    * unterminated quote blanks to end-of-statement, which can only
-    * UNDER-bind (the statement is about to fail in Spark's parser
-    * anyway), never rewrite inside a literal. */
+  /** The statement with every quoted SQL literal's CONTENT blanked to
+    * spaces — same length, same offsets, so regex matches on the mask
+    * apply to the original. BOTH quote styles are literals under Spark's
+    * default (non-ANSI) parser: `'…'` and `"…"` (round-12 verdict #4 —
+    * the single-quote-only mask let a registered name, or a full
+    * time-travel phrase, inside double quotes bind/rewrite), doubled
+    * quotes (`''`, `""`) escape inside their own style. Backtick-quoted
+    * spans are deliberately NOT masked: backticks quote IDENTIFIERS — a
+    * `` `name` `` is a real table reference and must keep binding
+    * (spec-pinned). An unterminated quote blanks to end-of-statement,
+    * which can only UNDER-bind (the statement is about to fail in
+    * Spark's parser anyway), never rewrite inside a literal. */
   private def maskLiterals(text: String): String = {
     val out = text.toCharArray
     var i = 0
     while (i < out.length) {
-      if (out(i) == '\'') {
+      val q = out(i)
+      if (q == '\'' || q == '"') {
         i += 1
         var closed = false
         while (i < out.length && !closed) {
-          if (out(i) == '\'') {
-            if (i + 1 < out.length && out(i + 1) == '\'') { // '' escape
+          if (out(i) == q) {
+            if (i + 1 < out.length && out(i + 1) == q) { // doubled escape
               out(i) = ' '; out(i + 1) = ' '; i += 2
             } else { closed = true; i += 1 }
           } else { out(i) = ' '; i += 1 }

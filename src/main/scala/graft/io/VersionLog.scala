@@ -16,6 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class CommittedButIncomplete(val version: Int, message: String, cause: Throwable)
   extends IllegalStateException(message, cause)
 
+/** A version that references ZERO files and records no schema — the one
+  * log state whose reads cannot be typed (no footer to probe, no record
+  * to apply). Mutators that can legitimately DEFINE the table's schema
+  * (the first batch of an empty ingest table, a bootstrap append) catch
+  * this TYPE and proceed schema-defining — never by parsing the message
+  * (the same catch-types-never-messages rule as
+  * [[CommittedButIncomplete]]; round-12 advice: the old
+  * `getMessage.contains("zero files")` catch broke on any rewording). */
+class UntypedEmptyTable(message: String) extends IllegalStateException(message)
+
 /** Miniature version log over the manifest table — SNAPSHOT ISOLATION
   * and time travel, the two reader guarantees every [[FileSkipping]]
   * mutation scaladoc has been deferring to "a real table format":
@@ -341,7 +351,7 @@ object VersionLog {
     schemaAt(spark, versionsDir, v) match {
       case Some(st) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      case None => throw new IllegalStateException(
+      case None => throw new UntypedEmptyTable(
         s"version v$v of $versionsDir references zero files and records no schema — " +
           "cannot produce a typed empty frame; read a neighboring version or record a " +
           "schema (schema records appear from the first schema-evolving commit onward)")
@@ -432,13 +442,26 @@ object VersionLog {
     * whose touched file was compacted away is stale. This is what lets
     * the canonical production pair — compaction racing a MERGE on
     * disjoint files — BOTH land even though compaction's key band spans
-    * the table. */
+    * the table.
+    *
+    * `cdcIntent` (a change-feed dir) makes feed visibility COMMIT-ORDERED
+    * (round-12 advice — Delta derives CDF visibility from the log, not
+    * per-slot markers): a `_INTENT_v<N>` file lands in the feed dir after
+    * the claim and before the snapshot's `_SUCCESS`, so no consumer can
+    * observe version N committed without observing the intent; the poll
+    * ([[FileSkipping.readCommittedFeedsSince]]) refuses to advance its
+    * cursor past a pending intent instead of permanently skipping a
+    * committed-but-not-yet-stamped slot. A writer that crashes between
+    * intent and `_SUCCESS` leaves the claim orphaned too — the manual
+    * claim remediation documented at [[commit]] should delete BOTH
+    * `.claim-v<N>` and the feed dir's `_INTENT_v<N>`. */
   def commitRebase(spark: SparkSession, versionsDir: String, readVersion: Int,
                    removed: Seq[String], addedStats: DataFrame,
                    spinMs: Long = 100L, maxSpins: Int = 50,
                    rewriteOnly: Boolean = false,
                    markers: Seq[String] = Nil,
-                   schemaJson: Option[String] = None): Int = {
+                   schemaJson: Option[String] = None,
+                   cdcIntent: Option[String] = None): Int = {
     import org.apache.spark.sql.functions.{col, broadcast, lit}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
@@ -487,6 +510,22 @@ object VersionLog {
           // (ConcurrencySpec races vacuum against a pinned committer at
           // the retention edge: land or loud abort, never a torn snapshot)
           try {
+            // CDC VISIBILITY INTENT, dropped BEFORE the snapshot's
+            // `_SUCCESS`: a feed consumer that can observe this version
+            // committed is then GUARANTEED to observe the intent, because
+            // the slot's `_COMMITTED_v<N>` marker is only stamped after
+            // commitRebase returns, with no ordering across concurrent
+            // writers (round-12 advice: v+1's marker can appear before
+            // v's, and a poll in that window advanced its cursor past a
+            // committed transaction's changes forever). A pending intent
+            // — no stamped slot yet — caps the consumer's cursor BELOW
+            // this version instead of skipping it. Deleted on abort with
+            // the claim; cleaned up by the post-commit stamp.
+            cdcIntent.foreach { dir =>
+              val ip = new org.apache.hadoop.fs.Path(s"$dir/_INTENT_v$v")
+              ip.getFileSystem(spark.sessionState.newHadoopConf())
+                .create(ip, /* overwrite = */ true).close()
+            }
             requireReadVersionAlive()
             validateNoConflict(spark, versionsDir, readVersion, h, removed, added, rewriteOnly)
             val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
@@ -505,6 +544,13 @@ object VersionLog {
           } catch {
             case e: Throwable =>
               fs.delete(claim, false)
+              // an aborted transaction's visibility intent must not block
+              // consumers at a version someone else will commit
+              cdcIntent.foreach { dir =>
+                val ip = new org.apache.hadoop.fs.Path(s"$dir/_INTENT_v$v")
+                try ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, false)
+                catch { case _: java.io.IOException => () }
+              }
               // a mid-flight vacuum manifests as path-not-found on the
               // pinned snapshot from inside a job — same contract breach,
               // same loud message, never a torn head (nothing committed)
