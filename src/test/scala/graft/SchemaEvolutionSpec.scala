@@ -166,4 +166,150 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(headDf.filter(col("score").isNotNull).count() >= 20,
       "merge of a missing-column delta clobbered other rows' evolved values")
   }
+
+  test("plain mutators reject divergent frames loudly too: appendWithManifest and slot ingest have no log to evolve into") {
+    // round-12 verdict #1: these three paths previously accepted a
+    // divergent frame silently — mixed-schema files whose read depends on
+    // footer-sampling order, the exact shape the OCC contract closed
+    val base = "/root/repo/target/scratch/schevo_plain"
+    graft.util.Staging.deleteRecursive(base)
+    rows(0, 2000).repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.appendWithManifest(rows(2000, 2010).withColumn("extra", lit(1.0)),
+        s"$base/data", s"$base/manifest", "k")
+    }
+    assert(e.getMessage.contains("appended frame") && e.getMessage.contains("extra"),
+      e.getMessage)
+    assert(spark.read.parquet(s"$base/data").count() == 2000,
+      "a rejected plain append landed files anyway")
+    // a conforming append still works
+    assert(FileSkipping.appendWithManifest(rows(2000, 2010),
+      s"$base/data", s"$base/manifest", "k") >= 1)
+    // slot ingest: batch 0 defines the schema, a divergent batch 1
+    // rejects BEFORE its slot lands, a conforming batch 1 still lands
+    val ib = s"$base/ingest"
+    FileSkipping.ingestBatch(rows(0, 100), 0L, s"$ib/data", s"$ib/manifest", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      FileSkipping.ingestBatch(rows(100, 200).drop("v"), 1L,
+        s"$ib/data", s"$ib/manifest", "k")
+    }
+    assert(e2.getMessage.contains("ingest batch 1") && e2.getMessage.contains("missing: v"),
+      e2.getMessage)
+    assert(!new java.io.File(s"$ib/data/b1").exists(), "rejected batch left slot files")
+    FileSkipping.ingestBatch(rows(100, 200), 1L, s"$ib/data", s"$ib/manifest", "k")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$ib/data").count() == 200)
+  }
+
+  test("a same-name/new-type delta rejects loudly naming both types — with or without evolveSchema") {
+    // round-12 verdict #2: the old fieldName-set compare let an int→double
+    // (or double→string) delta coerce through the union silently, landing
+    // mixed physical types with NO record to reconcile them
+    val (data, vdir) = freshOcc("typeclash")
+    val delta = rows(100, 120).withColumn("v", col("v").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "TC1")
+    }
+    assert(e.getMessage.contains("TYPE") && e.getMessage.contains("double") &&
+      e.getMessage.contains("string"), e.getMessage)
+    // evolveSchema does NOT unlock type changes — widening is declared
+    // out of scope (widened key stats would break band validation)
+    val e2 = intercept[IllegalArgumentException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k", delta, "TC2",
+        evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("type evolution is out of scope"), e2.getMessage)
+    // the KEY column's type is guarded the same way
+    val e3 = intercept[IllegalArgumentException] {
+      FileSkipping.appendOcc(rows(5000, 5010).withColumn("k", col("k").cast("int")),
+        data, vdir, "k", "TC3", evolveSchema = true)
+    }
+    assert(e3.getMessage.contains("bigint") && e3.getMessage.contains("int"),
+      e3.getMessage)
+    // nothing changed: head still v0, no txn slots
+    assert(VersionLog.head(spark, vdir) == 0)
+    assert(!new java.io.File(s"$data/txn-TC1").exists()
+      && !new java.io.File(s"$data/txn-TC3").exists())
+  }
+
+  test("versioned ingest enforces the contract through the log and RECORDS the first batch's schema") {
+    val base = "/root/repo/target/scratch/schevo_vingest"
+    graft.util.Staging.deleteRecursive(base)
+    val vdir = s"$base/versions"
+    assert(FileSkipping.ingestBatchVersioned(rows(0, 100), 0L, s"$base/data", "k", vdir) == 0)
+    // the first batch recorded its schema: later checks are log-resident
+    // (one exists() RPC, no footer probe, no memo-warmth dependence)
+    assert(VersionLog.schemaAt(spark, vdir, 0)
+      .exists(_.fieldNames.sameElements(Array("k", "tag", "v"))),
+      "bootstrap batch did not record the table's schema")
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.ingestBatchVersioned(rows(100, 200).withColumn("extra", lit(1.0)),
+        1L, s"$base/data", "k", vdir)
+    }
+    assert(e.getMessage.contains("ingest batch 1") && e.getMessage.contains("extra"),
+      e.getMessage)
+    assert(VersionLog.head(spark, vdir) == 0, "rejected batch committed anyway")
+    assert(!new java.io.File(s"$base/data/b1").exists(), "rejected batch left slot files")
+    assert(FileSkipping.ingestBatchVersioned(rows(100, 200), 1L, s"$base/data", "k", vdir) == 1)
+    assert(VersionLog.readVersion(spark, vdir, 1).count() == 200)
+  }
+
+  test("a feed stream pins its schema at start: evolution mid-stream needs a restart with the recorded schema (the Delta streaming rule)") {
+    // round-12 verdict #7: q199's readStream over a feed dir fixes its
+    // schema when the stream starts. A table evolution mid-stream does
+    // NOT surface the added column to the running consumer — its reads
+    // silently project the pinned columns (Spark file-source semantics,
+    // same as Delta's restart-to-evolve rule). The supported path is a
+    // RESTART with the log's recorded schema; both halves pinned here.
+    val (data, vdir) = freshOcc("streamevo")
+    val base = data.stripSuffix("/data")
+    val cdc = s"$base/cdc"
+    FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(100, 120).withColumn("tag", lit("S1")), "S1",
+      pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc)) // v1
+    val pinnedSchema = spark.read.parquet(s"$cdc/txn-S1").schema
+    def drain(out: String, schema: org.apache.spark.sql.types.StructType,
+              ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$cdc/txn-*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(s"$base/outA", pinnedSchema, s"$base/ckptA") // consumes slot 1
+    // the table evolves mid-stream
+    FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(2100, 2130).withColumn("tag", lit("S2"))
+        .withColumn("score", col("k") * 1.0), "S2",
+      pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc),
+      evolveSchema = true) // v2
+    // the un-restarted consumer (same checkpoint, still the pinned
+    // schema) processes the evolved slot WITHOUT the added column —
+    // the documented boundary, pinned so it can never silently change
+    drain(s"$base/outA", pinnedSchema, s"$base/ckptA")
+    val outA = spark.read.parquet(s"$base/outA")
+    assert(!outA.columns.contains("score"),
+      "a running stream surfaced a column added after its schema was pinned")
+    assert(outA.filter(col("tag") === "S2").count() > 0,
+      "the pinned-schema stream missed the post-evolution slot entirely")
+    // the supported path: restart with the RECORDED head schema — old
+    // rows null-fill, new rows carry the column
+    val recorded = VersionLog.schemaAt(spark, vdir, VersionLog.head(spark, vdir)).get
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType) +: recorded.fields)
+    drain(s"$base/outB", feedSchema, s"$base/ckptB")
+    val outB = spark.read.parquet(s"$base/outB")
+    assert(outB.columns.contains("score"))
+    assert(outB.filter(col("tag") === "S1" && col("op") === "update_postimage" &&
+      col("score").isNull).count() == 20)
+    assert(outB.filter(col("tag") === "S2" && col("op") === "update_postimage" &&
+      col("score").isNotNull).count() == 30)
+  }
 }

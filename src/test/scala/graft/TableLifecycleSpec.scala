@@ -203,4 +203,138 @@ class TableLifecycleSpec extends SparkSpec {
     assert(VersionLog.commitRebase(spark, vdir, 1, Seq.empty,
       intStats("f2", 2500, 2600)) == 2)
   }
+
+  test("appendOcc onto a zero-file no-record snapshot DEFINES and RECORDS the schema (no memo-warmth dependence)") {
+    // round-12 advice: the unconditional schema probe regressed this
+    // append into a loud 'zero files' failure — worse, one whose outcome
+    // depended on whether THIS JVM had warmed the bootstrap memo earlier
+    val base = freshTable("zeroappend")
+    val vdir = s"$base/versions"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    val (v1, retired, _) = FileSkipping.deleteRangeOcc(spark, s"$base/data", vdir,
+      "k", lit(-1L), lit(10000L), "WIPE0") // v1: zero files, no record
+    assert(v1 == 1 && retired == 8)
+    val v2 = FileSkipping.appendOcc(rows(0, 50), s"$base/data", vdir, "k", "BOOT")
+    assert(v2 == 2)
+    // the append recorded its schema — the untyped-empty state can never
+    // recur on this log, and the next divergent append rejects loudly
+    assert(VersionLog.schemaAt(spark, vdir, 2)
+      .exists(_.fieldNames.sameElements(Array("k", "tag", "v"))),
+      "bootstrap append did not record the schema")
+    assert(VersionLog.readVersion(spark, vdir, 2).count() == 50)
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.appendOcc(rows(50, 60).drop("tag"), s"$base/data", vdir, "k", "DIV")
+    }
+    assert(e.getMessage.contains("missing: tag"), e.getMessage)
+  }
+
+  test("a log re-created at the same path with a different schema validates against the NEW schema (memo keyed by log identity)") {
+    // round-12 advice: the bootstrap-schema memo was keyed by path alone,
+    // so after a delete + re-create (every spec/bench scratch flow) the
+    // contract checked appends against the DEAD table's schema
+    val base = "/root/repo/target/scratch/lifec_memoid"
+    def build(r: org.apache.spark.sql.DataFrame): Unit = {
+      graft.util.Staging.deleteRecursive(base)
+      r.repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifest(spark, s"$base/data", "k")
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    }
+    build(rows(0, 1000))
+    // warm the memo with the (k, tag, v) schema
+    assert(FileSkipping.appendOcc(rows(1000, 1010), s"$base/data",
+      s"$base/versions", "k", "W1") == 1)
+    // re-create the log AT THE SAME PATH with a different schema
+    def scored(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).cast("double").as("score"))
+    build(scored(0, 1000))
+    // a conforming new-schema append must pass (a stale memo rejected it)
+    assert(FileSkipping.appendOcc(scored(1000, 1010), s"$base/data",
+      s"$base/versions", "k", "W2") == 1)
+    // and an old-schema append must now reject against the NEW schema
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.appendOcc(rows(2000, 2010), s"$base/data",
+        s"$base/versions", "k", "W3")
+    }
+    assert(e.getMessage.contains("score"), e.getMessage)
+  }
+
+  test("a consumer behind the feed-vacuum cutoff fails LOUDLY; full-history reads refuse after any vacuum") {
+    // round-12 verdict #3: vacuumFeeds' scaladoc promised the loud gap
+    // but the poll silently folded only the surviving slots and advanced
+    // its cursor past commits it never saw — silent CDC data loss
+    val base = freshTable("feedgap")
+    val vdir = s"$base/versions"
+    val cdc = s"$base/cdc"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    def merge(tag: String, lo: Long) =
+      FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+        rows(lo, lo + 30).withColumn("tag", lit(tag)), tag,
+        pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc))
+    assert(merge("G1", 100) == 1)
+    assert(merge("G2", 3100) == 2)
+    assert(merge("G3", 6100) == 3)
+    assert(FileSkipping.vacuumFeeds(spark, cdc, consumedThrough = 2) == 2)
+    // an up-to-date consumer is unaffected
+    val (Some(d3), c3) = FileSkipping.readCommittedFeedsSince(spark, cdc, 2): @unchecked
+    assert(c3 == 3 && d3.filter(col("op") === "update_postimage").count() == 30)
+    // a LAGGING consumer fails loudly naming the cutoff
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.readCommittedFeedsSince(spark, cdc, 0)
+    }
+    assert(e.getMessage.contains("behind the vacuum cutoff v2"), e.getMessage)
+    // a full-history rebuild refuses outright — only the surviving slots
+    // would be a silent-partial answer
+    val e2 = intercept[IllegalArgumentException] {
+      FileSkipping.readCommittedFeeds(spark, cdc)
+    }
+    assert(e2.getMessage.contains("vacuumed through v2"), e2.getMessage)
+    // the watermark is monotonic: a lower repeat neither deletes nor lowers
+    assert(FileSkipping.vacuumFeeds(spark, cdc, consumedThrough = 1) == 0)
+    val e3 = intercept[IllegalArgumentException] {
+      FileSkipping.readCommittedFeedsSince(spark, cdc, 1)
+    }
+    assert(e3.getMessage.contains("v2"), e3.getMessage)
+  }
+
+  test("a committed-but-unstamped feed slot BLOCKS cursor advancement instead of being skipped (commit-ordered visibility)") {
+    // round-12 advice (medium): slot markers are stamped after
+    // commitRebase returns with no cross-writer ordering, so v+1's marker
+    // can be visible before v's — a poll in that window used to advance
+    // its cursor past v and exclude the committed slot FOREVER. The
+    // pre-_SUCCESS _INTENT_v<N> marker makes visibility commit-ordered:
+    // this test reconstructs the exact window on disk.
+    val base = freshTable("feedorder")
+    val vdir = s"$base/versions"
+    val cdc = s"$base/cdc"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    def merge(tag: String, lo: Long) =
+      FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+        rows(lo, lo + 30).withColumn("tag", lit(tag)), tag,
+        pinned = Some(VersionLog.begin(spark, vdir)), cdcDir = Some(cdc))
+    assert(merge("O1", 100) == 1)
+    assert(merge("O2", 3100) == 2)
+    assert(merge("O3", 6100) == 3)
+    // steady state leaves no pending intents (the stamp cleans them up)
+    assert(!new java.io.File(s"$cdc/_INTENT_v1").exists()
+      && !new java.io.File(s"$cdc/_INTENT_v2").exists()
+      && !new java.io.File(s"$cdc/_INTENT_v3").exists(),
+      "committed transactions left visibility intents behind")
+    // reconstruct the stamp window on v2: intent present, marker not yet
+    val slots = FileSkipping.committedFeedSlots(spark, cdc)
+    assert(slots.map(_._1) == Seq(1, 2, 3))
+    val slot2 = new java.io.File(new java.net.URI(slots(1)._2))
+    assert(new java.io.File(slot2, "_COMMITTED_v2").delete())
+    assert(new java.io.File(s"$cdc/_INTENT_v2").createNewFile())
+    // the poll consumes ONLY v1 — advancing to 3 would skip v2 forever
+    val (Some(d1), c1) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0): @unchecked
+    assert(c1 == 1, s"cursor advanced past a committed-but-unstamped slot: $c1")
+    assert(d1.filter(col("op") === "update_postimage").count() == 30)
+    // the stamp lands (the writer's next instant, or the operator's
+    // CommittedButIncomplete remediation): the next poll picks up v2 AND v3
+    assert(new java.io.File(slot2, "_COMMITTED_v2").createNewFile())
+    val (Some(d23), c23) = FileSkipping.readCommittedFeedsSince(spark, cdc, c1): @unchecked
+    assert(c23 == 3 && d23.filter(col("op") === "update_postimage").count() == 60)
+  }
 }

@@ -251,4 +251,84 @@ class TableSqlSpec extends SparkSpec {
     val n = TableSql(spark, reg, "SELECT COUNT(*) AS n FROM tbl").head().getLong(0)
     assert(n == 1000, s"head view read an orphan txn slot: $n rows")
   }
+
+  test("double-quoted literals mask like single-quoted ones: no binding, no time-travel rewrite inside them") {
+    // round-12 verdict #4: Spark's default (non-ANSI) parser treats "…"
+    // as a STRING LITERAL too — the single-quote-only mask let a
+    // registered name (or a full time-travel phrase) inside double
+    // quotes bind/rewrite, the same class of bug just fixed for '…'
+    val r = TableSql(spark, reg,
+      """SELECT "tbl VERSION AS OF 1" AS phrase, COUNT(*) AS n FROM tbl""").head()
+    assert(r.getString(0) == "tbl VERSION AS OF 1",
+      s"time-travel phrase inside a double-quoted literal was rewritten to ${r.getString(0)}")
+    assert(r.getLong(1) == 1000)
+    // a name appearing ONLY inside a double-quoted literal binds nothing
+    // (the empty-log OCC table would throw out of headRead if it bound)
+    val base = "/root/repo/target/scratch/tablesql_dqbind"
+    graft.util.Staging.deleteRecursive(base)
+    val bindReg = reg ++ Map("dqocc" -> TableSql.TableRef(
+      s"$base/data", s"$base/manifest", "k",
+      versionsDir = Some(s"$base/versions"), occ = true))
+    val r2 = TableSql(spark, bindReg,
+      """SELECT "dqocc" AS who, COUNT(*) AS n FROM tbl""").head()
+    assert(r2.getString(0) == "dqocc" && r2.getLong(1) == 1000)
+    // doubled-quote escapes stay inside the mask
+    val r3 = TableSql(spark, bindReg,
+      """SELECT "a ""dqocc"" b" AS who, COUNT(*) AS n FROM tbl""").head()
+    assert(r3.getString(0) == """a "dqocc" b""" && r3.getLong(1) == 1000)
+  }
+
+  test("backtick-quoted identifiers still BIND: backticks quote names, not literals") {
+    // the mask deliberately skips backtick spans — `tbl` is a real table
+    // reference; masking it would silently unbind a legitimate query
+    val r = TableSql(spark, reg, "SELECT COUNT(*) AS n FROM `tbl`").head()
+    assert(r.getLong(0) == 1000, "a backtick-quoted registered table failed to bind")
+  }
+
+  test("ALTER TABLE ADD COLUMN: a schema-only commit — head null-fills, a pinned pre-ALTER version keeps its schema") {
+    val base = "/root/repo/target/scratch/tablesql_alter"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(1000).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    val areg = Map("atbl" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k",
+      versionsDir = Some(s"$base/versions"), occ = true, evolveSchema = true))
+    val res = TableSql(spark, areg, "ALTER TABLE atbl ADD COLUMN score DOUBLE").head()
+    assert(res.getLong(0) == 1 && res.getString(1) == "score")
+    // schema-only: same rows, evolved columns, all-null new column
+    val head0 = TableSql(spark, areg,
+      "SELECT COUNT(*) AS n, COUNT(score) AS ns FROM atbl").head()
+    assert(head0.getLong(0) == 1000 && head0.getLong(1) == 0)
+    // the pinned pre-ALTER version keeps its original schema
+    assert(!VersionLog.readVersion(spark, s"$base/versions", 0).columns.contains("score"),
+      "pre-ALTER pinned version leaked the added column")
+    // an old-shape INSERT null-fills (evolveSchema table)
+    spark.range(2000, 2010).select(col("id").as("k"), lit(1.5).as("v"))
+      .createOrReplaceTempView("alter_rows")
+    TableSql(spark, areg, "INSERT INTO atbl SELECT k, v FROM alter_rows").collect()
+    val head1 = TableSql(spark, areg,
+      "SELECT COUNT(*) AS n, COUNT(score) AS ns FROM atbl").head()
+    assert(head1.getLong(0) == 1010 && head1.getLong(1) == 0)
+    // a new-shape INSERT carries the column
+    spark.range(3000, 3005)
+      .select(col("id").as("k"), lit(1.5).as("v"), lit(2.0).as("score"))
+      .createOrReplaceTempView("alter_rows2")
+    TableSql(spark, areg, "INSERT INTO atbl SELECT k, v, score FROM alter_rows2").collect()
+    val head2 = TableSql(spark, areg,
+      "SELECT COUNT(*) AS n, COUNT(score) AS ns FROM atbl").head()
+    assert(head2.getLong(0) == 1015 && head2.getLong(1) == 5)
+    // adding an existing column rejects loudly, case-insensitively
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, areg, "ALTER TABLE atbl ADD COLUMN V INT")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // a non-OCC table has no log to record the schema in
+    val e2 = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "ALTER TABLE tbl ADD COLUMN score DOUBLE")
+    }
+    assert(e2.getMessage.contains("OCC version log"), e2.getMessage)
+  }
 }

@@ -218,4 +218,39 @@ class VersionLogEdgeSpec extends SparkSpec {
         s"v$v: 2D-pruned content diverged")
     }
   }
+
+  test("OCC ingest batch-0 attach to a long-lived table is RPC-bounded: no token walk without a slot") {
+    // round-12 verdict #5: with no previous-batch token to stop at, the
+    // replay probe walked head→v0 probing _BATCH markers — O(head) RPCs
+    // when a stream attaches to a long-lived table. The probe is now
+    // gated on the batch's slot dir existing (a previous attempt writes
+    // its slot BEFORE committing, so no slot proves no prior commit);
+    // CountFs counts the marker probes to pin the bound.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.countfs.impl", classOf[graft.util.CountFs].getName)
+    hc.setBoolean("fs.countfs.impl.disable.cache", true)
+    val base = freshTable("attach")
+    val vdir = s"countfs:$base/versions"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    // a long-lived table: 20 empty rebase commits before the stream attaches
+    val emptyStats = FileSkipping.buildManifest(spark, s"$base/data", "k").limit(0)
+    for (_ <- 1 to 20)
+      VersionLog.commitRebase(spark, vdir, VersionLog.head(spark, vdir),
+        Seq.empty, emptyStats)
+    assert(VersionLog.head(spark, vdir) == 20)
+    try {
+      graft.util.CountFs.needle = Some("_BATCH_")
+      graft.util.CountFs.hits.set(0)
+      val v = FileSkipping.ingestBatchOcc(rows(0, 50), 0L, s"$base/ingest", "k", vdir)
+      assert(v == 21)
+      val fresh = graft.util.CountFs.hits.get()
+      assert(fresh == 0,
+        s"a fresh batch 0 probed $fresh _BATCH tokens — the O(head) walk is back")
+      // replay (slot exists now): the token sits at head — found in one probe
+      graft.util.CountFs.hits.set(0)
+      assert(FileSkipping.ingestBatchOcc(rows(0, 50), 0L, s"$base/ingest", "k", vdir) == v)
+      val replay = graft.util.CountFs.hits.get()
+      assert(replay <= 2, s"a replayed batch probed $replay tokens — expected O(1)")
+    } finally graft.util.CountFs.needle = None
+  }
 }
