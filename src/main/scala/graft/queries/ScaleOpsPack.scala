@@ -1302,6 +1302,60 @@ object ScaleOpsPack extends QueryPack {
       VersionLog.readVersion(s, vdir, head)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+    },
+
+    // ── q208: explicit DDL evolution — ALTER TABLE … ADD COLUMN ────────
+    // Round-12 verdict stretch: operators evolve a table WITHOUT a data
+    // mutation. The ALTER commits a SCHEMA-ONLY version (file set
+    // unchanged, evolved schema recorded — removed = ∅, added = ∅, so it
+    // can never conflict with a concurrent writer); an old-shape INSERT
+    // then null-fills the new column, a new-shape INSERT carries it, and
+    // a reader pinned BEFORE the ALTER keeps the original schema. Every
+    // statement goes through the SQL frontend. The oracle recomputes both
+    // snapshots set-theoretically; the bonus is price/4 (binary-exact
+    // quartering) so the double arithmetic replays bit-for-bit.
+    "q208_sql_alter_add_column" -> { (s, d) =>
+      import graft.io.{TableSql, VersionLog}
+      val base = "/root/repo/target/scratch/q208_alter"
+      val orders = stagedOrdersCopy(s, d, base)
+      VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val reg = Map("atable" -> TableSql.TableRef(s"$base/data", s"$base/manifest",
+        "o_orderkey", versionsDir = Some(s"$base/versions"), occ = true,
+        evolveSchema = true))
+      TableSql(s, reg, "ALTER TABLE atable ADD COLUMN o_bonus DOUBLE") // v1
+      // old-shape INSERT: the added column null-fills
+      mergeInserts(orders).createOrReplaceTempView("q208_old_rows")
+      TableSql(s, reg,
+        """INSERT INTO atable
+           SELECT o_orderkey, o_orderpriority, o_totalprice FROM q208_old_rows""") // v2
+      // new-shape INSERT: carries the added column
+      orders.filter(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          lit("9-BONUS").as("o_orderpriority"),
+          col("o_totalprice"),
+          (col("o_totalprice") / 4).as("o_bonus"))
+        .createOrReplaceTempView("q208_new_rows")
+      TableSql(s, reg,
+        """INSERT INTO atable
+           SELECT o_orderkey, o_orderpriority, o_totalprice, o_bonus
+           FROM q208_new_rows""") // v3
+      // self-check the pin's schema (a leak would also hash-mismatch the
+      // oracle's literal-0 bonus columns)
+      require(!VersionLog.readVersion(s, s"$base/versions", 0)
+        .columns.contains("o_bonus"),
+        "pre-ALTER pinned version leaked the added column")
+      val head = TableSql(s, reg,
+        s"""SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price,
+                   COUNT(o_bonus) AS n_bonus,
+                   ${Sql.dsum("COALESCE(o_bonus, 0)")} AS sum_bonus
+            FROM atable GROUP BY o_orderpriority""")
+      val v0 = TableSql(s, reg,
+        s"""SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price,
+                   CAST(0 AS BIGINT) AS n_bonus, ${Sql.dsum("0")} AS sum_bonus
+            FROM atable VERSION AS OF 0 GROUP BY o_orderpriority""")
+      head.unionByName(v0)
     }
   )
 
@@ -1697,6 +1751,35 @@ object ScaleOpsPack extends QueryPack {
           b AS (SELECT date_trunc('day', MIN(t)) + INTERVAL 14 DAY AS t2 FROM e)
           SELECT event_type, COUNT(*) AS n, ${Sql.dsum("value")} AS sum_value
           FROM e, b WHERE t < b.t2 GROUP BY 1""",
+
+    // q208: head = base ∪ old-shape inserts (null bonus) ∪ new-shape
+    // inserts (price/4 bonus); v0 = the untouched base with the literal
+    // zeros the pre-ALTER schema forces
+    "q208_sql_alter_add_column" ->
+      s"""WITH old_ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                 '9-MERGED' AS o_orderpriority,
+                 o_totalprice + 5 AS o_totalprice,
+                 CAST(NULL AS DOUBLE) AS o_bonus
+               FROM orders WHERE o_orderkey % 601 = 0),
+          new_ins AS (SELECT o_orderkey + 200000000 AS o_orderkey,
+                 '9-BONUS' AS o_orderpriority,
+                 o_totalprice,
+                 o_totalprice / 4 AS o_bonus
+               FROM orders WHERE o_orderkey % 997 = 0),
+          m AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       CAST(NULL AS DOUBLE) AS o_bonus FROM orders
+                UNION ALL SELECT * FROM old_ins
+                UNION ALL SELECT * FROM new_ins)
+          SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 COUNT(o_bonus) AS n_bonus,
+                 ${Sql.dsum("COALESCE(o_bonus, 0)")} AS sum_bonus
+          FROM m GROUP BY 1, 2
+          UNION ALL
+          SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price,
+                 CAST(0 AS BIGINT) AS n_bonus, ${Sql.dsum("0")} AS sum_bonus
+          FROM orders GROUP BY 1, 2""",
 
     // q202: both snapshots' box aggregates recomputed set-theoretically
     // from the source — 2D pruning at either version must be invisible
