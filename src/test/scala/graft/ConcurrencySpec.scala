@@ -596,4 +596,63 @@ class ConcurrencySpec extends SparkSpec {
       "marker-less replay re-committed an already-committed batch")
     assert(VersionLog.hasMarker(spark, vdir, v2, "_BATCH_2"), "backstop did not re-stamp the token")
   }
+
+  test("an incremental feed consumer racing live writers never skips a commit (commit-ordered visibility, threaded)") {
+    // the round-12 advice race, run GENUINELY: two writer threads land 10
+    // sequential versions (key-disjoint bands, real file-conflict retries)
+    // while a consumer thread polls with a cursor as fast as it can.
+    // Without the _INTENT protocol a poll landing between writer A's
+    // `_SUCCESS` and its slot stamp — while writer B's LATER version is
+    // already stamped — advances the cursor past A's slot forever; with
+    // it the poll holds below the pending version and folds every commit
+    // exactly once. The cursor-fold total must equal the full feed's.
+    val (data, vdir) = freshTable("feedrace")
+    val cdc = s"${data.stripSuffix("/data")}/frcdc"
+    val nCommits = 10
+    val writers = (0 until 2).map { w =>
+      Future {
+        (0 until nCommits / 2).foreach { i =>
+          val lo = (w * (nCommits / 2) + i) * 100L
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            assert(attempt <= 15, s"writer $w starved on delta $i")
+            try {
+              FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+                spark.range(lo, lo + 10).select(col("id").as("k"),
+                  lit(s"FR-$w-$i").as("tag"), lit(1.0).as("v")),
+                s"FR$w-$i-a$attempt", pinned = Some(VersionLog.begin(spark, vdir)),
+                cdcDir = Some(cdc))
+              done = true
+            } catch { case _: java.util.ConcurrentModificationException => () }
+          }
+        }
+      }
+    }
+    val perPoll = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val consumer = Future {
+      var cursor = 0
+      var polls = 0
+      while (cursor < nCommits) {
+        polls += 1
+        assert(polls <= 2000, s"consumer starved at cursor $cursor")
+        val (df, next) = FileSkipping.readCommittedFeedsSince(spark, cdc, cursor)
+        df.foreach(d => perPoll += d.filter(col("op") === "update_postimage").count())
+        cursor = next
+        if (df.isEmpty) Thread.sleep(50)
+      }
+      cursor
+    }
+    writers.foreach(Await.result(_, 10.minutes))
+    assert(Await.result(consumer, 10.minutes) == nCommits)
+    noOrphanedClaims(vdir)
+    // every commit's postimages folded exactly once — a skipped (or
+    // double-read) slot breaks the total
+    assert(perPoll.sum == nCommits * 10L,
+      s"cursor consumer folded ${perPoll.sum} postimage rows, expected ${nCommits * 10}")
+    // steady state leaves no visibility intents behind
+    assert(!new java.io.File(cdc).listFiles().exists(_.getName.startsWith("_INTENT_v")),
+      "committed/aborted transactions leaked visibility intents")
+  }
 }
