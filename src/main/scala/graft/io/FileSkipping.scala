@@ -411,7 +411,7 @@ object FileSkipping {
     * consumer uses [[readCommittedFeedsSince]] and never re-pays old
     * slots. */
   def readCommittedFeeds(spark: SparkSession, cdcDir: String): DataFrame = {
-    val (slots, _, watermark) = feedState(spark, cdcDir)
+    val (slots, pending, watermark) = feedState(spark, cdcDir)
     // a vacuumed feed dir can never serve a FULL-history rebuild again —
     // reading only the surviving slots would be the silent-partial answer
     // the watermark exists to prevent (round-12 verdict #3)
@@ -421,6 +421,18 @@ object FileSkipping {
         s"at or after v$watermark and consume incrementally (readCommittedFeedsSince)")
     require(slots.nonEmpty,
       s"no committed transaction feed slots under $cdcDir — nothing to consume")
+    // a pending intent BELOW a stamped slot is a committed-but-unstamped
+    // transaction (or crash debris) — a "full history" union that skips
+    // it while including later slots is the same silent-partial answer
+    // (round-13 review; the cursor poll already holds below it). An
+    // intent ABOVE every stamped slot is an in-flight commit — ordinary
+    // for a point-in-time read.
+    val blocked = pending.filter(_ <= slots.map(_._1).max)
+    require(blocked.isEmpty,
+      s"feed under $cdcDir has committed-but-unstamped transaction(s) at version(s) " +
+        s"${blocked.toSeq.sorted.mkString(",")} (pending _INTENT below a stamped slot) — " +
+        "a full-history read would silently miss their changes; stamp the slot(s) " +
+        "(the CommittedButIncomplete remediation) or delete crash-debris intents, then re-read")
     readSlotUnion(spark, slots.map(_._2))
   }
 
@@ -491,21 +503,29 @@ object FileSkipping {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
     val (slots, pending, watermark) = feedState(spark, cdcDir)
-    val dead = slots.filter(_._1 <= consumedThrough)
+    // CLAMP the cutoff to the highest stamped slot actually present
+    // (round-13 review: persisting a raw over-large cutoff — a cursor
+    // from the wrong table, Int.MaxValue — would brick the feed: every
+    // FUTURE commit at or below the watermark becomes unconsumable by
+    // any legal poll). No consumer's cursor can exceed the max stamped
+    // version, so the clamp never under-protects.
+    val effective = math.min(consumedThrough,
+      slots.map(_._1).maxOption.getOrElse(-1))
+    val dead = slots.filter(_._1 <= effective)
     dead.foreach { case (_, slot) =>
       fs.delete(new org.apache.hadoop.fs.Path(slot), true)
     }
     // a pending intent at or below the cutoff can only be abort/crash
     // debris: a genuinely committed-but-unstamped transaction there would
     // contradict the operator's statement that every consumer is past it
-    pending.filter(_ <= consumedThrough).foreach { i =>
+    pending.filter(_ <= effective).foreach { i =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$cdcDir/$IntentPrefix$i"), false)
     }
     // persist the cutoff (round-12 verdict #3): a consumer still behind
     // it must fail LOUDLY at its next poll, not silently fold only the
     // surviving slots. Monotonic — only the max marker survives.
-    if (consumedThrough > watermark) {
-      fs.create(new org.apache.hadoop.fs.Path(s"$cdcDir/$VacuumedPrefix$consumedThrough"),
+    if (effective > watermark) {
+      fs.create(new org.apache.hadoop.fs.Path(s"$cdcDir/$VacuumedPrefix$effective"),
         /* overwrite = */ true).close()
       if (watermark >= 0)
         fs.delete(new org.apache.hadoop.fs.Path(s"$cdcDir/$VacuumedPrefix$watermark"), false)
@@ -524,31 +544,40 @@ object FileSkipping {
     * probe below runs once per (log, JVM) instead of once per append —
     * on a 25 ms object store the probe is ~4 RPCs + a Spark job, which
     * the slowfs bench arm would otherwise pay 25×. A stale entry after a
-    * record appears is harmless: the record is checked FIRST. Keyed by
-    * LOG IDENTITY, not path alone (round-12 advice: scratch/spec/bench
-    * flows routinely delete and re-create a log at the same path, and a
-    * path-keyed memo then validated appends against the DEAD table's
-    * schema): v0's `_SUCCESS` mtime changes on every re-bootstrap, so a
-    * recreated log misses the memo and re-probes — one getFileStatus RPC
-    * per memoized call, cheap next to the probe it avoids. */
-  private val bootstrapSchemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    * record appears is harmless: the record is checked FIRST. VALIDATED
+    * against LOG IDENTITY, never path alone (round-12 advice:
+    * scratch/spec/bench flows routinely delete and re-create a log at
+    * the same path, and a path-keyed memo then validated appends against
+    * the DEAD table's schema): the identity tag is v0's snapshot
+    * part-file NAME, which carries a fresh per-write UUID — a re-created
+    * log can never collide (an mtime tag could, within the filesystem's
+    * timestamp granularity). One map entry per PATH (replaced on tag
+    * mismatch), so delete/re-create cycles don't grow the map; the cost
+    * on a memoized call is one listStatus of the v0 dir, cheap next to
+    * the footer probe + Spark job it avoids. */
+  private val bootstrapSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
-  private def logIdentity(spark: SparkSession, versionsDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$versionsDir/v0/_SUCCESS")
-    val tag =
-      try {
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.getFileStatus(p).getModificationTime.toString else "no-v0"
-      } catch { case scala.util.control.NonFatal(_) => "no-v0" }
-    s"$versionsDir@$tag"
-  }
+  private def logIdentity(spark: SparkSession, versionsDir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$versionsDir/v0")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) "no-v0"
+      else fs.listStatus(p).map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .sorted.headOption.getOrElse("no-part")
+    } catch { case scala.util.control.NonFatal(_) => "no-v0" }
 
   private def dataSchemaAt(spark: SparkSession, versionsDir: String, v: Int,
                            snap: => DataFrame): org.apache.spark.sql.types.StructType =
     VersionLog.schemaAt(spark, versionsDir, v).getOrElse {
-      bootstrapSchemaMemo.computeIfAbsent(logIdentity(spark, versionsDir),
-        _ => inferBootstrapSchema(spark, versionsDir, v, snap))
+      val tag = logIdentity(spark, versionsDir)
+      Option(bootstrapSchemaMemo.get(versionsDir)) match {
+        case Some((`tag`, schema)) => schema
+        case _ =>
+          val schema = inferBootstrapSchema(spark, versionsDir, v, snap)
+          bootstrapSchemaMemo.put(versionsDir, (tag, schema))
+          schema
+      }
     }
 
   private def inferBootstrapSchema(spark: SparkSession, versionsDir: String, v: Int,

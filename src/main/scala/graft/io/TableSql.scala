@@ -259,9 +259,15 @@ object TableSql {
     * quotes (`''`, `""`) escape inside their own style. Backtick-quoted
     * spans are deliberately NOT masked: backticks quote IDENTIFIERS — a
     * `` `name` `` is a real table reference and must keep binding
-    * (spec-pinned). An unterminated quote blanks to end-of-statement,
-    * which can only UNDER-bind (the statement is about to fail in
-    * Spark's parser anyway), never rewrite inside a literal. */
+    * (spec-pinned). BACKSLASH escapes inside a literal mask themselves
+    * plus the next character (round-13 review: Spark's default parser —
+    * `spark.sql.parser.escapedStringLiterals = false` — processes `\'`
+    * as an escaped quote INSIDE the literal, so treating it as the
+    * closing quote unmasked the literal's tail and let a time-travel
+    * phrase there be rewritten); under `escapedStringLiterals = true`
+    * the same rule can only OVER-mask past the real end, which
+    * under-binds — a loud analysis failure, never a rewrite inside a
+    * literal. An unterminated quote likewise blanks to end-of-statement. */
   private def maskLiterals(text: String): String = {
     val out = text.toCharArray
     var i = 0
@@ -271,7 +277,9 @@ object TableSql {
         i += 1
         var closed = false
         while (i < out.length && !closed) {
-          if (out(i) == q) {
+          if (out(i) == '\\' && i + 1 < out.length) { // backslash escape
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (out(i) == q) {
             if (i + 1 < out.length && out(i + 1) == q) { // doubled escape
               out(i) = ' '; out(i + 1) = ' '; i += 2
             } else { closed = true; i += 1 }

@@ -527,6 +527,30 @@ object VersionLog {
                 .create(ip, /* overwrite = */ true).close()
             }
             requireReadVersionAlive()
+            // SCHEMA-RECORD conflict check (the metadata half of OCC —
+            // Delta aborts on concurrent metadata changes too): a commit
+            // that RECORDS a schema derived from its pinned version must
+            // not overwrite a record a concurrent evolution landed after
+            // the pin — carrying fields the parent record has and this
+            // one lacks would silently erase them from every later read
+            // (files that physically contain the column would project it
+            // away). Abort with the standard retryable conflict; the
+            // re-run derives its evolved schema from the new head.
+            schemaJson.foreach { json =>
+              readSchemaJson(fs, versionsDir, h).foreach { parentJson =>
+                val newTypes = org.apache.spark.sql.types.DataType.fromJson(json)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]
+                  .fields.map(f => f.name -> f.dataType.catalogString).toMap
+                val lost = org.apache.spark.sql.types.DataType.fromJson(parentJson)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]
+                  .fields.filterNot(f => newTypes.get(f.name).contains(f.dataType.catalogString))
+                if (lost.nonEmpty) throw new java.util.ConcurrentModificationException(
+                  s"OCC schema conflict: the table's schema evolved concurrently — head " +
+                    s"(v$h) records column(s) ${lost.map(_.name).mkString(",")} that this " +
+                    "transaction's evolved schema (derived from its pinned version) would " +
+                    "drop or retype — re-run against the new head")
+              }
+            }
             validateNoConflict(spark, versionsDir, readVersion, h, removed, added, rewriteOnly)
             val removedDf = broadcast(spark.createDataset(removed.toIndexedSeq)(
               org.apache.spark.sql.Encoders.STRING).toDF("file"))
@@ -543,14 +567,25 @@ object VersionLog {
               .write.mode("overwrite").parquet(s"$versionsDir/v$v")
           } catch {
             case e: Throwable =>
-              fs.delete(claim, false)
               // an aborted transaction's visibility intent must not block
-              // consumers at a version someone else will commit
+              // consumers at a version someone else will commit — deleted
+              // WHILE THE CLAIM IS STILL HELD (round-13 review: releasing
+              // the claim first let a racing writer claim this version and
+              // create a FRESH intent that our delayed delete then
+              // removed, re-opening the skip-a-commit window). A delete
+              // failure is surfaced as a suppressed exception naming the
+              // remediation — a silently-orphaned intent stalls every
+              // consumer below this version with no error anywhere.
               cdcIntent.foreach { dir =>
                 val ip = new org.apache.hadoop.fs.Path(s"$dir/_INTENT_v$v")
-                try ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, false)
-                catch { case _: java.io.IOException => () }
+                try { ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, false); () }
+                catch {
+                  case io: java.io.IOException => e.addSuppressed(new IllegalStateException(
+                    s"aborted transaction could not remove its feed visibility intent $ip — " +
+                      s"feed consumers will hold below v$v until it is deleted manually", io))
+                }
               }
+              fs.delete(claim, false)
               // a mid-flight vacuum manifests as path-not-found on the
               // pinned snapshot from inside a job — same contract breach,
               // same loud message, never a torn head (nothing committed)

@@ -257,6 +257,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(VersionLog.readVersion(spark, vdir, 1).count() == 200)
   }
 
+  test("concurrent schema evolutions cannot erase each other's record: the stale-pin evolution aborts, the retry unions") {
+    // round-13 review: an evolving commit derives its recorded schema
+    // from its PINNED version — band- and file-disjoint from a concurrent
+    // evolution, so only a schema-record check can stop the later commit
+    // from overwriting the log's record with one that lacks the other's
+    // column (files that physically contain it would then silently
+    // project it away on every read)
+    val (data, vdir) = freshOcc("schemarace")
+    val pinB = VersionLog.begin(spark, vdir)
+    FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(100, 110).withColumn("colA", col("k") * 1.0), "RA",
+      pinned = Some(VersionLog.begin(spark, vdir)), evolveSchema = true) // v1
+    val e = intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+        rows(3100, 3110).withColumn("colB", col("k") * 2.0), "RB",
+        pinned = Some(pinB), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("schema conflict") && e.getMessage.contains("colA"),
+      e.getMessage)
+    // the retry (fresh pin) derives from the new head's record: BOTH
+    // columns in the record, both sets of values at head
+    val v2 = FileSkipping.mergeKeyedOcc(spark, data, vdir, "k",
+      rows(3100, 3110).withColumn("colB", col("k") * 2.0), "RB2",
+      pinned = Some(VersionLog.begin(spark, vdir)), evolveSchema = true)
+    val rec = VersionLog.schemaAt(spark, vdir, v2).get
+    assert(rec.fieldNames.contains("colA") && rec.fieldNames.contains("colB"),
+      rec.fieldNames.mkString(","))
+    val head = VersionLog.readVersion(spark, vdir, v2)
+    assert(head.filter(col("colA").isNotNull).count() == 10)
+    assert(head.filter(col("colB").isNotNull).count() == 10)
+  }
+
   test("a feed stream pins its schema at start: evolution mid-stream needs a restart with the recorded schema (the Delta streaming rule)") {
     // round-12 verdict #7: q199's readStream over a feed dir fixes its
     // schema when the stream starts. A table evolution mid-stream does

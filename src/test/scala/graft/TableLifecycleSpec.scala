@@ -296,6 +296,17 @@ class TableLifecycleSpec extends SparkSpec {
       FileSkipping.readCommittedFeedsSince(spark, cdc, 1)
     }
     assert(e3.getMessage.contains("v2"), e3.getMessage)
+    // an OVER-LARGE cutoff (a cursor from the wrong table, Int.MaxValue)
+    // clamps to the highest stamped slot — future commits must stay
+    // consumable, not land below a bricked watermark (round-13 review)
+    assert(merge("G4", 7000) == 4)
+    assert(FileSkipping.vacuumFeeds(spark, cdc, consumedThrough = Int.MaxValue) == 2)
+    val (none4, c4) = FileSkipping.readCommittedFeedsSince(spark, cdc, 4)
+    assert(none4.isEmpty && c4 == 4, "a consumer at the clamped watermark must poll cleanly")
+    assert(merge("G5", 7400) == 5)
+    val (Some(d5), c5) = FileSkipping.readCommittedFeedsSince(spark, cdc, 4): @unchecked
+    assert(c5 == 5 && d5.filter(col("op") === "update_postimage").count() == 30,
+      "a commit after an over-large vacuum cutoff was unconsumable")
   }
 
   test("a committed-but-unstamped feed slot BLOCKS cursor advancement instead of being skipped (commit-ordered visibility)") {
@@ -327,6 +338,13 @@ class TableLifecycleSpec extends SparkSpec {
     val slot2 = new java.io.File(new java.net.URI(slots(1)._2))
     assert(new java.io.File(slot2, "_COMMITTED_v2").delete())
     assert(new java.io.File(s"$cdc/_INTENT_v2").createNewFile())
+    // a FULL-history read inside the window fails loudly too — a union
+    // that includes v3 but silently misses committed v2 would be the
+    // same partial answer (round-13 review)
+    val eFull = intercept[IllegalArgumentException] {
+      FileSkipping.readCommittedFeeds(spark, cdc)
+    }
+    assert(eFull.getMessage.contains("committed-but-unstamped"), eFull.getMessage)
     // the poll consumes ONLY v1 — advancing to 3 would skip v2 forever
     val (Some(d1), c1) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0): @unchecked
     assert(c1 == 1, s"cursor advanced past a committed-but-unstamped slot: $c1")

@@ -278,6 +278,18 @@ class TableSqlSpec extends SparkSpec {
     assert(r3.getString(0) == """a "dqocc" b""" && r3.getLong(1) == 1000)
   }
 
+  test("backslash-escaped quotes stay inside the literal mask (default parser escape semantics)") {
+    // round-13 review: Spark's default parser processes \' as an escaped
+    // quote INSIDE the literal — treating it as the closing quote
+    // unmasked the literal's tail, and a time-travel phrase there was
+    // rewritten (the same class as the double-quote bug)
+    val r = TableSql(spark, reg,
+      "SELECT 'it\\'s tbl VERSION AS OF 1' AS phrase, COUNT(*) AS n FROM tbl").head()
+    assert(r.getString(0) == "it's tbl VERSION AS OF 1",
+      s"phrase after an escaped quote was rewritten to ${r.getString(0)}")
+    assert(r.getLong(1) == 1000)
+  }
+
   test("backtick-quoted identifiers still BIND: backticks quote names, not literals") {
     // the mask deliberately skips backtick spans — `tbl` is a real table
     // reference; masking it would silently unbind a legitimate query
