@@ -772,6 +772,9 @@ object FileSkipping {
           .select(lit("update_postimage").as("op") +: delta.columns.map(col): _*))
         .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
           .select(lit("insert").as("op") +: delta.columns.map(col): _*))
+        // one file per merge's feed append — O(|delta|) rows (see the OCC
+        // twin's coalesce note); q199's per-trigger economics improve too
+        .coalesce(1)
         .write.mode("append").parquet(dir)
     }
     val before = listParquet(fs, path)
@@ -905,6 +908,16 @@ object FileSkipping {
             .unionByName(delta.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
               .select(lit("insert").as("op") +: delta.columns.map(col): _*),
               allowMissingColumns = true)
+            // ONE file per merge feed slot: the feed is O(|delta|) rows
+            // (pre/post-images + inserts — never O(touched)), and a MERGE
+            // delta is broadcast-small by this method's own contract;
+            // inherited partitioning wrote dozens of near-empty files per
+            // slot — on an object store that multiplies both the commit's
+            // file-commit RPCs and every consumer's per-file open RTTs
+            // (the same lesson as the snapshot coalesce; measured by the
+            // ManifestScaleBench cdc arm). Delete feeds are NOT coalesced:
+            // a range delete's feed is O(deleted rows), unbounded.
+            .coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/txn-$txnId")
         }
         val slot = s"$dataDir/txn-$txnId"

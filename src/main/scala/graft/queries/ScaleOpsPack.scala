@@ -830,16 +830,17 @@ object ScaleOpsPack extends QueryPack {
           .withColumn("o_orderpriority", lit("8-M2"))
           .withColumn("o_totalprice", col("o_totalprice") * 3),
         cdcDir = Some(s"$base/cdc"))
-      // 8 files per trigger: the two merges' feeds span ~64 part files,
-      // so the fold still runs across MANY micro-batches (convergence is
-      // the property under test) without paying ~64 fixed per-batch job
-      // costs for a 5-row view update (1-file triggers measured 16.7 s;
-      // the folds are additive, so ANY batching gives the same view)
+      // 1 file per trigger: each merge's feed is now ONE coalesced file
+      // (the O(|delta|) feed write pays one file-commit, not ~32 — see
+      // mergeKeyed's coalesce note), so the two merges give exactly two
+      // micro-batches — still a multi-batch fold (convergence is the
+      // property under test, and the crash harness needs a batch 1 to
+      // crash in) without the old ~64 fixed per-batch job costs
       val schema = s.read.parquet(s"$base/cdc").schema
       @volatile var lastBatch = -1L
       graft.streaming.Streams.drainWithCrashRecoveryInto(
         () => s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 8).parquet(s"$base/cdc"),
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/cdc"),
         "q199_streamcdc", "append", crashAtBatch = 1) { (b, id) =>
           val delta = b
             .withColumn("w",

@@ -420,6 +420,45 @@ object ManifestScaleBench {
       hc.setLong("graft.slowfs.latency.ms", 0L) // don't tax later sessions
       println(f"""MANIFEST_SCALE: {"op":"slowfs_log","latency_ms":25,"depth":27,"per_commit_sec":${appendsSec / 25}%.3f,"lag25_commit_sec":$lagSec%.3f,"head_pointer_sec":$ptrSec%.3f,"head_listing_sec":$listSec%.3f}""")
     }
+
+    // the CDC-commit cost on an object-store-shaped log+feed (round 13:
+    // the commit-ordered visibility protocol adds exactly 2 feed-side
+    // RPCs per CDC commit — intent create before `_SUCCESS`, best-effort
+    // delete after the stamp; this arm measures the merge-with-feed
+    // wall and the incremental poll so the arithmetic stays empirical)
+    if (armOn("cdc")) {
+      import graft.io.{FileSkipping, VersionLog}
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.slowfs.impl", "graft.util.SlowFs")
+      hc.setBoolean("fs.slowfs.impl.disable.cache", true)
+      hc.setLong("graft.slowfs.latency.ms", 25L)
+      val localBase = s"$scratch/cdclog"
+      graft.util.Staging.deleteRecursive(localBase)
+      spark.range(100000).select(col("id").as("key"), (col("id") % 997 / 7.0).as("v"))
+        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+        .write.mode("overwrite").parquet(s"$localBase/data")
+      FileSkipping.buildManifest(spark, s"$localBase/data", "key")
+        .write.mode("overwrite").parquet(s"$localBase/manifest")
+      val vdir = s"slowfs:$localBase/versions"
+      val cdc = s"slowfs:$localBase/cdc"
+      VersionLog.commit(spark, vdir, s"$localBase/manifest")
+      val nMerges = 8
+      val (_, mergesSec) = time {
+        (0 until nMerges).foreach { i =>
+          FileSkipping.mergeKeyedOcc(spark, s"$localBase/data", vdir, "key",
+            spark.range(i * 1000L, i * 1000L + 10)
+              .select(col("id").as("key"), lit(i.toDouble).as("v")),
+            s"cdc-i$i", pinned = Some(VersionLog.begin(spark, vdir)),
+            cdcDir = Some(cdc))
+        }
+      }
+      val (pollRows, pollSec) = time {
+        val (df, _) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0)
+        df.map(_.count()).getOrElse(0L)
+      }
+      hc.setLong("graft.slowfs.latency.ms", 0L)
+      println(f"""MANIFEST_SCALE: {"op":"cdc_commit","latency_ms":25,"merges":$nMerges,"per_cdc_commit_sec":${mergesSec / nMerges}%.3f,"poll_all_sec":$pollSec%.3f,"poll_rows":$pollRows}""")
+    }
     spark.stop()
   }
 }
