@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *   VACUUM t RETAIN <n> VERSIONS
   *   INSERT INTO t SELECT …                  (append; schema-checked)
   *   ALTER TABLE t ADD COLUMN c <type>       (schema-only commit; OCC)
+  *   OPTIMIZE t [SMALL <bytes>] [TARGET <bytes>]   (compaction; OCC → rewrite-only txn)
+  *   DESCRIBE HISTORY t                      (one row per committed version)
   *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL)
   *
   * SELECTs BIND, they do not rewrite (round-10 review: the old textual
@@ -92,6 +94,10 @@ object TableSql {
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(\w+)(?:\s+SMALL\s+(\d+))?(?:\s+TARGET\s+(\d+))?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
   private val SelectRe = """(?is)^\s*SELECT\b.*""".r
 
   /** Per-statement OCC transaction ids: unique per JVM AND across JVM
@@ -208,6 +214,36 @@ object TableSql {
       spark.createDataFrame(Seq((v.toLong, colName)))
         .toDF("committed_version", "column_added")
 
+    case OptimizeRe(t, smallStr, targetStr) =>
+      // Delta's OPTIMIZE verb: bin small files through one range exchange
+      // (compaction IMPROVES clustering — see compactSmall). OCC tables
+      // compact as a rewrite-only transaction that composes with live
+      // writers; plain tables use the in-place path with their registered
+      // version log / 2D manifest riding along. Byte thresholds are
+      // optional (`OPTIMIZE t SMALL <bytes> TARGET <bytes>`) — defaults
+      // fold everything under 128 MiB into ~128 MiB files.
+      val ref = lookup(registry, t)
+      val small = Option(smallStr).map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val target = Option(targetStr).map(_.toLong).getOrElse(128L * 1024 * 1024)
+      if (ref.occ) {
+        val (v, compacted, written) = FileSkipping.compactSmallOcc(spark,
+          ref.dataDir, occLog(t, ref), ref.keyCol, small, target, freshTxnId())
+        spark.createDataFrame(Seq((v.toLong, compacted.toLong, written.toLong)))
+          .toDF("committed_version", "files_compacted", "files_written")
+      } else {
+        val (compacted, written) = FileSkipping.compactSmall(spark,
+          ref.dataDir, ref.manifestDir, ref.keyCol, small, target,
+          versionLog = ref.versionsDir, multiManifest = ref.multiManifest)
+        spark.createDataFrame(Seq((compacted.toLong, written.toLong)))
+          .toDF("files_compacted", "files_written")
+      }
+
+    case HistoryRe(t) =>
+      val ref = lookup(registry, t)
+      val vdir = ref.versionsDir.getOrElse(throw new IllegalArgumentException(
+        s"table '$t' has no version log — DESCRIBE HISTORY needs committed versions"))
+      VersionLog.describeHistory(spark, vdir)
+
     case SelectRe() =>
       // time-travel qualifiers are the one narrow rewrite (see object
       // scaladoc); plain table names are BOUND as temp views under their
@@ -247,7 +283,8 @@ object TableSql {
 
     case other => throw new IllegalArgumentException(
       "unsupported table-op statement (MERGE INTO / DELETE … BETWEEN / VACUUM / " +
-        s"INSERT INTO / ALTER TABLE … ADD COLUMN / SELECT): $other")
+        "INSERT INTO / ALTER TABLE … ADD COLUMN / OPTIMIZE / DESCRIBE HISTORY / " +
+        s"SELECT): $other")
   }
 
   /** The statement with every quoted SQL literal's CONTENT blanked to

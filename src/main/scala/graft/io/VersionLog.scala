@@ -761,6 +761,56 @@ object VersionLog {
     }
   }
 
+  /** The log's commit history as a one-row-per-version frame — the
+    * `DESCRIBE HISTORY` surface (Delta's shape): (version, n_files,
+    * n_rows, rewrite_only, has_schema_record). Versions already dropped
+    * by [[vacuum]] are absent. ONE multi-path Spark read recovers the
+    * per-version file/row counts and the commit class from the snapshot
+    * rows (the same move as conflict validation — flat in history
+    * length); the schema-record probe is one exists() per surviving
+    * version, the O(V) a DESCRIBE is allowed to pay. */
+  def describeHistory(spark: SparkSession, versionsDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, regexp_extract, sum}
+    val (fs, p) = fsFor(spark, versionsDir)
+    require(fs.exists(p), s"version log $versionsDir does not exist")
+    val existing = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS")))
+      .sorted.toSeq
+    require(existing.nonEmpty, s"nothing committed in $versionsDir")
+    val schemaVs = existing.filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$SchemaFile"))).toSet
+    // explicit minimal read schema: every snapshot vintage shares these
+    // (legacy snapshots null-fill rewrite_only), and a stats-upgrade log
+    // stays readable without mergeSchema — see validateNoConflict
+    val readSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rewrite_only",
+        org.apache.spark.sql.types.BooleanType)))
+    val perV = spark.read.schema(readSchema)
+      .parquet(existing.map(v => s"$versionsDir/v$v"): _*)
+      .select(col("n_rows"), col("rewrite_only"),
+        regexp_extract(input_file_name(), "/v(\\d+)/[^/]*$", 1).cast("int").as("version"))
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        max(col("rewrite_only")).as("rewrite_only"))
+    import spark.implicits._
+    val schemaDf = schemaVs.toSeq.map(v => (v, true)).toDF("version", "has_schema_record")
+    // a zero-FILE snapshot has no rows in the union — right-join the
+    // version list so it still gets its history row (0 files, 0 rows)
+    existing.toDF("version")
+      .join(perV, Seq("version"), "left")
+      .join(schemaDf, Seq("version"), "left")
+      .select(col("version"),
+        org.apache.spark.sql.functions.coalesce(col("n_files"), lit(0L)).as("n_files"),
+        org.apache.spark.sql.functions.coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        org.apache.spark.sql.functions.coalesce(col("rewrite_only"), lit(false)).as("rewrite_only"),
+        org.apache.spark.sql.functions.coalesce(col("has_schema_record"), lit(false)).as("has_schema_record"))
+      .orderBy("version")
+  }
+
   /** Mirror the head snapshot into the flat manifest dir — the handoff
     * from OCC back to the single-writer batch world (every in-place
     * mutation and pruned read consults `manifestDir`). Call once writers

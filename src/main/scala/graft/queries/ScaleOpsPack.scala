@@ -1357,6 +1357,36 @@ object ScaleOpsPack extends QueryPack {
                    CAST(0 AS BIGINT) AS n_bonus, ${Sql.dsum("0")} AS sum_bonus
             FROM atable VERSION AS OF 0 GROUP BY o_orderpriority""")
       head.unionByName(v0)
+    },
+
+    // ── q209: OPTIMIZE + DESCRIBE HISTORY through the SQL frontend ─────
+    // The daily maintenance verb a lake operator actually types: OPTIMIZE
+    // folds the 16 small staged files through one range exchange as a
+    // REWRITE-ONLY OCC transaction (composes with live writers — band
+    // checks skipped both directions, q207's production pair), DESCRIBE
+    // HISTORY shows the commit classes, and content is provably
+    // byte-preserved: the head aggregate AND the pre-OPTIMIZE pinned
+    // aggregate must both equal the plain source oracle.
+    "q209_sql_optimize" -> { (s, d) =>
+      import graft.io.{TableSql, VersionLog}
+      val base = "/root/repo/target/scratch/q209_optimize"
+      stagedOrdersCopy(s, d, base)
+      VersionLog.commit(s, s"$base/versions", s"$base/manifest") // v0
+      val reg = Map("octable" -> TableSql.TableRef(s"$base/data", s"$base/manifest",
+        "o_orderkey", versionsDir = Some(s"$base/versions"), occ = true))
+      val m = TableSql(s, reg, "OPTIMIZE octable").head() // v1, rewrite-only
+      require(m.getLong(1) >= 2 && m.getLong(2) < m.getLong(1),
+        s"OPTIMIZE must fold small files: compacted=${m.getLong(1)} written=${m.getLong(2)}")
+      val hist = TableSql(s, reg, "DESCRIBE HISTORY octable").collect()
+      require(hist.length == 2 &&
+        !hist(0).getBoolean(hist(0).fieldIndex("rewrite_only")) &&
+        hist(1).getBoolean(hist(1).fieldIndex("rewrite_only")),
+        s"history must show v0 content + v1 rewrite-only, got ${hist.mkString(";")}")
+      def agg(snap: String, src: String) = TableSql(s, reg,
+        s"""SELECT '$snap' AS snap, o_orderpriority, COUNT(*) AS n,
+                   ${Sql.dsum("o_totalprice")} AS sum_price
+            FROM $src GROUP BY o_orderpriority""")
+      agg("head", "octable").unionByName(agg("v0", "octable VERSION AS OF 0"))
     }
   )
 
@@ -1780,6 +1810,17 @@ object ScaleOpsPack extends QueryPack {
           SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
                  ${Sql.dsum("o_totalprice")} AS sum_price,
                  CAST(0 AS BIGINT) AS n_bonus, ${Sql.dsum("0")} AS sum_bonus
+          FROM orders GROUP BY 1, 2""",
+
+    // q209: compaction is content-preserving at BOTH snapshots — the head
+    // (compacted files) and the pre-OPTIMIZE pin must equal the source
+    "q209_sql_optimize" ->
+      s"""SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1, 2
+          UNION ALL
+          SELECT 'v0' AS snap, o_orderpriority, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
           FROM orders GROUP BY 1, 2""",
 
     // q202: both snapshots' box aggregates recomputed set-theoretically

@@ -290,6 +290,41 @@ class TableSqlSpec extends SparkSpec {
     assert(r.getLong(1) == 1000)
   }
 
+  test("OPTIMIZE compacts through the string; DESCRIBE HISTORY surfaces commit classes and needs a version log") {
+    val base = "/root/repo/target/scratch/tablesql_optimize"
+    graft.util.Staging.deleteRecursive(base)
+    spark.range(2000).select(col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$base/data")
+    FileSkipping.buildManifest(spark, s"$base/data", "k")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    VersionLog.commit(spark, s"$base/versions", s"$base/manifest") // v0
+    val oreg = Map("optbl" -> TableSql.TableRef(s"$base/data", s"$base/manifest", "k",
+      versionsDir = Some(s"$base/versions"), occ = true))
+    val m = TableSql(spark, oreg, "OPTIMIZE optbl").head()
+    assert(m.getLong(1) == 8 && m.getLong(2) >= 1 && m.getLong(2) < 8,
+      s"expected 8 small files folded, got ${m}")
+    // content preserved; the pinned pre-OPTIMIZE version intact
+    assert(TableSql(spark, oreg, "SELECT COUNT(*) AS n FROM optbl").head().getLong(0) == 2000)
+    assert(TableSql(spark, oreg,
+      "SELECT COUNT(*) AS n FROM optbl VERSION AS OF 0").head().getLong(0) == 2000)
+    // history: v0 content commit, v1 rewrite-only, no schema records
+    val hist = TableSql(spark, oreg, "DESCRIBE HISTORY optbl").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(!hist(0).getBoolean(hist(0).fieldIndex("rewrite_only"))
+      && hist(1).getBoolean(hist(1).fieldIndex("rewrite_only")))
+    assert(hist.forall(!_.getBoolean(hist(0).fieldIndex("has_schema_record"))))
+    assert(hist(0).getLong(hist(0).fieldIndex("n_files")) == 8)
+    // thresholds parse: SMALL 1 byte finds nothing small enough
+    val m2 = TableSql(spark, oreg, "OPTIMIZE optbl SMALL 1 TARGET 1000000").head()
+    assert(m2.getLong(1) == 0 && m2.getLong(2) == 0)
+    // DESCRIBE HISTORY without a version log rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      TableSql(spark, reg, "DESCRIBE HISTORY tbl")
+    }
+    assert(e.getMessage.contains("no version log"), e.getMessage)
+  }
+
   test("backtick-quoted identifiers still BIND: backticks quote names, not literals") {
     // the mask deliberately skips backtick spans — `tbl` is a real table
     // reference; masking it would silently unbind a legitimate query
