@@ -81,6 +81,30 @@ object Bench {
     // materialized BEFORE the clock starts — queries measure reads.
     SparkEntry.stage(spark, sfDir)
 
+    // The artifact this run will write, and the PREVIOUS committed run's
+    // per-query seconds from the same slot (round-13 verdict #2: queries
+    // that move >2× round-over-round — historically q44/q63/q68/q102/q132,
+    // a positional session-noise class — get an automatic ISOLATED
+    // min-of-N re-run at the end of the session, recorded beside the
+    // headline number, so attribution lives in the artifact instead of
+    // being re-litigated in prose every round).
+    val masterTag = if (master.startsWith("local-cluster")) "_cluster" else ""
+    val artifactPath = java.nio.file.Paths.get("/root/repo/bench_results")
+      .resolve(s"bench_full_${new java.io.File(sfDir).getName}$masterTag.json")
+    val priorSeconds: Map[String, Double] =
+      if (!java.nio.file.Files.exists(artifactPath)) Map.empty
+      else try {
+        val df = spark.read.json(artifactPath.toString).select("queries.*")
+        val row = df.head()
+        df.columns.zipWithIndex.flatMap { case (c, i) =>
+          row.get(i) match {
+            case d: java.lang.Double => Some(c -> d.doubleValue)
+            case l: java.lang.Long => Some(c -> l.toDouble)
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+
     // Media-codec warm-up (round-8 protocol fix): the FIRST ImageIO /
     // AudioSystem touch in a JVM pays the plugin-registry scan + codec
     // classloading (~1-3 s), which for three rounds surfaced as spurious
@@ -196,6 +220,36 @@ object Bench {
         try graft.queries.DedupPack.trainprepStageTimings(spark, sfDir)
         catch { case _: Throwable => Seq("error" -> -1.0) }
       } else Seq.empty
+    // Isolated re-runs for >2× round-over-round movers (either direction),
+    // AFTER the session's main loop so the JVM is in the same steady state
+    // an isolated manual re-run would see (warm JIT, no positional
+    // neighbor effects). Batch queries only — streaming variance already
+    // has its own listener-attributed columns. Bounded: at most 8 movers,
+    // min-of-3 each under the usual 30 s cap. `isolated_s` beside the
+    // headline number is what BASELINE.md cites; a true plan regression
+    // reproduces in the isolated number, session noise does not.
+    val isolated: Map[String, Double] = {
+      val movers = results.filter { case (n, v) =>
+        v > 0 && !streamingBench.contains(n) &&
+          priorSeconds.get(n).exists(p => p > 0 && (v > 2 * p || v * 2 < p))
+      }.take(8)
+      movers.map { case (n, _) =>
+        val fn = SparkEntry.queries(n)
+        var best = Double.MaxValue
+        var spent = 0.0
+        var runs = 0
+        while (runs < repeats && (runs == 0 || spent < 30.0)) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spent += dt; runs += 1
+          if (dt < best) best = dt
+        }
+        n -> best
+      }.toMap
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -215,9 +269,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val stagesJson = q147Stages.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val isolatedJson = isolated.toSeq.sortBy(_._1).map { case (k, v) =>
+      jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val priorJson = isolated.keys.toSeq.sorted
+      .flatMap(k => priorSeconds.get(k).map(p => jstr(k) + ":" + f"$p%.3f"))
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val memMib = if (memByQuery.isEmpty) 0L else memByQuery.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"q147_stages":$stagesJson,"sf":"$sfDir","master":"$master","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds; q147_stages is one instrumented attribution run (stage counts force work the lazy plan fuses — its sum exceeds the canonical q147 wall)"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"mem_mib":$memJson,"stream_batches":$sbJson,"stream_runs":$srJson,"q147_stages":$stagesJson,"isolated_s":$isolatedJson,"prior_s":$priorJson,"sf":"$sfDir","master":"$master","peak_heap_mib":$memMib,"protocol":"cold min-of-$repeats (cache cleared per run; streaming queries min-of-5 under a 60s cap), repeats capped at 30s/query, noop-sink forced, inputs pre-staged, per-query peak heap via resettable pool high-water marks (pool-peak SUM across the repeats loop: peaks at different instants and cross-query JVM noise can overstate a query's true concurrent footprint); stream_batches totals are across all repeats, stream_runs lists each repeat's wall seconds; q147_stages is one instrumented attribution run (stage counts force work the lazy plan fuses — its sum exceeds the canonical q147 wall); isolated_s is an end-of-session min-of-$repeats re-run of every batch query whose wall moved >2x vs the previous committed artifact (prior_s) — session noise vanishes there, a real regression reproduces"}"""
     println(json)
     // Persist the COMPLETE artifact too: the driver stores only a ~2k tail
     // of stdout, which truncated round 3's per-query seconds map out of
@@ -226,14 +285,8 @@ object Bench {
     // Non-default masters (cluster smokes) get their own artifact slot so
     // they never shadow the canonical local[32] record the judge reads.
     if (only.isEmpty) {
-      val masterTag =
-        if (master.startsWith("local-cluster")) "_cluster"
-        else ""
-      val outDir = java.nio.file.Paths.get("/root/repo/bench_results")
-      java.nio.file.Files.createDirectories(outDir)
-      java.nio.file.Files.write(
-        outDir.resolve(s"bench_full_${new java.io.File(sfDir).getName}$masterTag.json"),
-        (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.createDirectories(artifactPath.getParent)
+      java.nio.file.Files.write(artifactPath, (json + "\n").getBytes("UTF-8"))
     }
     spark.stop()
   }

@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
   *   ALTER TABLE t ADD COLUMN c <type>       (schema-only commit; OCC)
   *   OPTIMIZE t [SMALL <bytes>] [TARGET <bytes>]   (compaction; OCC → rewrite-only txn)
   *   DESCRIBE HISTORY t                      (one row per committed version)
+  *   RESTORE TABLE t TO VERSION AS OF n      (rollback commit; history preserved)
   *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL)
   *
   * SELECTs BIND, they do not rewrite (round-10 review: the old textual
@@ -98,6 +99,8 @@ object TableSql {
     """(?is)^\s*OPTIMIZE\s+(\w+)(?:\s+SMALL\s+(\d+))?(?:\s+TARGET\s+(\d+))?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
   private val SelectRe = """(?is)^\s*SELECT\b.*""".r
 
   /** Per-statement OCC transaction ids: unique per JVM AND across JVM
@@ -208,8 +211,18 @@ object TableSql {
       require(ref.occ,
         s"ALTER TABLE needs an OCC version log to record the schema in — " +
           s"table '$t' is not registered occ = true")
-      val dt = org.apache.spark.sql.types.StructType
-        .fromDDL(s"`$colName` ${typeDdl.trim}").head.dataType
+      // fromDDL parses a full field LIST, so 'ADD COLUMN c INT, d STRING'
+      // (the regex's greedy type tail) would silently become just `c INT`
+      // — reject multi-field / trailing-garbage DDL loudly instead
+      // (round-13 advice: silent partial DDL contradicts the frontend's
+      // reject-loudly convention)
+      val parsed = org.apache.spark.sql.types.StructType
+        .fromDDL(s"`$colName` ${typeDdl.trim}")
+      require(parsed.length == 1 && parsed.head.name == colName,
+        s"ALTER TABLE ADD COLUMN takes exactly one column; '$colName ${typeDdl.trim}' " +
+          s"parsed as ${parsed.length} fields (${parsed.map(_.name).mkString(", ")}) — " +
+          "issue one ALTER per column")
+      val dt = parsed.head.dataType
       val v = FileSkipping.alterAddColumn(spark, occLog(t, ref), colName, dt)
       spark.createDataFrame(Seq((v.toLong, colName)))
         .toDF("committed_version", "column_added")
@@ -243,6 +256,19 @@ object TableSql {
       val vdir = ref.versionsDir.getOrElse(throw new IllegalArgumentException(
         s"table '$t' has no version log — DESCRIBE HISTORY needs committed versions"))
       VersionLog.describeHistory(spark, vdir)
+
+    case RestoreRe(t, verStr) =>
+      // Delta's rollback verb (round-13 verdict stretch): a NEW commit
+      // re-pointing head at the target version's file set — history
+      // preserved, OCC-composed, schema record NOT rolled back (see
+      // [[FileSkipping.restoreVersion]])
+      val ref = lookup(registry, t)
+      require(ref.occ,
+        s"RESTORE TABLE needs an OCC version log to commit through — " +
+          s"table '$t' is not registered occ = true")
+      val v = FileSkipping.restoreVersion(spark, occLog(t, ref), verStr.toInt)
+      spark.createDataFrame(Seq((v.toLong, verStr.toLong)))
+        .toDF("committed_version", "restored_to")
 
     case SelectRe() =>
       // time-travel qualifiers are the one narrow rewrite (see object
@@ -284,7 +310,7 @@ object TableSql {
     case other => throw new IllegalArgumentException(
       "unsupported table-op statement (MERGE INTO / DELETE … BETWEEN / VACUUM / " +
         "INSERT INTO / ALTER TABLE … ADD COLUMN / OPTIMIZE / DESCRIBE HISTORY / " +
-        s"SELECT): $other")
+        s"RESTORE TABLE … TO VERSION AS OF / SELECT): $other")
   }
 
   /** The statement with every quoted SQL literal's CONTENT blanked to

@@ -767,20 +767,37 @@ object VersionLog {
     * by [[vacuum]] are absent. ONE multi-path Spark read recovers the
     * per-version file/row counts and the commit class from the snapshot
     * rows (the same move as conflict validation — flat in history
-    * length); the schema-record probe is one exists() per surviving
-    * version, the O(V) a DESCRIBE is allowed to pay. */
+    * length); the committed-version and schema-record sets come from ONE
+    * recursive listing of the log root (round-13 verdict #4: the former
+    * per-version `exists()` probes were 2·|history| serial driver
+    * round-trips — on an object store a recursive LIST is paginated by
+    * entry count, not by version, so the driver-RPC cost is now flat in
+    * history length, which is what the SURVEY ledger claims). */
   def describeHistory(spark: SparkSession, versionsDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, regexp_extract, sum}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
-    val existing = fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toInt)
-      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/_SUCCESS")))
-      .sorted.toSeq
+    val rootUri = fs.makeQualified(p).toUri.getPath
+    val success = scala.collection.mutable.Set.empty[Int]
+    val schemaVs0 = scala.collection.mutable.Set.empty[Int]
+    val files = fs.listFiles(p, /* recursive = */ true)
+    while (files.hasNext) {
+      val f = files.next().getPath
+      val dir = f.getParent
+      // only marker files DIRECTLY inside a v<N> dir that is DIRECTLY
+      // under the log root count — nested decoys don't
+      if (dir != null && dir.getParent != null &&
+          fs.makeQualified(dir.getParent).toUri.getPath == rootUri &&
+          dir.getName.startsWith("v") && dir.getName.drop(1).nonEmpty &&
+          dir.getName.drop(1).forall(_.isDigit)) {
+        val v = dir.getName.drop(1).toInt
+        if (f.getName == "_SUCCESS") success += v
+        else if (f.getName == SchemaFile) schemaVs0 += v
+      }
+    }
+    val existing = success.toSeq.sorted
     require(existing.nonEmpty, s"nothing committed in $versionsDir")
-    val schemaVs = existing.filter(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$versionsDir/v$v/$SchemaFile"))).toSet
+    val schemaVs = (schemaVs0 & success).toSet
     // explicit minimal read schema: every snapshot vintage shares these
     // (legacy snapshots null-fill rewrite_only), and a stats-upgrade log
     // stays readable without mergeSchema — see validateNoConflict

@@ -231,11 +231,27 @@ object DedupPack extends QueryPack {
       import graft.util.Parity
       val base = graft.relational.Scale.fanOut(
         Tables.documents(s, d).select("doc_id", "text", "source"))
+      // EAGER persist discipline (round-13 verdict #1: the capstone's wall
+      // was bimodal — 6.8 s one round, 13.8 s the next, on identical code
+      // — because cache population was left to whichever downstream job,
+      // broadcast-subquery jobs included, happened to touch a persisted
+      // frame first; a loss in that race re-ran the corpus scan + fan-out
+      // shuffle and the LSH-derived stages instead of sharing them). Every
+      // shared frame is now persisted AND counted at its definition, so
+      // by the time ANY consumer plans, the frame is a fully-materialized
+      // InMemoryRelation — the final datasheet job provably never rescans
+      // documents.parquet (TrainprepFusionSpec pins this on the optimized
+      // plan). corpus itself is the biggest win: un-persisted it was
+      // scanned + fan-out-SHUFFLED three times (band table, quality
+      // scoring, raw counts). At cluster scale the cache is
+      // MEMORY_AND_DISK and bounded by the fan-out stage's own working
+      // set — the same spill envelope the shuffle would need.
       val corpus = base.unionByName(
         base.filter(pmod(col("doc_id"), lit(5)) === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"),
-            col("source")))
+            col("source"))).persist()
+      corpus.count()
       // stage 1: LSH → components → keep best-quality doc per cluster
       val pairs = Dedup.candidatePairs(
         Dedup.bandTable(corpus.select("doc_id", "text"), "doc_id", "text"), "doc_id")
@@ -254,9 +270,12 @@ object DedupPack extends QueryPack {
         .filter(col("rn") > 1).select(col("node").as("doc_id"))
       // d1 feeds the gram derivation twice (bench + train) plus two
       // aggregates — persist the surviving slice once (q99 discipline;
-      // the session cache clear keeps bench repeats cold)
-      val d1 = tap("canonicalize",
-        scored.join(demote, Seq("doc_id"), "left_anti").persist())
+      // the session cache clear keeps bench repeats cold) and MATERIALIZE
+      // it eagerly (see the corpus persist note)
+      val d1 = tap("canonicalize", {
+        val f = scored.join(demote, Seq("doc_id"), "left_anti").persist()
+        f.count(); f
+      })
       // stage 2: drop the held-out benchmark docs AND any train doc
       // sharing a 5-gram shingle with them
       val grams = d1.select(col("doc_id"),
@@ -265,10 +284,19 @@ object DedupPack extends QueryPack {
       val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 0).select("g").distinct()
       val flagged = grams.filter(pmod(col("doc_id"), lit(17)) =!= 0)
         .join(broadcast(bench), "g").select("doc_id").distinct()
-      val d2 = tap("decontaminate", d1.filter(pmod(col("doc_id"), lit(17)) =!= 0)
-        .join(flagged, Seq("doc_id"), "left_anti"))
+      // d2 is read twice (the quality floor AND the datasheet's n_clean
+      // aggregate): persisting it runs the 5-gram explode / shingle
+      // broadcast exactly once per q147 evaluation
+      val d2 = tap("decontaminate", {
+        val f = d1.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+          .join(flagged, Seq("doc_id"), "left_anti").persist()
+        f.count(); f
+      })
       // stage 3: quality floor
-      val d3 = tap("quality_floor", d2.filter(col("q") >= 0.5).persist())
+      val d3 = tap("quality_floor", {
+        val f = d2.filter(col("q") >= 0.5).persist()
+        f.count(); f
+      })
       // stage 4: α=0.5 temperature mixture (the q99 arithmetic)
       val counts = d3.groupBy("source").agg(count(lit(1)).as("n_quality"))
         .withColumn("sw", round(sqrt(col("n_quality").cast("double")), 6))

@@ -459,6 +459,70 @@ object ManifestScaleBench {
       hc.setLong("graft.slowfs.latency.ms", 0L)
       println(f"""MANIFEST_SCALE: {"op":"cdc_commit","latency_ms":25,"merges":$nMerges,"per_cdc_commit_sec":${mergesSec / nMerges}%.3f,"poll_all_sec":$pollSec%.3f,"poll_rows":$pollRows}""")
     }
+
+    // the two remaining O(history)-shaped DIAGNOSTIC paths, measured at
+    // deep logs on the 25 ms store (round-13 verdict #8): DESCRIBE
+    // HISTORY (now one recursive listing + one multi-path read — flat in
+    // DRIVER round-trips; SlowFs has no LIST pagination, so its wall
+    // shows the per-directory listing tax a paginated object store
+    // amortizes ~1000:1) and the steady-state feed POLL, whose per-slot
+    // marker listings are O(slots on disk) — bounded in production by
+    // vacuumFeeds retention, measured here before and after the vacuum.
+    // Log depth is FABRICATED (v1..vN are byte-copies of v0's snapshot
+    // dir; slots are empty marker-stamped dirs): the commit path's cost
+    // is the slowfs/cdc arms' claim, this arm measures the READ paths.
+    if (armOn("history")) {
+      import graft.io.{FileSkipping, VersionLog}
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.slowfs.impl", "graft.util.SlowFs")
+      hc.setBoolean("fs.slowfs.impl.disable.cache", true)
+      val depths = sys.env.getOrElse("SPARK_GRAFT_MSB_HISTORY_DEPTHS", "200,1000")
+        .split(",").map(_.trim.toInt).toSeq
+      depths.foreach { depth =>
+        val localBase = s"$scratch/hist$depth"
+        graft.util.Staging.deleteRecursive(localBase)
+        spark.range(100000).select(col("id").as("key"), (col("id") % 997 / 7.0).as("v"))
+          .repartitionByRange(4, col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$localBase/data")
+        FileSkipping.buildManifest(spark, s"$localBase/data", "key")
+          .write.mode("overwrite").parquet(s"$localBase/manifest")
+        VersionLog.commit(spark, s"$localBase/versions", s"$localBase/manifest") // v0
+        val v0 = new java.io.File(s"$localBase/versions/v0")
+        (1 until depth).foreach { v =>
+          val dst = new java.io.File(s"$localBase/versions/v$v")
+          dst.mkdirs()
+          v0.listFiles().foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(dst, f.getName).toPath)
+          }
+        }
+        hc.setLong("graft.slowfs.latency.ms", 25L)
+        val (histRows, histSec) = time {
+          VersionLog.describeHistory(spark, s"slowfs:$localBase/versions").count()
+        }
+        hc.setLong("graft.slowfs.latency.ms", 0L)
+        val cdcLocal = new java.io.File(s"$localBase/cdc")
+        cdcLocal.mkdirs()
+        (1 to depth).foreach { v =>
+          val slot = new java.io.File(cdcLocal, s"txn-h$v")
+          slot.mkdirs()
+          new java.io.File(slot, s"_COMMITTED_v$v").createNewFile()
+        }
+        hc.setLong("graft.slowfs.latency.ms", 25L)
+        val (_, pollSec) = time {
+          FileSkipping.readCommittedFeedsSince(spark, s"slowfs:$localBase/cdc", depth)
+        }
+        hc.setLong("graft.slowfs.latency.ms", 0L)
+        FileSkipping.vacuumFeeds(spark, s"$localBase/cdc", depth - 8,
+          versionsDir = Some(s"$localBase/versions"))
+        hc.setLong("graft.slowfs.latency.ms", 25L)
+        val (_, pollVacSec) = time {
+          FileSkipping.readCommittedFeedsSince(spark, s"slowfs:$localBase/cdc", depth)
+        }
+        hc.setLong("graft.slowfs.latency.ms", 0L)
+        println(f"""MANIFEST_SCALE: {"op":"history","latency_ms":25,"depth":$depth,"describe_history_sec":$histSec%.3f,"history_rows":$histRows,"poll_caughtup_sec":$pollSec%.3f,"poll_after_vacuum_sec":$pollVacSec%.3f,"slots_retained":8}""")
+      }
+    }
     spark.stop()
   }
 }

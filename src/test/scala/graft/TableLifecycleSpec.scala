@@ -355,4 +355,189 @@ class TableLifecycleSpec extends SparkSpec {
     val (Some(d23), c23) = FileSkipping.readCommittedFeedsSince(spark, cdc, c1): @unchecked
     assert(c23 == 3 && d23.filter(col("op") === "update_postimage").count() == 60)
   }
+
+  test("feed poll TOCTOU: an intent landing AFTER the root listing, with its successor stamped before the slot scan, still holds the cursor") {
+    // round-13 advice (medium): intents used to come from the SAME root
+    // listing as the slot set. A writer whose _INTENT_vN landed after
+    // that listing — while a LATER writer committed AND stamped v(N+1)
+    // before the serial slot-marker scans ran — presented as "v(N+1)
+    // stamped, no pending intent for vN", and the cursor advanced past
+    // committed-but-unstamped vN forever. Intents are now snapshotted in
+    // a SECOND listing taken AFTER the slot scan (conservative: an
+    // intent is deleted only after its stamp). RaceFs reconstructs the
+    // exact window: the first root listing fires a hook that creates
+    // _INTENT_v1 and stamps v2's slot before the listing is returned.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.racefs.impl", classOf[graft.util.RaceFs].getName)
+    hc.setBoolean("fs.racefs.impl.disable.cache", true)
+    val base = s"/root/repo/target/scratch/lifec_toctou"
+    graft.util.Staging.deleteRecursive(base)
+    // two unstamped slots on disk, no intents visible yet: writer A (v1)
+    // hasn't dropped its intent, writer B (v2) hasn't stamped
+    rows(0, 10).withColumn("op", lit("insert"))
+      .coalesce(1).write.parquet(s"$base/cdc/txn-A")
+    rows(100, 110).withColumn("op", lit("insert"))
+      .coalesce(1).write.parquet(s"$base/cdc/txn-B")
+    val cdc = s"racefs:$base/cdc"
+    try {
+      graft.util.RaceFs.needle = Some("lifec_toctou/cdc")
+      graft.util.RaceFs.onFirstListing = Some(() => {
+        assert(new java.io.File(s"$base/cdc/_INTENT_v1").createNewFile())
+        assert(new java.io.File(s"$base/cdc/txn-B/_COMMITTED_v2").createNewFile())
+      })
+      val (got, c) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0)
+      assert(c == 0 && got.isEmpty,
+        s"cursor advanced to $c past committed-but-unstamped v1 (TOCTOU window re-opened)")
+    } finally {
+      graft.util.RaceFs.needle = None
+      graft.util.RaceFs.onFirstListing = None
+    }
+    // A's stamp lands: the next poll delivers BOTH commits in order
+    assert(new java.io.File(s"$base/cdc/txn-A/_COMMITTED_v1").createNewFile())
+    assert(new java.io.File(s"$base/cdc/_INTENT_v1").delete())
+    val (Some(both), c2) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0): @unchecked
+    assert(c2 == 2 && both.count() == 20)
+  }
+
+  test("vacuumFeeds refuses to reclaim a COMMITTED transaction's pending intent; true debris still reclaims") {
+    // round-13 verdict #3: a CommittedButIncomplete slot (committed,
+    // never stamped) presents exactly like abort debris to the old
+    // vacuum — the intent was deleted as "crash debris", erasing the
+    // only thing holding consumers, and the commit's changes were
+    // silently never consumed. With the version log passed in, the
+    // vacuum now checks the on-disk evidence (v<N>/_SUCCESS) BEFORE
+    // deleting anything and fails loudly naming the remediation.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.faultfs.impl", classOf[graft.util.FaultFs].getName)
+    hc.setBoolean("fs.faultfs.impl.disable.cache", true)
+    val base = freshTable("vac_guard")
+    val vdir = s"$base/versions"
+    val cdc = s"faultfs:$base/cdc"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    // V1 commits but its slot stamp is injected to fail: committed-but-
+    // unstamped, intent left behind ON PURPOSE (the consumer hold)
+    graft.util.FaultFs.failCreatesContaining = Some("_COMMITTED_v1")
+    val e =
+      try intercept[CommittedButIncomplete] {
+        FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+          rows(100, 130).withColumn("tag", lit("V1")), "V1", cdcDir = Some(cdc))
+      } finally graft.util.FaultFs.failCreatesContaining = None
+    assert(e.version == 1)
+    // a later CDC merge lands normally above it
+    assert(FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+      rows(3100, 3130).withColumn("tag", lit("V2")), "V2", cdcDir = Some(cdc)) == 2)
+    // the vacuum refuses — and deletes NOTHING (evidence check first)
+    val ex = intercept[IllegalStateException] {
+      FileSkipping.vacuumFeeds(spark, cdc, consumedThrough = 2, versionsDir = Some(vdir))
+    }
+    assert(ex.getMessage.contains("_COMMITTED_v1") && ex.getMessage.contains("COMMITTED"),
+      ex.getMessage)
+    assert(new java.io.File(s"$base/cdc/_INTENT_v1").exists(),
+      "the refusing vacuum deleted the committed transaction's intent")
+    assert(new java.io.File(s"$base/cdc/txn-V1").isDirectory &&
+      new java.io.File(s"$base/cdc/txn-V2").isDirectory,
+      "the refusing vacuum deleted feed slots")
+    // consumers are still holding (nothing skipped)
+    val (none, c0) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0)
+    assert(none.isEmpty && c0 == 0)
+    // remediation (the CommittedButIncomplete message): stamp the slot;
+    // consumption resumes and the SAME vacuum call now reclaims both
+    assert(new java.io.File(s"$base/cdc/txn-V1/_COMMITTED_v1").createNewFile())
+    val (Some(d12), c12) = FileSkipping.readCommittedFeedsSince(spark, cdc, 0): @unchecked
+    assert(c12 == 2 && d12.filter(col("op") === "update_postimage").count() == 60)
+    assert(FileSkipping.vacuumFeeds(spark, cdc, 2, Some(vdir)) == 2)
+    // TRUE debris — an intent whose version the LOG no longer carries
+    // (ancient crashed writer, its version since vacuumed) — still
+    // reclaims silently: no _SUCCESS, no hold
+    assert(FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+      rows(6100, 6130).withColumn("tag", lit("V3")), "V3", cdcDir = Some(cdc)) == 3)
+    VersionLog.vacuum(spark, s"$base/data", vdir, retainLast = 1) // drops v0-v2 dirs
+    assert(new java.io.File(s"$base/cdc/_INTENT_v2").createNewFile())
+    assert(FileSkipping.vacuumFeeds(spark, cdc, 3, Some(vdir)) == 1)
+    assert(!new java.io.File(s"$base/cdc/_INTENT_v2").exists(),
+      "abort/crash debris intent not reclaimed")
+  }
+
+  test("RESTORE races a concurrent merge: one side aborts loudly, head is never a silent mix") {
+    // round-13 verdict stretch acceptance: the rollback commit composes
+    // with OCC writers like any content change — a restore must never
+    // land OVER a racer's committed changes (it would silently drop
+    // them), and a merge must never land over a restore it never saw.
+    // Both directions, deterministic via pinned snapshots.
+    val base = freshTable("restore_race")
+    val vdir = s"$base/versions"
+    VersionLog.commitSnapshot(spark, vdir,
+      FileSkipping.buildManifest(spark, s"$base/data", "k")) // v0
+    assert(FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+      rows(100, 130).withColumn("tag", lit("R1")), "R1") == 1)
+    // restore pinned at v1; a merge lands first -> the restore aborts
+    val pin = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+      rows(200, 230).withColumn("tag", lit("R2")), "R2") == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.restoreVersion(spark, vdir, 0, pinned = Some(pin))
+    }
+    assert(VersionLog.head(spark, vdir) == 2, "aborted restore moved head")
+    // merge pinned at v2; a restore lands first -> the merge aborts
+    val pin2 = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.restoreVersion(spark, vdir, 0) == 3)
+    intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+        rows(300, 330).withColumn("tag", lit("R3")), "R3", pinned = Some(pin2))
+    }
+    // the restored head IS v0, row for row; history stays inspectable
+    val head = VersionLog.readVersion(spark, vdir, 3)
+    val v0 = VersionLog.readVersion(spark, vdir, 0)
+    assert(head.exceptAll(v0).count() == 0 && v0.exceptAll(head).count() == 0,
+      "restored head diverged from the target version")
+    assert(VersionLog.readVersion(spark, vdir, 2)
+      .filter(col("tag") === "R2").count() == 30,
+      "pre-restore history no longer readable")
+    // a vacuumed target refuses loudly
+    VersionLog.vacuum(spark, s"$base/data", vdir, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      FileSkipping.restoreVersion(spark, vdir, 1)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
+  test("plain appendWithManifest memoizes the contract footer probe (zero re-opens), still rejects divergence") {
+    // round-13 verdict #6: the plain-table schema contract probed one
+    // parquet footer on EVERY append (~4 RPCs + a Spark job on an
+    // object store). The schema is immutable by the very contract being
+    // enforced, so one probe per (table, JVM) serves all later appends —
+    // memo identity-tagged by the probed file's presence in the current
+    // listing (same discipline as the OCC bootstrap memo).
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.countfs.impl", classOf[graft.util.CountFs].getName)
+    hc.setBoolean("fs.countfs.impl.disable.cache", true)
+    val base = s"/root/repo/target/scratch/lifec_appmemo"
+    graft.util.Staging.deleteRecursive(base)
+    val dataDir = s"countfs:$base/data"
+    val manifestDir = s"$base/manifest"
+    def delta(lo: Long) = rows(lo, lo + 20)
+    assert(FileSkipping.appendWithManifest(delta(0), dataDir, manifestDir, "k") >= 1)
+    // second append populates the memo: it probes the table's sorted-
+    // FIRST file (the contract footer); later appends must never re-open
+    // it — fresh-file stats reads touch only each append's own files
+    assert(FileSkipping.appendWithManifest(delta(100), dataDir, manifestDir, "k") >= 1)
+    val probedFile = new java.io.File(s"$base/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.head
+    try {
+      graft.util.CountFs.openNeedle = Some(probedFile)
+      graft.util.CountFs.openHits.set(0)
+      assert(FileSkipping.appendWithManifest(delta(200), dataDir, manifestDir, "k") >= 1)
+      assert(FileSkipping.appendWithManifest(delta(300), dataDir, manifestDir, "k") >= 1)
+      val opens = graft.util.CountFs.openHits.get()
+      assert(opens == 0,
+        s"steady-state plain appends opened the contract-probe footer $opens time(s) " +
+          "— the per-append footer read is back")
+      // the MEMOIZED schema still enforces the contract loudly
+      val bad = delta(400).withColumn("k", col("k").cast("string"))
+      val e = intercept[IllegalArgumentException] {
+        FileSkipping.appendWithManifest(bad, dataDir, manifestDir, "k")
+      }
+      assert(e.getMessage.contains("physical TYPE"), e.getMessage)
+    } finally graft.util.CountFs.openNeedle = None
+  }
 }

@@ -377,5 +377,19 @@ class TableSqlSpec extends SparkSpec {
       TableSql(spark, reg, "ALTER TABLE tbl ADD COLUMN score DOUBLE")
     }
     assert(e2.getMessage.contains("OCC version log"), e2.getMessage)
+    // multi-column DDL rejects LOUDLY instead of silently adding only the
+    // first field (round-13 advice: the type regex swallows the tail, and
+    // fromDDL happily parses 'INT, d STRING' as a second field)
+    val e3 = intercept[IllegalArgumentException] {
+      TableSql(spark, areg, "ALTER TABLE atbl ADD COLUMN c INT, d STRING")
+    }
+    assert(e3.getMessage.contains("exactly one column"), e3.getMessage)
+    assert(!VersionLog.readVersion(spark, s"$base/versions",
+        VersionLog.head(spark, s"$base/versions")).columns.contains("c"),
+      "rejected multi-column ALTER still committed its first field")
+    // nested commas are ONE type, not multi-column DDL
+    val r4 = TableSql(spark, areg,
+      "ALTER TABLE atbl ADD COLUMN meta MAP<STRING, INT>").head()
+    assert(r4.getString(1) == "meta")
   }
 }

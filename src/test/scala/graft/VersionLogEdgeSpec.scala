@@ -253,4 +253,49 @@ class VersionLogEdgeSpec extends SparkSpec {
       assert(replay <= 2, s"a replayed batch probed $replay tokens — expected O(1)")
     } finally graft.util.CountFs.needle = None
   }
+
+  test("describeHistory drives ZERO per-version exists() probes (flat driver RPCs in history length)") {
+    // round-13 verdict #4: the marker/schema-record checks were two
+    // serial exists() round-trips PER VERSION — O(history) driver RPCs
+    // on an object store. Both sets now come from ONE recursive listing;
+    // CountFs pins the serial-probe count at zero for any history
+    // length (the listing itself is paginated by entry count, the flat
+    // shape — see CountFs.exists's scaladoc for why the two counters
+    // differ).
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.countfs.impl", classOf[graft.util.CountFs].getName)
+    hc.setBoolean("fs.countfs.impl.disable.cache", true)
+    val base = freshTable("deschist")
+    val vdir = s"countfs:$base/versions"
+    VersionLog.commit(spark, vdir, s"$base/manifest") // v0
+    val emptyStats = FileSkipping.buildManifest(spark, s"$base/data", "k").limit(0)
+    for (_ <- 1 to 12)
+      VersionLog.commitRebase(spark, vdir, VersionLog.head(spark, vdir),
+        Seq.empty, emptyStats)
+    // one schema record mid-history so the has_schema_record column is live
+    FileSkipping.alterAddColumn(spark, vdir, "extra",
+      org.apache.spark.sql.types.DoubleType)
+    // the flagged O(history) shape was one exists(v$v/_SUCCESS) + one
+    // exists(v$v/_schema.json) per version; Spark's own multi-path read
+    // validation stats the v-DIRS (part of the single allowed read), so
+    // the pin targets exactly the marker probes
+    try {
+      graft.util.CountFs.existsNeedle = Some("vledge_deschist/versions/v0/_SUCCESS")
+      graft.util.CountFs.existsHits.set(0)
+      val hist = VersionLog.describeHistory(spark, vdir).collect()
+      assert(graft.util.CountFs.existsHits.get() == 0,
+        "describeHistory exists()-probed v0/_SUCCESS — the per-version serial " +
+          "round-trips are back")
+      // and the answer is still exact
+      assert(hist.map(_.getInt(0)).toSeq == (0 to 13).toSeq,
+        s"history versions wrong: ${hist.map(_.getInt(0)).mkString(",")}")
+      assert(hist.count(_.getBoolean(4)) >= 1, "schema-record commit not flagged")
+      graft.util.CountFs.existsNeedle = Some("_schema.json")
+      graft.util.CountFs.existsHits.set(0)
+      VersionLog.describeHistory(spark, vdir).collect()
+      assert(graft.util.CountFs.existsHits.get() == 0,
+        "describeHistory exists()-probed _schema.json per version — the O(history) " +
+          "serial round-trips are back")
+    } finally graft.util.CountFs.existsNeedle = None
+  }
 }
