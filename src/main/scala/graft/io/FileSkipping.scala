@@ -418,15 +418,49 @@ object FileSkipping {
     val p = new org.apache.hadoop.fs.Path(cdcDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (Seq.empty, Set.empty, -1)
-    val entries = fs.listStatus(p)
-    val slots = entries.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("txn-"))
-      .flatMap { d =>
-        fs.listStatus(d).map(_.getPath.getName)
-          .collectFirst { case n if n.startsWith("_COMMITTED_v") &&
-            n.stripPrefix("_COMMITTED_v").forall(_.isDigit) =>
-            (n.stripPrefix("_COMMITTED_v").toInt, d.toUri.toString) }
-      }.toSeq.sortBy(_._1)
+    // The slot-marker scan, by FS kind (round-14 history arm):
+    //   - object-store schemes: ONE recursive prefix LIST recovers every
+    //     slot's marker — the former one-listStatus-PER-SLOT scan was
+    //     O(slots on disk) serial round-trips, 25 s per poll at 1000
+    //     unvacuumed slots on the 25 ms store, 0.15 s paginated;
+    //   - the local FS keeps the per-slot listStatus (syscall-cheap, and
+    //     RawLocal's recursive iterator stats entries of concurrent
+    //     writers' _temporary trees that can vanish mid-iteration —
+    //     threaded ConcurrencySpec caught exactly that), now tolerating
+    //     a slot deleted mid-scan by a concurrent abort/vacuum (either
+    //     way it must not be visible).
+    // Only markers DIRECTLY inside a txn- dir DIRECTLY under the root
+    // count in both branches.
+    val slots: Seq[(Int, String)] = (if (fs.getScheme == "file") {
+      def tryList(d: org.apache.hadoop.fs.Path) =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      tryList(p).filter(s => s.isDirectory && s.getPath.getName.startsWith("txn-"))
+        .flatMap { d =>
+          tryList(d.getPath).map(_.getPath.getName)
+            .collectFirst { case n if n.startsWith("_COMMITTED_v") &&
+              n.stripPrefix("_COMMITTED_v").nonEmpty &&
+              n.stripPrefix("_COMMITTED_v").forall(_.isDigit) =>
+              (n.stripPrefix("_COMMITTED_v").toInt, d.getPath.toUri.toString) }
+        }.toSeq
+    } else {
+      val rootUri = fs.makeQualified(p).toUri.getPath
+      val slotsBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      val files = fs.listFiles(p, /* recursive = */ true)
+      while (files.hasNext) {
+        val f = files.next().getPath
+        val dir = f.getParent
+        if (dir != null && dir.getParent != null &&
+            fs.makeQualified(dir.getParent).toUri.getPath == rootUri &&
+            dir.getName.startsWith("txn-") &&
+            f.getName.startsWith("_COMMITTED_v") &&
+            f.getName.stripPrefix("_COMMITTED_v").nonEmpty &&
+            f.getName.stripPrefix("_COMMITTED_v").forall(_.isDigit))
+          slotsBuf += ((f.getName.stripPrefix("_COMMITTED_v").toInt, dir.toUri.toString))
+      }
+      slotsBuf.toSeq
+    }).sortBy(_._1)
     // intents + watermark from a SECOND listing taken AFTER the slot
     // scan (see scaladoc) — one extra flat RPC per poll
     val rootFiles = fs.listStatus(p).filterNot(_.isDirectory).map(_.getPath.getName)

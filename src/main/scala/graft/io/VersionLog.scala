@@ -777,22 +777,42 @@ object VersionLog {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, regexp_extract, sum}
     val (fs, p) = fsFor(spark, versionsDir)
     require(fs.exists(p), s"version log $versionsDir does not exist")
-    val rootUri = fs.makeQualified(p).toUri.getPath
     val success = scala.collection.mutable.Set.empty[Int]
     val schemaVs0 = scala.collection.mutable.Set.empty[Int]
-    val files = fs.listFiles(p, /* recursive = */ true)
-    while (files.hasNext) {
-      val f = files.next().getPath
-      val dir = f.getParent
-      // only marker files DIRECTLY inside a v<N> dir that is DIRECTLY
-      // under the log root count — nested decoys don't
-      if (dir != null && dir.getParent != null &&
-          fs.makeQualified(dir.getParent).toUri.getPath == rootUri &&
-          dir.getName.startsWith("v") && dir.getName.drop(1).nonEmpty &&
-          dir.getName.drop(1).forall(_.isDigit)) {
-        val v = dir.getName.drop(1).toInt
-        if (f.getName == "_SUCCESS") success += v
-        else if (f.getName == SchemaFile) schemaVs0 += v
+    // only marker files DIRECTLY inside a v<N> dir that is DIRECTLY
+    // under the log root count — nested decoys don't. Local FS: per-dir
+    // listStatus (syscall-cheap; the recursive iterator would stat a
+    // LIVE committer's vanishing _temporary entries — see feedState);
+    // object-store schemes: one paginated prefix LIST.
+    if (fs.getScheme == "file") {
+      def tryList(d: org.apache.hadoop.fs.Path) =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      tryList(p).filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+          s.getPath.getName.drop(1).nonEmpty &&
+          s.getPath.getName.drop(1).forall(_.isDigit))
+        .foreach { d =>
+          val v = d.getPath.getName.drop(1).toInt
+          tryList(d.getPath).map(_.getPath.getName).foreach { n =>
+            if (n == "_SUCCESS") success += v
+            else if (n == SchemaFile) schemaVs0 += v
+          }
+        }
+    } else {
+      val rootUri = fs.makeQualified(p).toUri.getPath
+      val files = fs.listFiles(p, /* recursive = */ true)
+      while (files.hasNext) {
+        val f = files.next().getPath
+        val dir = f.getParent
+        if (dir != null && dir.getParent != null &&
+            fs.makeQualified(dir.getParent).toUri.getPath == rootUri &&
+            dir.getName.startsWith("v") && dir.getName.drop(1).nonEmpty &&
+            dir.getName.drop(1).forall(_.isDigit)) {
+          val v = dir.getName.drop(1).toInt
+          if (f.getName == "_SUCCESS") success += v
+          else if (f.getName == SchemaFile) schemaVs0 += v
+        }
       }
     }
     val existing = success.toSeq.sorted

@@ -12,7 +12,7 @@ import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
   * routes through `getFileStatus`, so marker/token probes land here).
   * Registration: `fs.countfs.impl = graft.util.CountFs` +
   * `fs.countfs.impl.disable.cache = true`. */
-class CountFs extends RawLocalFileSystem {
+class CountFs extends LocalShimFs {
 
   override def getUri: URI = URI.create("countfs:///")
   override def getScheme: String = "countfs"
@@ -36,26 +36,6 @@ class CountFs extends RawLocalFileSystem {
       if (f.toString.contains(n)) CountFs.existsHits.incrementAndGet()
     }
     super.exists(f)
-  }
-
-  // RawLocalFileSystem's LocatedFileStatus path (listFiles / recursive
-  // listings) lazy-loads POSIX permissions with `new java.io.File(uri)`,
-  // which rejects the countfs: scheme — hand back pre-materialized
-  // statuses instead (permissions are irrelevant to the specs)
-  override def listLocatedStatus(f: Path)
-      : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
-    val it = listStatus(f).iterator
-    new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
-      override def hasNext: Boolean = it.hasNext
-      override def next(): org.apache.hadoop.fs.LocatedFileStatus = {
-        val s = it.next()
-        val solid = new FileStatus(s.getLen, s.isDirectory, s.getReplication,
-          s.getBlockSize, s.getModificationTime, s.getAccessTime,
-          null, null, null, s.getPath)
-        new org.apache.hadoop.fs.LocatedFileStatus(solid,
-          if (s.isFile) getFileBlockLocations(solid, 0, s.getLen) else null)
-      }
-    }
   }
 
   // data-read counter: pins footer-probe memoization (a schema probe is

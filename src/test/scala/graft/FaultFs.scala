@@ -17,7 +17,7 @@ import org.apache.hadoop.util.Progressable
   * retriable-looking abort. Registration:
   * `fs.faultfs.impl = graft.util.FaultFs` +
   * `fs.faultfs.impl.disable.cache = true`. */
-class FaultFs extends RawLocalFileSystem {
+class FaultFs extends LocalShimFs {
 
   override def getUri: URI = URI.create("faultfs:///")
   override def getScheme: String = "faultfs"

@@ -14,7 +14,7 @@ import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
   * retry) see the mutated world. Registration:
   * `fs.racefs.impl = graft.util.RaceFs` +
   * `fs.racefs.impl.disable.cache = true`. */
-class RaceFs extends RawLocalFileSystem {
+class RaceFs extends LocalShimFs {
 
   override def getUri: URI = URI.create("racefs:///")
   override def getScheme: String = "racefs"
