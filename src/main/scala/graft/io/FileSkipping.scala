@@ -1277,6 +1277,68 @@ object FileSkipping {
       VersionLog.manifestAt(spark, versionsDir, targetVersion))
   }
 
+  /** OCC multi-dimensional re-clustering — `OPTIMIZE t ZORDER BY (a, b)`
+    * (Delta's signature layout verb): rewrites the pinned head's file
+    * set ordered by the Morton code of the two dimensions, so each
+    * output file covers a compact 2D cell and the snapshot's per-file
+    * (min_a, max_a, min_b, max_b) extents — carried via `statsFor`'s
+    * extraCols, the q202 shape — become TIGHT: a 2D box probe
+    * ([[prunedReadVersionMulti]]) opens the cells the box touches
+    * instead of every file. Content-preserving, so the commit is
+    * REWRITE-ONLY (composes with live content writers exactly like
+    * [[compactSmallOcc]]; a racer that rewrote one of our input files
+    * still file-conflicts — stale layout aborts).
+    *
+    * Dimension values are normalized to `2^bits` uniform buckets from a
+    * one-pass global (min, max) — skew in a dimension skews CELL
+    * occupancy, but file SIZES stay even (the z-sort feeds a sampled
+    * range partitioner), so skew costs pruning sharpness, never spills;
+    * rank-based bucketing (range_partition_id per dimension) is the
+    * documented upgrade if a deployment's dims are heavy-tailed. The
+    * deliberate tradeoff of any z-order: per-file KEY bands widen (the
+    * key scatters across cells), so key-range pruning and OCC band
+    * precision degrade as box pruning sharpens — the operator chooses
+    * per table. Returns (version, files rewritten, files written). */
+  def zorderOcc(spark: SparkSession, dataDir: String, versionsDir: String,
+                keyCol: String, dims: (String, String), txnId: String,
+                bits: Int = 8, outFiles: Int = 0,
+                pinned: Option[(Int, DataFrame)] = None): (Int, Int, Int) = {
+    require(bits >= 1 && bits <= 16, "bits per dimension must be in [1,16]")
+    val (rv, snap) = pinned.getOrElse(VersionLog.begin(spark, versionsDir))
+    val files = snap.select("file").collect().map(_.getString(0)).sorted.toIndexedSeq
+    require(files.nonEmpty, s"nothing to z-order at v$rv of $versionsDir")
+    val n = if (outFiles > 0) outFiles else files.length
+    val reader = VersionLog.schemaAt(spark, versionsDir, rv)
+      .map(spark.read.schema).getOrElse(spark.read)
+    val df = reader.parquet(files: _*)
+    val (d1, d2) = dims
+    // one stats pass normalizes both dims to [0, 2^bits)
+    val ext = df.agg(
+      min(col(d1).cast("double")), max(col(d1).cast("double")),
+      min(col(d2).cast("double")), max(col(d2).cast("double"))).head()
+    def bucket(c: String, i: Int): Column = {
+      // an all-null dimension degrades to bucket 0 (stats ignore nulls)
+      val (lo, hi) =
+        if (ext.isNullAt(i) || ext.isNullAt(i + 1)) (0.0, 1.0)
+        else (ext.getDouble(i), ext.getDouble(i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1L << bits))))
+    }
+    val slot = s"$dataDir/txn-$txnId"
+    df.withColumn("__z", graft.relational.ZOrder.zValue(bucket(d1, 0), bucket(d2, 2), bits))
+      .repartitionByRange(n, col("__z"), col(keyCol))
+      .sortWithinPartitions("__z", keyCol)
+      .drop("__z")
+      .write.mode("overwrite").parquet(slot)
+    val slotPath = new org.apache.hadoop.fs.Path(slot)
+    val fs = slotPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = listParquet(fs, slotPath).toSeq.sorted
+    val v = VersionLog.commitRebase(spark, versionsDir, rv, files,
+      statsFor(spark, fresh, keyCol, Seq(d1, d2)), rewriteOnly = true)
+    (v, files.length, fresh.length)
+  }
+
   /** OCC streaming ingest — [[ingestBatchVersioned]] recomposed onto the
     * [[VersionLog.commitRebase]] path (round-11 verdict stretch), so a
     * LIVE ingest stream and the nightly [[compactSmallOcc]] compose on

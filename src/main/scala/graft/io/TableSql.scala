@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *   INSERT INTO t SELECT …                  (append; schema-checked)
   *   ALTER TABLE t ADD COLUMN c <type>       (schema-only commit; OCC)
   *   OPTIMIZE t [SMALL <bytes>] [TARGET <bytes>]   (compaction; OCC → rewrite-only txn)
+  *   OPTIMIZE t ZORDER BY (a, b) [FILES n]   (2D re-clustering; rewrite-only txn)
   *   DESCRIBE HISTORY t                      (one row per committed version)
   *   RESTORE TABLE t TO VERSION AS OF n      (rollback commit; history preserved)
   *   SELECT … FROM t [VERSION AS OF <v>] …   (any read-only SQL)
@@ -101,6 +102,8 @@ object TableSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+  private val ZorderRe =
+    """(?is)^\s*OPTIMIZE\s+(\w+)\s+ZORDER\s+BY\s+\(\s*(\w+)\s*,\s*(\w+)\s*\)(?:\s+FILES\s+(\d+))?\s*$""".r
   private val SelectRe = """(?is)^\s*SELECT\b.*""".r
 
   /** Per-statement OCC transaction ids: unique per JVM AND across JVM
@@ -226,6 +229,21 @@ object TableSql {
       val v = FileSkipping.alterAddColumn(spark, occLog(t, ref), colName, dt)
       spark.createDataFrame(Seq((v.toLong, colName)))
         .toDF("committed_version", "column_added")
+
+    case ZorderRe(t, c1, c2, filesStr) =>
+      // Delta's multi-dimensional clustering verb: a REWRITE-ONLY
+      // transaction re-ordering the table by the Morton code of (c1, c2)
+      // so the snapshot's per-file 2D extents become tight (see
+      // [[FileSkipping.zorderOcc]] for the skew/key-band tradeoffs)
+      val ref = lookup(registry, t)
+      require(ref.occ,
+        s"OPTIMIZE … ZORDER BY needs an OCC version log to commit through — " +
+          s"table '$t' is not registered occ = true")
+      val (v, rewritten, written) = FileSkipping.zorderOcc(spark, ref.dataDir,
+        occLog(t, ref), ref.keyCol, (c1, c2), freshTxnId(),
+        outFiles = Option(filesStr).map(_.toInt).getOrElse(0))
+      spark.createDataFrame(Seq((v.toLong, rewritten.toLong, written.toLong)))
+        .toDF("committed_version", "files_rewritten", "files_written")
 
     case OptimizeRe(t, smallStr, targetStr) =>
       // Delta's OPTIMIZE verb: bin small files through one range exchange

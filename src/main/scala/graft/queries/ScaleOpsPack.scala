@@ -1424,6 +1424,60 @@ object ScaleOpsPack extends QueryPack {
       agg("head", "rtable")
         .unionByName(agg("v1", "rtable VERSION AS OF 1"))
         .unionByName(agg("v2", "rtable VERSION AS OF 2"))
+    },
+
+    // ── q211: OPTIMIZE … ZORDER BY through the SQL frontend ────────────
+    // Delta's multi-dimensional clustering verb on an EXISTING table:
+    // the fixture stages the q202 point cloud SCATTERED (hash-random
+    // placement — every file spans the full (x, y) plane, so the 2D
+    // manifest admits ALL files for any box), then one SQL ZORDER
+    // rewrite re-clusters it as a rewrite-only OCC transaction. The
+    // probe asserts the PHYSICAL claim (the same box probe opens
+    // strictly fewer files at the z-ordered head than at the scattered
+    // v0 — input_file_name()-counted) and the oracle gates the LOGICAL
+    // one: both layouts' box aggregates, plus the full-table rollup at
+    // the head, replay set-theoretically — a rewrite that lost/duped a
+    // row or mis-bucketed the dims hash-mismatches.
+    "q211_sql_zorder" -> { (s, d) =>
+      import graft.io.{FileSkipping, TableSql, VersionLog}
+      val base = "/root/repo/target/scratch/q211_zorder"
+      graft.util.Staging.deleteRecursive(base)
+      val pts = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(Parity.keyHash(col("o_orderkey")), lit(256L)).as("x"),
+        pmod(Parity.keyHash(col("o_custkey") * 131), lit(256L)).as("y"),
+        col("o_totalprice"))
+      pts.repartition(16) // SCATTERED: every file spans the whole plane
+        .write.mode("overwrite").parquet(s"$base/data")
+      FileSkipping.buildManifestStats(s, s"$base/data", "o_orderkey", Seq("x", "y"))
+        .write.mode("overwrite").parquet(s"$base/manifest")
+      val vdir = s"$base/versions"
+      VersionLog.commit(s, vdir, s"$base/manifest") // v0
+      val reg = Map("ztable" -> TableSql.TableRef(s"$base/data", s"$base/manifest",
+        "o_orderkey", versionsDir = Some(s"$base/versions"), occ = true))
+      val m = TableSql(s, reg, "OPTIMIZE ztable ZORDER BY (x, y)").head() // v1
+      require(m.getLong(0) == 1 && m.getLong(1) == 16,
+        s"expected v1 rewriting 16 files, got ${m}")
+      def boxFiles(v: Int) = FileSkipping.prunedReadVersionMulti(s, vdir, v,
+          Seq(("x", lit(64L), lit(95L)), ("y", lit(160L), lit(191L))))
+        .select(input_file_name()).distinct().count()
+      val (pre, post) = (boxFiles(0), boxFiles(1))
+      require(post < pre,
+        s"ZORDER did not sharpen 2D pruning: $post files admitted post vs $pre pre")
+      // rewrite-only class recorded (composes with live writers)
+      val hist = TableSql(s, reg, "DESCRIBE HISTORY ztable").collect()
+      require(hist.length == 2 && hist(1).getBoolean(3),
+        s"ZORDER commit must be rewrite-only, got ${hist.mkString(";")}")
+      def box(v: Int, snap: String) =
+        FileSkipping.prunedReadVersionMulti(s, vdir, v,
+          Seq(("x", lit(64L), lit(95L)), ("y", lit(160L), lit(191L))))
+          .filter(col("x").between(64, 95) && col("y").between(160, 191))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+          .select(lit(snap).as("snap"), col("n"), col("sum_price"))
+      box(0, "v0").unionByName(box(1, "head"))
+        .unionByName(VersionLog.readVersion(s, vdir, 1)
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice")).as("sum_price"))
+          .select(lit("head_all").as("snap"), col("n"), col("sum_price")))
     }
   )
 
@@ -1883,6 +1937,29 @@ object ScaleOpsPack extends QueryPack {
           SELECT 'v2' AS snap, o_orderpriority, COUNT(*) AS n,
                  ${Sql.dsum("o_totalprice")} AS sum_price
           FROM v2 GROUP BY 1, 2""",
+
+    // q211: the scattered v0 box, the z-ordered head box, and the
+    // full-table head rollup all recomputed from the source — layout
+    // changes must be invisible to every one of them
+    "q211_sql_zorder" ->
+      s"""WITH pts AS (SELECT o_orderkey,
+                 (${Sql.keyHash("o_orderkey")} % 256) AS x,
+                 (${Sql.keyHash("(o_custkey * 131)")} % 256) AS y,
+                 o_totalprice
+               FROM orders),
+          inbox AS (SELECT * FROM pts
+                    WHERE x BETWEEN 64 AND 95 AND y BETWEEN 160 AND 191)
+          SELECT 'v0' AS snap, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM inbox
+          UNION ALL
+          SELECT 'head' AS snap, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM inbox
+          UNION ALL
+          SELECT 'head_all' AS snap, COUNT(*) AS n,
+                 ${Sql.dsum("o_totalprice")} AS sum_price
+          FROM pts""",
 
     // q202: both snapshots' box aggregates recomputed set-theoretically
     // from the source — 2D pruning at either version must be invisible

@@ -501,6 +501,41 @@ class TableLifecycleSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("ZORDER rewrite: content exact, dim stats carried, rewrite-only class, racing merge aborts") {
+    // the OPTIMIZE … ZORDER BY verb's commit semantics (its PRUNING
+    // claim is q211's physical probe): a content-preserving rewrite-only
+    // transaction whose snapshot carries the clustered dims' per-file
+    // extents, composing with concurrent writers like compaction
+    val base = freshTable("zorder")
+    val vdir = s"$base/versions"
+    VersionLog.commitSnapshot(spark, vdir,
+      FileSkipping.buildManifest(spark, s"$base/data", "k")) // v0
+    val before = spark.read.parquet(s"$base/data").collect().toSeq
+    val (v, rewritten, written) = FileSkipping.zorderOcc(spark, s"$base/data", vdir,
+      "k", ("k", "v"), "ZO")
+    assert(v == 1 && rewritten == 8 && written >= 1)
+    // content exact, row for row
+    val head = VersionLog.readVersion(spark, vdir, 1).collect().toSeq
+    assert(head.toSet == before.toSet && head.size == before.size,
+      "z-ordered head diverged from the input content")
+    // the snapshot carries BOTH dims' extents and the rewrite-only class
+    val man = VersionLog.manifestAt(spark, vdir, 1)
+    assert(Seq("min_k", "max_k", "min_v", "max_v").forall(man.columns.contains),
+      s"dim stats missing from the z-ordered snapshot: ${man.columns.mkString(",")}")
+    assert(VersionLog.describeHistory(spark, vdir).collect()(1).getBoolean(3),
+      "ZORDER commit not classified rewrite-only")
+    // racing content commit: the stale z-order aborts (its inputs were
+    // rewritten under it), never lands a layout that drops the merge
+    val pin = VersionLog.begin(spark, vdir)
+    assert(FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+      rows(100, 130).withColumn("tag", lit("ZR")), "ZR") == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      FileSkipping.zorderOcc(spark, s"$base/data", vdir, "k", ("k", "v"), "ZO2",
+        pinned = Some(pin))
+    }
+    assert(VersionLog.head(spark, vdir) == 2, "aborted ZORDER moved head")
+  }
+
   test("plain appendWithManifest memoizes the contract footer probe (zero re-opens), still rejects divergence") {
     // round-13 verdict #6: the plain-table schema contract probed one
     // parquet footer on EVERY append (~4 RPCs + a Spark job on an
