@@ -592,11 +592,16 @@ object FileSkipping {
       slots.map(_._1).maxOption.getOrElse(-1))
     // evidence check FIRST, before any physical deletion: a committed-
     // but-unstamped version under the cutoff aborts the whole vacuum
-    // with the feed untouched (see scaladoc)
+    // with the feed untouched (see scaladoc). Intents AT OR BELOW the
+    // current watermark are exempt: versions are monotonic, so such an
+    // intent predates the vacuum that set the watermark — and that
+    // vacuum either saw its slot STAMPED (the intent is stale debris of
+    // a failed best-effort post-stamp delete; holding on it would brick
+    // every later vacuum of a fully-consumed feed) or handled it then.
     versionsDir.foreach { vd =>
       val vfs = new org.apache.hadoop.fs.Path(vd)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      pending.filter(_ <= effective).toSeq.sorted.foreach { i =>
+      pending.filter(i => i <= effective && i > watermark).toSeq.sorted.foreach { i =>
         if (vfs.exists(new org.apache.hadoop.fs.Path(s"$vd/v$i/_SUCCESS")))
           throw new IllegalStateException(
             s"vacuumFeeds(consumedThrough=$consumedThrough) on $cdcDir would delete the " +

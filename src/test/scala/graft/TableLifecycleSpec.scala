@@ -456,6 +456,18 @@ class TableLifecycleSpec extends SparkSpec {
     assert(FileSkipping.vacuumFeeds(spark, cdc, 3, Some(vdir)) == 1)
     assert(!new java.io.File(s"$base/cdc/_INTENT_v2").exists(),
       "abort/crash debris intent not reclaimed")
+    // stale intent of a CONSUMED commit (the slot was stamped, its
+    // post-stamp intent delete IO-failed, the slot has since been
+    // vacuumed): it sits at/below the watermark, so the evidence check
+    // must NOT hold on it — versions are monotonic, the vacuum that set
+    // the watermark saw the slot stamped (round-14 self-review: holding
+    // would brick every later vacuum of a fully-consumed feed)
+    assert(new java.io.File(s"$base/cdc/_INTENT_v3").createNewFile())
+    assert(FileSkipping.mergeKeyedOcc(spark, s"$base/data", vdir, "k",
+      rows(9100, 9130).withColumn("tag", lit("V4")), "V4", cdcDir = Some(cdc)) == 4)
+    assert(FileSkipping.vacuumFeeds(spark, cdc, 4, Some(vdir)) == 1)
+    assert(!new java.io.File(s"$base/cdc/_INTENT_v3").exists(),
+      "stale consumed-commit intent below the watermark not reclaimed")
   }
 
   test("RESTORE races a concurrent merge: one side aborts loudly, head is never a silent mix") {
