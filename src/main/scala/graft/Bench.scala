@@ -233,7 +233,7 @@ object Bench {
         v > 0 && !streamingBench.contains(n) &&
           priorSeconds.get(n).exists(p => p > 0 && (v > 2 * p || v * 2 < p))
       }.take(8)
-      movers.map { case (n, _) =>
+      movers.flatMap { case (n, _) =>
         val fn = SparkEntry.queries(n)
         var best = Double.MaxValue
         var spent = 0.0
@@ -241,13 +241,16 @@ object Bench {
         while (runs < repeats && (runs == 0 || spent < 30.0)) {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => () }
+          val failed =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+            catch { case _: Throwable => true }
           val dt = (System.nanoTime() - t0) / 1e9
           spent += dt; runs += 1
-          if (dt < best) best = dt
+          if (!failed && dt < best) best = dt
         }
-        n -> best
+        // a query that errors on every isolated repeat records nothing —
+        // its in-session error handling already reported it
+        if (best == Double.MaxValue) None else Some(n -> best)
       }.toMap
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
